@@ -1,0 +1,51 @@
+"""Operator/query registry.
+
+Each operator module exposes:
+
+* public query functions ``(spark: SparkSession, sf_dir: str) -> DataFrame``
+* ``QUERIES: dict[str, fn]`` -- registry entries, keyed by SURVEY.md SS2
+  inventory ids (``a1_...``, ``o4_...``, ``j_...``)
+* ``ORACLES: dict[str, str]`` -- DuckDB-runnable ANSI SQL per key; keys
+  missing here are checked rows-only by the driver (non-SQL-expressible ops).
+
+``all_queries()`` / ``all_oracles()`` aggregate every module for
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import (
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    windows,
+)
+
+_MODULES = [relational, aggregates, joins, windows, text, dedup, similarity, multimodal]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for mod in _MODULES:
+        dupes = set(out) & set(mod.QUERIES)
+        if dupes:
+            raise ValueError(f"duplicate query keys {dupes} in {mod.__name__}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

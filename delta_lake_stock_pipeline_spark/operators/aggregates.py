@@ -1,0 +1,298 @@
+"""Aggregation operators (SURVEY.md SS2.4 A1-A7 + SS2.12 multi-dim extensions).
+
+All grouped aggregation here compiles to Catalyst two-phase HashAggregate
+(partial map-side combine -> shuffle by group key -> final), which is the
+scale-correct shape: the shuffle moves one row per (partition, group), not the
+raw data. Verified via ``.explain`` -- every query shows
+``HashAggregate(partial) -> Exchange hashpartitioning -> HashAggregate``.
+
+Numeric-parity discipline (SURVEY.md SS5.2): double-valued SUM/AVG outputs are
+rounded in BOTH engines so partial-aggregation order cannot flip the
+value-hash; integer sums are CAST to BIGINT in DuckDB (its SUM(int) returns
+HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.temporal import event_date
+from ..sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# M0 flagship: the reference's entire query surface in one statement.
+# scan -> project/derive (F1-F3 recast) -> grouped multi-agg (A6+A7) ->
+# top-k (O4). Reference cites: external_table.py:105-122 (the two analytical
+# queries), stock_harvester.py:160-163 (derived date).
+# ---------------------------------------------------------------------------
+
+
+def flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup over ``events`` with top-5 by total value.
+
+    Recasts the reference's daily OHLC envelope + volume summary
+    (``external_table.py:105-122``) onto the events fixture: the derived
+    calendar date mirrors ``trade_date`` (``stock_harvester.py:160-163``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("event_date", event_date("ts"))
+        .groupBy("event_type", "event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value"), 2).alias("day_low"),
+            F.round(F.max("value"), 2).alias("day_high"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .orderBy(F.desc("total_value"), "event_type", "event_date")
+        .limit(5)
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT event_type,
+       CAST(ts AS DATE) AS event_date,
+       COUNT(*) AS n_events,
+       ROUND(MIN(value), 2) AS day_low,
+       ROUND(MAX(value), 2) AS day_high,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(AVG(value), 2) AS avg_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY total_value DESC, event_type, event_date
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: group-count (reference: stock_harvester.py:205,208)
+# ---------------------------------------------------------------------------
+
+
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: rows per key -- ``lineitem.groupBy(l_returnflag).count()``."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+def group_count_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: rows per derived date -- orders per order-date."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("order_date", event_date("o_orderdate"))
+        .groupBy("order_date")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("order_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A5: global count + min/max (stock_harvester.py:200,185-186)
+# ---------------------------------------------------------------------------
+
+
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A5: total rows and min/max date range in one global aggregate."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.min(event_date("l_shipdate")).alias("min_shipdate"),
+        F.max(event_date("l_shipdate")).alias("max_shipdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: distinct + count (stock_harvester.py:184)
+# ---------------------------------------------------------------------------
+
+
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: two-step distinct-then-count, exactly the reference's form."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.select("o_custkey").distinct().count()
+    # Materialize the scalar back into a DataFrame so the contract signature
+    # holds; the count itself ran distributed (partial distinct per partition
+    # -> shuffle -> final), only the 1-row result touches the driver.
+    return spark.createDataFrame([(n,)], "n_customers bigint")
+
+
+# ---------------------------------------------------------------------------
+# A6/A7: grouped multi-agg envelopes (external_table.py:105-122)
+# ---------------------------------------------------------------------------
+
+
+def daily_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: COUNT/MIN/MAX envelope per (event_type, event_date)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", event_date("ts"))
+        .groupBy("event_type", "event_date")
+        .agg(
+            F.count("*").alias("bar_count"),
+            F.round(F.min("value"), 2).alias("day_low"),
+            F.round(F.max("value"), 2).alias("day_high"),
+        )
+        .orderBy("event_type", "event_date")
+    )
+
+
+def volume_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: SUM + ROUND(AVG, 2) per group (the reference's vwap summary)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS2.12 extensions: multi-dimensional aggregation
+# ---------------------------------------------------------------------------
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (l_returnflag, l_linestatus): subtotals + grand total."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (o_orderstatus, o_orderpriority): all grouping combos."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT x) per group (absent from reference; SS2.4 note)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def approx_count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate. No oracle (engine-specific sketch) --
+    rows-only check; the exact twin above is the correctness anchor."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL ``percentile``), matching DuckDB
+    ``quantile_cont``. ``percentile_approx`` exists too but is sketch-based;
+    the exact form is the oracle-checkable one.
+
+    Uses ``l_quantity`` (small integral doubles) so linear interpolation is
+    exact in binary in both engines; on continuous doubles the two engines'
+    interpolation arithmetic can differ in the last ulp.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES = {
+    "a0_flagship_daily_rollup": flagship_daily_rollup,
+    "a1_group_count": group_count,
+    "a2_group_count_date": group_count_date,
+    "a3_a5_global_stats": global_stats,
+    "a4_distinct_count": distinct_count,
+    "a6_daily_envelope": daily_envelope,
+    "a7_volume_summary": volume_summary,
+    "x_rollup": rollup_agg,
+    "x_cube": cube_agg,
+    "x_count_distinct": count_distinct_agg,
+    "x_approx_count_distinct": approx_count_distinct_agg,
+    "x_percentile": percentile_agg,
+}
+
+ORACLES = {
+    "a0_flagship_daily_rollup": FLAGSHIP_ORACLE,
+    "a1_group_count": """
+        SELECT l_returnflag, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "a2_group_count_date": """
+        SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "a3_a5_global_stats": """
+        SELECT COUNT(*) AS n_rows,
+               MIN(CAST(l_shipdate AS DATE)) AS min_shipdate,
+               MAX(CAST(l_shipdate AS DATE)) AS max_shipdate
+        FROM lineitem
+    """,
+    "a4_distinct_count": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_customers FROM orders
+    """,
+    "a6_daily_envelope": """
+        SELECT event_type,
+               CAST(ts AS DATE) AS event_date,
+               COUNT(*) AS bar_count,
+               ROUND(MIN(value), 2) AS day_low,
+               ROUND(MAX(value), 2) AS day_high
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "a7_volume_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "x_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "x_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "x_count_distinct": """
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "x_percentile": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # x_approx_count_distinct: intentionally no oracle (sketch-based).
+}

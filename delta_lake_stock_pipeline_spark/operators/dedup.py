@@ -1,0 +1,276 @@
+"""Deduplication operators over ``documents`` (north-star extension set:
+exact, n-gram Jaccard, MinHash+LSH, SimHash).
+
+Scale design:
+* Exact dedup is hash-groupBy on the dedup key -- one shuffle, map-side
+  partial aggregation; at 100 TB the key is a content hash (fingerprint), so
+  the shuffle carries 16 bytes + keeper id per row, never the document body.
+* Near-dup is explode-shingles -> co-group by shingle (the inverted-index /
+  MapReduce shape) or MinHash band-bucketing -- both avoid the O(n^2) all-pairs
+  comparison; candidate verification runs only within buckets.
+* Pair blocking uses ``source`` so bucket sizes stay bounded; at real scale
+  the band hash itself is the blocking key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+
+# Near-dup parameters: 3-token shingles, Jaccard threshold tuned to the
+# fixture's engineered near-dups (prefix-copied docs).
+_SHINGLE_N = 3
+_JACCARD_THRESHOLD = 0.2
+
+# MinHash: 16 permutations in 4 bands of 4 rows -> candidate-capture
+# probability ~1 for J >= 0.5, high for J >= 0.2 within-source.
+_MINHASH_K = 16
+_LSH_BANDS = 4
+
+
+def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles as ROWS ``(doc_id, source, shingle)``.
+
+    posexplode + windowed ``lead`` instead of array higher-order functions:
+    an earlier array-``transform`` formulation re-evaluated
+    ``split(lower(text))`` per lambda element (quadratic per doc, interpreted,
+    single-threaded) and dominated the whole dedup suite. This shape is
+    all whole-stage-codegen: explode is linear, the window shuffles once on
+    doc_id, and the posting rows feed both the exact-Jaccard inverted index
+    and the MinHash signature aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", _SHINGLE_N - 1).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id", "source", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def _pair_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Join per-pair common-shingle counts with per-doc set sizes and compute
+    Jaccard = |A∩B| / (|A| + |B| - |A∩B|), thresholded."""
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate audit: total docs vs distinct text bodies vs distinct
+    content fingerprints (the reference's distinct-count pattern A4 applied
+    to dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct(F.md5("text")).alias("n_unique_md5"),
+    )
+
+
+def exact_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a key subset (dropDuplicates semantics): keep the
+    lowest doc_id per (lang, source, n_chars) group; report group sizes.
+    The groupBy-min form is the deterministic, shuffle-once implementation of
+    ``dropDuplicates`` (whose row choice is otherwise partition-dependent)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source", "n_chars")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_in_group"))
+        .orderBy("lang", "source", "n_chars")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram-shingle Jaccard within a source
+    block, via the inverted-index shape:
+
+    explode shingles -> self-join on (source, shingle) -> count common
+    shingles per pair -> join per-doc shingle counts -> Jaccard filter.
+
+    This is the scalable exact form: work is proportional to
+    sum(shingle-posting-list^2) within blocks, not |docs|^2.
+    """
+    posts = _shingle_posts(spark, sf_dir)
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = posts.alias("a"), posts.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _pair_jaccard(common, sizes)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified with exact Jaccard.
+
+    Signature: each shingle is hashed ONCE with ``xxhash64``; the k=16
+    minhash functions are affine (universal-hash) transforms
+    ``h_i(x) = a_i*x + b_i`` of that base hash (long overflow = mod 2^64),
+    so signature cost is |shingles| hash evals + 16*|shingles| multiply-adds
+    instead of 16*|shingles| string-concat+hash evals (~20x cheaper; at
+    100 TB signature computation dominates, this is the term that matters).
+    Banded into 4 bands of 4 -> candidates are pairs sharing any band hash
+    (within source block) -> verify with exact shingle Jaccard >= threshold.
+
+    No SQL oracle (xxhash64 is engine-specific) -> rows-only check; its
+    verified output should agree with ``d_ngram_jaccard`` wherever LSH recall
+    captures the pair -- the exact query is the correctness anchor.
+    """
+    # Signature via posting rows -> hash-once -> 16 plain min() aggregates:
+    # every expression is codegen'd JVM work. The groupBy shuffle carries only
+    # (doc_id, source, 8-byte hash). h_i(shingle) = xxhash64(i, base_hash):
+    # re-hashing the LONG base hash is a fixed-width native hash; ANSI mode
+    # forbids the classic wrapping a*x+b form.
+    posts = _shingle_posts(spark, sf_dir).withColumn("h", F.xxhash64("shingle"))
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    sig = posts.groupBy("doc_id", "source").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+            for i in range(_MINHASH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verification of candidates only (bounded set): posting-list
+    # intersection via two equi-joins -- |candidates| x |shingles/doc| rows,
+    # never a doc x doc comparison.
+    pa = posts.select(F.col("doc_id").alias("doc_a"), "h")
+    pb = posts.select(F.col("doc_id").alias("doc_b"), "h")
+    common = (
+        candidates.join(pa, "doc_a")
+        .join(pb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return _pair_jaccard(common, sizes)
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token-hash bit-majority), plus its
+    16-bit prefix band for bucketing. Deterministic given xxhash64 ->
+    rows-only check (no engine-portable SQL form).
+
+    The bit-majority is expressed as 64 conditional aggregates over exploded
+    tokens -- pure JVM expressions, one shuffle on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # For each bit: +1 if set else -1; simhash bit = (sum >= 0).
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    simhash = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else (simhash.bitwiseOR(bit))
+    return bit_sums.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.shiftrightunsigned(simhash, 48).alias("band16"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "d_exact_summary": exact_dedup_summary,
+    "d_exact_keys": exact_dedup_keys,
+    "d_ngram_jaccard": ngram_jaccard_pairs,
+    "d_minhash_lsh": minhash_lsh_pairs,
+    "d_simhash": simhash_buckets,
+}
+
+ORACLES = {
+    "d_exact_summary": """
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS n_unique_texts,
+               COUNT(DISTINCT md5(text)) AS n_unique_md5
+        FROM documents
+    """,
+    "d_exact_keys": """
+        SELECT lang, source, n_chars,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_in_group
+        FROM documents GROUP BY lang, source, n_chars
+        ORDER BY lang, source, n_chars
+    """,
+    "d_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(lower(text), ' ')) - 1),
+                       i -> string_split(lower(text), ' ')[i] || ' ' ||
+                            string_split(lower(text), ' ')[i+1] || ' ' ||
+                            string_split(lower(text), ' ')[i+2])) AS s
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.s, b.s))
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {_JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    # d_minhash_lsh, d_simhash: intentionally no oracle (xxhash64-based).
+}

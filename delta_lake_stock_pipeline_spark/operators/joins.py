@@ -1,0 +1,254 @@
+"""Join operators (SURVEY.md SS2.3 -- all extensions; the reference is a
+single-table pipeline with zero joins, so this module IS the join surface a
+user of the generalized engine gets).
+
+Physical-strategy stance (100 TB): declare the join, let Catalyst + AQE pick
+the algorithm -- but *shape* the plan where the optimizer cannot know better:
+
+* Dimension joins take an explicit ``F.broadcast`` hint: region/nation/
+  supplier-scale dims are bounded (they grow ~linearly with nations, not with
+  fact rows), so a shuffle of the fact side is never warranted.
+* Fact-fact joins (orders x lineitem) are left to sort-merge/shuffled-hash on
+  the join key; AQE handles skew splitting at runtime.
+* The as-of join is implemented as union + last-observation-carried-forward
+  window: a SINGLE shuffle by (key, time) -- the scale-correct alternative to
+  the naive range-join which explodes to |left| x |right| per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+
+
+def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash equi join: fact side never shuffles; the bounded dims
+    (nation: 25 rows, region: 5) ship to every executor."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join (orders x lineitem) -> revenue per order priority.
+
+    Both sides shuffle on l_orderkey/o_orderkey; partial aggregation runs
+    map-side after the join. At fixture scale AQE may downgrade to broadcast
+    -- that is the optimizer's call, and exactly the behavior we want at
+    either scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_orderpriority", revenue)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers that placed at least one urgent order (EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all (NOT EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer + grouped count of the nullable side (TPC-H Q13 shape):
+    orders-per-customer histogram including zero-order customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate: lineitems shipped within 90 days of the order
+    date. The equi key carries the shuffle; the range predicate evaluates
+    post-match (no explosion)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate >= orders.o_orderdate)
+            & (lineitem.l_shipdate <= F.date_add(orders.o_orderdate, 90)),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_shipped_90d"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality (theta) join: per supplier, how many customers hold a
+    larger account balance. No equi key -> broadcast-nested-loop with the
+    small side broadcast; at scale this is the operator you re-shape (bin the
+    ranges) rather than brute-force, which is why it's kept separate."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        supplier.join(customer, supplier.s_acctbal < customer.c_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'click' event matched to the latest 'purchase' by the
+    same user at-or-before the click time.
+
+    Spark has no batch as-of primitive (SURVEY.md SS2.12). Implementation:
+    union both streams, window over (user_id) ordered by (ts, side, event_id)
+    with last-observation-carried-forward of the purchase struct, then keep
+    clicks. One shuffle on user_id, no row explosion -- this is the
+    scale-correct shape vs. a per-key range join.
+
+    Oracle: DuckDB's native ``ASOF JOIN``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = clicks.withColumn("is_purchase", F.lit(0)).unionByName(
+        purchases.withColumn("is_purchase", F.lit(1))
+    )
+    # At equal ts the purchase sorts first (is_purchase desc) so ties count as
+    # "at-or-before", matching ASOF JOIN's >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.desc("is_purchase"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    locf = tagged.withColumn(
+        "last_purchase",
+        F.last(
+            F.when(F.col("is_purchase") == 1, F.struct("ts", "event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        locf.filter((F.col("is_purchase") == 0) & F.col("last_purchase").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.unix_millis("ts").alias("click_ms"),
+            F.unix_millis("last_purchase.ts").alias("purchase_ms"),
+        )
+    )
+
+
+QUERIES = {
+    "j_broadcast": broadcast_join,
+    "j_sortmerge": sortmerge_join,
+    "j_semi": semi_join,
+    "j_anti": anti_join,
+    "j_outer": outer_join,
+    "j_range": range_join,
+    "j_theta": theta_join,
+    "j_asof": asof_join,
+}
+
+ORACLES = {
+    "j_broadcast": """
+        SELECT r_name, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "j_sortmerge": """
+        SELECT o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "j_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "j_anti": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "j_outer": """
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY n_orders ORDER BY n_orders
+    """,
+    "j_range": """
+        SELECT o_orderpriority, COUNT(*) AS n_shipped_90d
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            AND l_shipdate >= o_orderdate
+            AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "j_theta": """
+        SELECT s_suppkey, COUNT(*) AS n_richer_customers
+        FROM supplier JOIN customer ON s_acctbal < c_acctbal
+        GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "j_asof": """
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               epoch_ms(c.ts) AS click_ms,
+               epoch_ms(p.ts) AS purchase_ms
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF JOIN
+             (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+}

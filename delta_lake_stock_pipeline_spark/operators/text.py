@@ -1,0 +1,218 @@
+"""Text-analysis operators over ``documents`` (north-star extension set:
+language-ID heuristic, quality scoring, token counting, fingerprinting).
+
+All hot-path logic is built-in Catalyst expressions (split / transform /
+filter / aggregate higher-order functions) -- no Python UDFs, so everything
+stays in whole-stage codegen and scales with executor count, not driver
+throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+
+# Marker stopwords per candidate language for the heuristic language-ID.
+# Deliberately tiny + deterministic: the score is the count of marker tokens
+# present; argmax with lexicographic tiebreak. (A production system would use
+# char n-gram profiles; the *shape* -- per-doc bounded scoring, no shuffle --
+# is the same.)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "que", "los", "una"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+_STOPWORDS = ("the", "a", "and", "of", "is", "to", "in")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counting: whitespace tokens + BPE-ish regex word pieces."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-zA-Z]+|[0-9]+")).cast("bigint").alias(
+            "n_word_pieces"
+        ),
+        F.size(F.array_distinct(_tokens())).cast("bigint").alias("n_unique_tokens"),
+    )
+
+
+def word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token frequency (explode -> two-phase hash-agg ->
+    TakeOrderedAndProject)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): count + avg size metrics."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals: length, mean token length, stopword ratio,
+    non-alpha char count. Pure columnar expressions per row -- embarrassingly
+    parallel at any scale."""
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("len_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round((F.length("text") - n_tok + 1) / n_tok, 4).alias("avg_token_len"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("bigint").alias(
+            "n_nonalnum"
+        ),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: marker-stopword hit count per candidate
+    language, argmax with deterministic tiebreak, 'und' (undetermined) when
+    no marker hits. Compared against the fixture's labeled ``lang``."""
+    toks = F.array_distinct(_tokens())
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(x) for x in markers])
+        # single-arg lambda (PySpark dispatches on arity); F.filter invokes it
+        # synchronously, so the loop-variable closure is safe
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    df = load_table(spark, sf_dir, "documents")
+    for lang, score in scores.items():
+        df = df.withColumn(f"score_{lang}", score)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):  # lexicographic tiebreak: first max wins
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.cast("bigint").alias("marker_hits"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: MD5 of whitespace-normalized
+    lowercase text (content hash for exact dedup) + its 8-hex-char prefix
+    (bucketable short fingerprint)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        F.substring(F.md5(norm), 1, 8).alias("fp8"),
+    )
+
+
+QUERIES = {
+    "t_token_count": token_count,
+    "t_word_frequency": word_frequency,
+    "t_doc_stats": doc_stats,
+    "t_quality_score": quality_score,
+    "t_lang_id": lang_id,
+    "t_fingerprint": fingerprint,
+}
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    for lang, markers in _LANG_MARKERS.items()
+}
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+ORACLES = {
+    "t_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT)
+                   AS n_word_pieces,
+               CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+                   AS n_unique_tokens
+        FROM documents
+    """,
+    "t_word_frequency": """
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    "t_doc_stats": """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    "t_quality_score": f"""
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS len_chars,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+               ROUND((LENGTH(text) - len(string_split(lower(text), ' ')) + 1)
+                     / len(string_split(lower(text), ' ')), 4) AS avg_token_len,
+               ROUND(len(list_filter(string_split(lower(text), ' '),
+                                     t -> list_contains({_STOP_SQL}, t)))
+                     / len(string_split(lower(text), ' ')), 4) AS stopword_ratio,
+               CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT)
+                   AS n_nonalnum
+        FROM documents
+    """,
+    "t_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(list_distinct(string_split(lower(text), ' ')),
+                       t -> list_contains({_MARKER_SQL['de']}, t))) AS score_de,
+                   len(list_filter(list_distinct(string_split(lower(text), ' ')),
+                       t -> list_contains({_MARKER_SQL['en']}, t))) AS score_en,
+                   len(list_filter(list_distinct(string_split(lower(text), ' ')),
+                       t -> list_contains({_MARKER_SQL['es']}, t))) AS score_es,
+                   len(list_filter(list_distinct(string_split(lower(text), ' ')),
+                       t -> list_contains({_MARKER_SQL['fr']}, t))) AS score_fr
+            FROM documents
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) <= 0
+                        THEN 'und'
+                    WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr)
+                        THEN 'de'
+                    WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr)
+                        THEN 'en'
+                    WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr)
+                        THEN 'es'
+                    ELSE 'fr' END AS predicted_lang,
+               CAST(GREATEST(score_de, score_en, score_es, score_fr) AS BIGINT)
+                   AS marker_hits
+        FROM scored
+    """,
+    "t_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_md5,
+               SUBSTRING(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8)
+                   AS fp8
+        FROM documents
+    """,
+}

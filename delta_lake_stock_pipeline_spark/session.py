@@ -1,0 +1,92 @@
+"""SparkSession construction.
+
+Mirrors the reference's session seam (``databricks_utils.py:20-36``: local
+builder + Delta extensions + env detection) but targets a plain local session
+with scale-oriented defaults:
+
+* AQE on (adaptive shuffle coalescing, skew-join splitting, dynamic join
+  selection) -- at 100 TB these are the difference between a plan that works
+  and one that dies on a skewed key.
+* Arrow on, for every pandas-UDF / ``applyInPandas`` path.
+* ``spark.sql.shuffle.partitions`` sized for the local fixture scale; on a
+  real cluster AQE coalesces from a high initial number, so we set the
+  initial partition count rather than hand-scheduling per query.
+* Delta Lake extensions are attached only when delta-spark is importable
+  (it is optional in this environment); everything else degrades to parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+try:  # optional: delta-spark is not installed in every environment
+    from delta import configure_spark_with_delta_pip
+
+    _HAVE_DELTA = True
+except ImportError:  # pragma: no cover
+    configure_spark_with_delta_pip = None
+    _HAVE_DELTA = False
+
+
+def have_delta() -> bool:
+    """True when delta-spark is importable and sessions get Delta support."""
+    return _HAVE_DELTA
+
+
+def get_spark(
+    app_name: str = "delta-lake-stock-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``).
+    ``shuffle_partitions`` defaults to the core count -- correct for the
+    <=600k-row local fixtures; a cluster deployment would raise it and let
+    AQE coalesce.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Spark's type system has no ns-precision timestamp; read parquet
+        # TIMESTAMP(NANOS) columns as raw long nanos (converted to us-precision
+        # TimestampType in sources.fixtures, matching DuckDB's truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local fixtures are small files; keep driver display cheap
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if _HAVE_DELTA:
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        spark = configure_spark_with_delta_pip(builder).getOrCreate()
+    else:
+        spark = builder.getOrCreate()
+    return spark
+
+
+def stop_spark_if_local(spark: SparkSession) -> None:
+    """Stop the session when running against a local master.
+
+    Reference parity: ``databricks_utils.py:71-73``.
+    """
+    if spark.conf.get("spark.master", "").startswith("local"):
+        spark.stop()

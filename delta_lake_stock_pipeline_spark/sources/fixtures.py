@@ -1,0 +1,66 @@
+"""Fixture-table sources.
+
+The engine's scan operators (reference SURVEY.md SS2.1 S6/S7 -- read by name /
+read by path) over the driver's parquet fixtures at
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scale note: ``spark.read.parquet`` is the vectorized columnar reader; column
+pruning and predicate pushdown reach the scan automatically when queries stay
+declarative (verify via ``.explain``: ``ReadSchema`` / ``PushedFilters``).
+At 100 TB the same call reads a partitioned directory tree; nothing here
+assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Every driver fixture table (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (S7: read by path).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS): Spark has no ns-precision
+    timestamp type, so the session reads it as long nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
+    us-precision TimestampType here -- the same floor-truncation DuckDB
+    applies when it reads the column as TIMESTAMP.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture as a temp view so SQL-form queries resolve
+    (S6: read by name). Mirrors the reference's catalog registration
+    (``external_table.py:83-86`` view fallback) without Delta DDL.
+    """
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

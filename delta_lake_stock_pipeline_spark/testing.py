@@ -1,0 +1,96 @@
+"""Oracle-comparison harness mirroring the driver's correctness gate:
+row-count + schema (column names) + order-insensitive value comparison
+between a Spark DataFrame and DuckDB SQL over the same parquet fixtures.
+
+Used by tests/ locally so mismatches surface before the driver runs.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+
+from .sources.fixtures import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def _norm_value(v) -> str:
+    """Engine-neutral stringification for order-insensitive comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 12 significant digits: collapses float-repr noise while still
+        # catching real numeric divergence (queries round their outputs).
+        return f"{v:.12g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.12g}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
+    """Order-insensitive comparison of a Spark result vs DuckDB oracle."""
+    s_cols = sorted(spark_df.columns)
+    s_rows = [
+        tuple(_norm_value(row[c]) for c in s_cols) for row in spark_df.collect()
+    ]
+
+    rel = con.sql(sql)
+    d_cols_raw = list(rel.columns)
+    d_cols = sorted(d_cols_raw)
+    idx = [d_cols_raw.index(c) for c in d_cols]
+    d_rows = [tuple(_norm_value(r[i]) for i in idx) for r in rel.fetchall()]
+
+    if s_cols != d_cols:
+        return CompareResult(name, False, f"schema mismatch: spark={s_cols} duckdb={d_cols}")
+    if len(s_rows) != len(d_rows):
+        return CompareResult(
+            name, False, f"row-count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+        )
+    s_sorted, d_sorted = sorted(s_rows), sorted(d_rows)
+    if s_sorted != d_sorted:
+        diffs = [
+            (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+        ][:3]
+        return CompareResult(
+            name,
+            False,
+            f"value mismatch on {sum(1 for a, b in zip(s_sorted, d_sorted) if a != b)}"
+            f"/{len(s_rows)} rows; first diffs (spark vs duckdb): {diffs}; cols={s_cols}",
+        )
+    return CompareResult(name, True, f"{len(s_rows)} rows match")

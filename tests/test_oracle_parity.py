@@ -1,0 +1,41 @@
+"""Mirror of the driver's correctness gate: every query with an oracle must
+match DuckDB at sf0.001 (driver runs sf0.01; same data generator)."""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_lake_stock_pipeline_spark.operators import all_oracles, all_queries
+from delta_lake_stock_pipeline_spark.testing import compare, duckdb_connection
+
+from conftest import SF_DIR
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_every_oracle_key_has_query():
+    missing = set(_ORACLES) - set(_QUERIES)
+    assert not missing, f"oracle keys without query impl: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(name, spark, sf_dir, con):
+    df = _QUERIES[name](spark, sf_dir)
+    result = compare(name, df, con, _ORACLES[name])
+    assert result.ok, f"{name}: {result.detail}"
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    """Queries without an oracle still must run and return a stable schema."""
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.columns, f"{name}: no columns"
+    assert df.count() >= 0
