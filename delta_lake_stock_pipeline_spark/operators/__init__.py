@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import streaming
 from . import (
     aggregates,
     dedup,
@@ -29,7 +30,17 @@ from . import (
     windows,
 )
 
-_MODULES = [relational, aggregates, joins, windows, text, dedup, similarity, multimodal]
+_MODULES = [
+    relational,
+    aggregates,
+    joins,
+    windows,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    streaming,
+]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

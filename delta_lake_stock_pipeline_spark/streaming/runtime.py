@@ -1,0 +1,151 @@
+"""Structured Streaming execution over the events data model.
+
+File source -> event-time watermark -> (windowed agg | dedup-within-watermark
+| stateful per-key count) -> memory sink with ``Trigger.AvailableNow``.
+
+Everything is checkpoint-driven and timing-free: tests feed micro-batches by
+dropping files and re-running ``availableNow`` against the same checkpoint,
+so watermark/late-data behavior is deterministic (SURVEY.md §7.4 risk 3).
+
+Scale notes:
+* The file source at 100 TB is the same API over an object-store prefix;
+  ``maxFilesPerTrigger`` bounds per-batch work.
+* Watermarks bound state: the windowed agg keeps only windows newer than
+  (max event time - delay); dedup-within-watermark keeps one key per event
+  inside the watermark horizon, not forever.
+* ``applyInPandasWithState`` shuffles by key once; state lives in the state
+  store (RocksDB on a real cluster), sized by key cardinality.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Schema of the events fixture as written by tests (ts already us-precision).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+WATERMARK_DELAY = "2 days"
+
+
+def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (streaming S7; schema must be declared -- no inference on streams)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window counts -- streaming twin of
+    ``windows.tumbling_daily``. Append mode emits a window only once the
+    watermark passes its end (finalized results, late data dropped)."""
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame) -> DataFrame:
+    """Drop duplicate event_ids arriving within the watermark horizon --
+    the streaming form of exact dedup (state bounded by the watermark,
+    unlike plain ``dropDuplicates`` whose state grows forever)."""
+    return stream.withWatermark("ts", WATERMARK_DELAY).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_STATE_SCHEMA = "n LONG, total DOUBLE"
+_COUNT_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def _running_user_counts(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user count/sum across batches
+    via ``applyInPandasWithState`` -- the escape hatch for semantics the
+    built-in windowed aggs can't express (SURVEY.md §2.12 UDF surface)."""
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_user_counts,
+            outputStructType=_COUNT_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over currently-available
+    input (``Trigger.AvailableNow``), landing emissions in a parquet dir via
+    ``foreachBatch`` (the memory sink cannot recover from a checkpoint;
+    foreachBatch can). Returns the emitted rows of THIS run as a batch
+    DataFrame. Re-running with the same checkpoint but a fresh ``out_dir``
+    continues from stored watermark/agg state -- the deterministic way to
+    test late-data behavior."""
+    spark = result.sparkSession
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        # complete mode re-emits the whole result each batch -> keep only the
+        # final snapshot; append/update emit deltas -> accumulate them.
+        mode = "overwrite" if output_mode == "complete" else "append"
+        batch_df.write.mode(mode).parquet(out_dir)
+
+    q = (
+        result.writeStream.foreachBatch(_write)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:  # no batch emitted anything -> empty result
+        return spark.createDataFrame([], result.schema)

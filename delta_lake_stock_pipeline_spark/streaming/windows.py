@@ -1,0 +1,140 @@
+"""Event-time window aggregations over ``events`` (batch form).
+
+The reference has no streaming surface (SURVEY.md §2.12); this is the
+north-star extension. ``F.window`` / ``F.session_window`` are the same
+Catalyst operators in batch and streaming, so proving the batch form against
+a DuckDB oracle proves the window *semantics*; ``runtime.py`` + tests then
+prove the streaming *execution* (watermarks, state, availableNow) against
+these batch results.
+
+Scale design: a tumbling/sliding window agg is a plain hash aggregate keyed
+by (window, group) -- one shuffle, map-side partial agg, no state explosion.
+Session windows shuffle by the session key (user_id) and merge-sort within;
+at 100 TB the key cardinality (users) bounds state, not event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+
+# Session gap for session_window; chosen so sf fixtures produce many
+# multi-event sessions (events span 30 days, ~1k-100k rows).
+SESSION_GAP = "1 hour"
+
+
+def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows: count + rounded sum per
+    (window, event_type). Spark aligns windows to the epoch, so a 1-day
+    tumbling window start == ``date_trunc('day', ts)`` -- the oracle form."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 2-day width / 1-day slide: every event lands in
+    exactly two windows (start = trunc(ts) and trunc(ts) - 1 day). The
+    oracle materializes that two-window membership as a UNION ALL."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 1-hour inactivity gap: session start,
+    event count, rounded value sum. ``session_window`` merges events whose
+    timestamps are < gap apart (half-open [ts, ts+gap) extension), i.e. a
+    difference of exactly the gap starts a NEW session -- the oracle's
+    gaps-and-islands form uses ``>= gap`` accordingly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+QUERIES = {
+    "s_tumbling_daily": tumbling_daily,
+    "s_sliding_2d_1d": sliding_2d_1d,
+    "s_session_window": session_windows,
+}
+
+ORACLES = {
+    "s_tumbling_daily": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "s_sliding_2d_1d": """
+        WITH member AS (
+            SELECT date_trunc('day', ts) AS window_start, value FROM events
+            UNION ALL
+            SELECT date_trunc('day', ts) - INTERVAL 1 DAY, value FROM events
+        )
+        SELECT window_start,
+               COUNT(*) AS n_events,
+               ROUND(AVG(value), 2) AS avg_value
+        FROM member
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "s_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+}

@@ -1,0 +1,127 @@
+"""Structured Streaming execution tests (SURVEY.md §2.12 streaming row).
+
+Strategy (§7.4 risk 3): never wall-clock. Micro-batch sequences are driven by
+dropping files into a source dir and re-running ``availableNow`` against one
+checkpoint; watermark state persists in the checkpoint, so late-data behavior
+is deterministic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_stock_pipeline_spark.sources.fixtures import load_table
+from delta_lake_stock_pipeline_spark.streaming import runtime
+from delta_lake_stock_pipeline_spark.streaming.windows import tumbling_daily
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events fixture rewritten as a 4-file parquet directory (file source
+    needs a directory; multiple files exercise maxFilesPerTrigger batching)."""
+    out = str(tmp_path_factory.mktemp("events_src"))
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(
+        out
+    )
+    return out
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir, tmp_path):
+    """availableNow over the full fixture == batch window agg (complete mode:
+    every window emitted regardless of watermark)."""
+    stream = runtime.events_stream(spark, events_dir)
+    got = runtime.run_available_now(
+        runtime.tumbling_counts(stream),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        output_mode="complete",
+    )
+    want = tumbling_daily(spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids inside the watermark horizon are dropped."""
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events").limit(100)
+    events.union(events).repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = runtime.events_stream(spark, src)
+    got = runtime.run_available_now(
+        runtime.dedup_within_watermark(stream),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    assert got.count() == 100
+    assert got.select("event_id").distinct().count() == 100
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Batch 1 advances the watermark far past January; batch 2's January
+    events are late beyond the 2-day delay -> excluded from appended windows."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    events = load_table(spark, SF_DIR, "events")
+    # Batch 1: the fixture (Jan 2024) plus one far-future sentinel row that
+    # drags the watermark to (2025-01-01 - 2 days), finalizing every January
+    # window so append mode emits them.
+    sentinel = spark.createDataFrame(
+        [(10**9, "2025-01-01 00:00:00", 0, "click", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    events.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = runtime.events_stream(spark, src)
+    result = runtime.tumbling_counts(stream)
+    first = runtime.run_available_now(result, ckpt, str(tmp_path / "out1"))
+    jan_counts = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in first.collect()
+        if r["window_start"].year == 2024
+    }
+    assert jan_counts, "January windows should be finalized and emitted"
+
+    # Batch 2: replay 50 January events (now > 2 days late). Re-run on the
+    # same checkpoint: no January window may be (re-)emitted.
+    events.limit(50).coalesce(1).write.mode("append").parquet(src)
+    second = runtime.run_available_now(
+        runtime.tumbling_counts(runtime.events_stream(spark, src)),
+        ckpt,
+        str(tmp_path / "out2"),
+    )
+    new_rows = [r for r in second.collect() if r["window_start"].year == 2024]
+    assert new_rows == [], f"late January data must be dropped, got {new_rows}"
+
+
+def test_stateful_running_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState accumulates per-user state across micro-batches:
+    after feeding the same 200 events twice, the running count per user is
+    exactly 2x the single-pass count."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out1 = runtime.run_available_now(
+        runtime.running_user_counts(runtime.events_stream(spark, src)),
+        ckpt,
+        str(tmp_path / "out1"),
+        output_mode="update",
+    )
+    base = {r["user_id"]: r["n_events"] for r in out1.collect()}
+
+    events.coalesce(1).write.mode("append").parquet(src)
+    out2 = runtime.run_available_now(
+        runtime.running_user_counts(runtime.events_stream(spark, src)),
+        ckpt,
+        str(tmp_path / "out2"),
+        output_mode="update",
+    )
+    # update-mode memory sink accumulates emissions; take the latest per user.
+    latest = {
+        r["user_id"]: r["n_events"]
+        for r in out2.orderBy("n_events").collect()
+    }
+    for uid, n in base.items():
+        assert latest[uid] == 2 * n, f"user {uid}: {latest[uid]} != 2*{n}"
