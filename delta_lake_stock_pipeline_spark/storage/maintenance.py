@@ -1,0 +1,141 @@
+"""Table maintenance: OPTIMIZE (compaction + sort-clustering), VACUUM,
+health checks -- the reference's physical layer (SURVEY.md §2.10 M1-M5)
+re-expressed on the versioned parquet layout.
+
+Z-ORDER note: real multi-dimensional Z-ordering needs Delta. For the
+single-column case the reference actually uses (``timestamp_ms``,
+``maintenance.py:149``), range-partition + in-partition sort gives the same
+file-skipping property: every output file covers a tight, disjoint
+timestamp range, so parquet row-group min/max stats prune time-range scans
+(SURVEY.md §7.3). That emulation IS the idiomatic Spark form:
+``repartitionByRange(col).sortWithinPartitions(col)``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import (
+    _dir_file_stats,
+    _version_dir,
+    current_version,
+    read_table,
+    remove_versions_before,
+    write_partitioned,
+)
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str] = ("ticker", "trade_date"),
+    zorder_by: str | None = None,
+    files_per_partition: int = 1,
+) -> int:
+    """Compact the current version into a new one (M1).
+
+    * Compaction: ``repartition(partition_cols)`` routes every row of a
+      partition to one task -> ``files_per_partition`` output files per
+      partition directory instead of one-per-input-task (the small-file
+      problem, ``DESIGN.md:16-24``).
+    * ``zorder_by``: additionally sort within tasks by the cluster column so
+      each output file covers a tight value range (file-skipping stats).
+
+    Returns the new version; the old version remains readable until VACUUM
+    (row-preservation is asserted by callers/tests, ``maintenance.py:204-207``).
+    """
+    from pyspark.sql import functions as F
+
+    df = read_table(spark, path)
+    parts = [F.col(c) for c in partition_cols]
+    compacted = df.repartition(*parts)
+    if zorder_by:
+        compacted = compacted.sortWithinPartitions(*partition_cols, zorder_by)
+    return write_partitioned(
+        compacted,
+        path,
+        partition_cols=partition_cols,
+        operation="OPTIMIZE" + (f" ZORDER BY ({zorder_by})" if zorder_by else ""),
+    )
+
+
+def vacuum(path: str, retain_last: int = 1) -> list[int]:
+    """Remove version directories older than the newest ``retain_last``
+    (M2; the reference's RETAIN-hours knob maps to retained versions in a
+    manifest-versioned layout -- local runs use 0h/aggressive retention,
+    ``maintenance.py:167-171``). Returns removed versions."""
+    cur = current_version(path)
+    if cur is None:
+        return []
+    return remove_versions_before(path, cur - retain_last + 1)
+
+
+@dataclass
+class HealthReport:
+    """Before/after table health (M3, ``StockTableHealthCheck``
+    ``maintenance.py:28-106``): file stats + row count + per-key counts."""
+
+    num_files: int
+    total_mb: float
+    avg_mb: float
+    row_count: int
+    key_counts: dict = field(default_factory=dict)
+
+
+def health_check(
+    spark: SparkSession, path: str, key_col: str = "ticker"
+) -> HealthReport:
+    v = current_version(path)
+    n_files, size = _dir_file_stats(_version_dir(path, v))
+    df = read_table(spark, path)
+    counts = {r[0]: r[1] for r in df.groupBy(key_col).count().collect()}
+    return HealthReport(
+        num_files=n_files,
+        total_mb=round(size / 1e6, 3),
+        avg_mb=round(size / 1e6 / n_files, 3) if n_files else 0.0,
+        row_count=sum(counts.values()),
+        key_counts=counts,
+    )
+
+
+def compare_health(before: HealthReport, after: HealthReport) -> dict:
+    """The reference's before/after maintenance diff + row-preservation
+    verdict (``maintenance.py:195-207``)."""
+    return {
+        "files_delta": after.num_files - before.num_files,
+        "avg_mb_delta": round(after.avg_mb - before.avg_mb, 3),
+        "rows_preserved": before.row_count == after.row_count,
+    }
+
+
+def file_timestamp_ranges(path: str, version: int | None = None) -> list[tuple]:
+    """Per-file (min, max) of ``timestamp_ms`` from parquet footer stats --
+    how a scan planner skips files; used to assert the Z-ORDER emulation
+    actually tightened per-file ranges."""
+    import pyarrow.parquet as pq
+
+    v = current_version(path) if version is None else version
+    root = _version_dir(path, v)
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            schema_names = md.schema.to_arrow_schema().names
+            if "timestamp_ms" not in schema_names:
+                continue
+            idx = schema_names.index("timestamp_ms")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                out.append((min(mins), max(maxs)))
+    return out

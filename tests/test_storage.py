@@ -1,0 +1,138 @@
+"""Storage lifecycle tests -- the reference's invariants as assertions
+(SURVEY.md §5.2): row preservation around maintenance, uniform per-ticker
+counts, partition layout, compaction, file-skipping stats, time travel,
+external DDL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_stock_pipeline_spark import storage
+from delta_lake_stock_pipeline_spark.storage import stocks
+
+
+@pytest.fixture(scope="module")
+def bars(spark):
+    """2 tickers x 3 days x 60 bars -- small but multi-partition."""
+    return storage.with_derived_columns(
+        storage.synthesize_bars(spark, n_tickers=2, n_days=3, bars_per_day=60)
+    )
+
+
+@pytest.fixture(scope="module")
+def table_path(spark, bars, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stocks_tbl") / "stocks")
+    # Fragment into many tasks first: recreates the reference's small-file
+    # pathology (DESIGN.md:16-24) so OPTIMIZE has something to fix.
+    storage.write_partitioned(bars.repartition(16), path)
+    return path
+
+
+def test_schema_parity(bars):
+    base_fields = {f.name: f.dataType.simpleString() for f in stocks.STOCK_SCHEMA.fields}
+    got = {f.name: f.dataType.simpleString() for f in bars.schema.fields}
+    for name, dt in base_fields.items():
+        assert got[name] == dt, f"{name}: {got[name]} != {dt}"
+    assert got["event_time_utc"] == "timestamp"
+    assert got["trade_date"] == "date"
+
+
+def test_golden_invariants(bars):
+    """Reference invariants: uniform rows/ticker (README.md:76-90); OHLC
+    envelope ordering; vwap within [low, high]; minute alignment."""
+    per_ticker = {r[0]: r[1] for r in bars.groupBy("ticker").count().collect()}
+    assert set(per_ticker.values()) == {180}
+    bad = bars.filter(
+        (F.col("low") > F.least("open", "close"))
+        | (F.col("high") < F.greatest("open", "close"))
+        | (F.col("vwap") < F.col("low"))
+        | (F.col("vwap") > F.col("high"))
+        | (F.col("timestamp_ms") % 60000 != 0)
+    ).count()
+    assert bad == 0
+
+
+def test_partition_layout(spark, table_path):
+    """partitionBy(ticker, trade_date) -> tickers x days directories
+    (DESIGN.md:41 expectation)."""
+    v0 = os.path.join(table_path, "v0000")
+    ticker_dirs = [d for d in os.listdir(v0) if d.startswith("ticker=")]
+    assert len(ticker_dirs) == 2
+    date_dirs = [
+        d for d in os.listdir(os.path.join(v0, ticker_dirs[0])) if d.startswith("trade_date=")
+    ]
+    assert len(date_dirs) == 3
+
+
+def test_partition_pruning(spark, table_path):
+    """A ticker+date predicate must prune to one partition directory in the
+    physical plan -- the layout's whole purpose (DESIGN.md:27-33)."""
+    df = storage.read_table(spark, table_path).filter(
+        (F.col("ticker") == "AAPL") & (F.col("trade_date") == "2024-01-08")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert df.count() == 60
+
+
+def test_optimize_compacts_and_preserves_rows(spark, table_path):
+    before = storage.health_check(spark, table_path)
+    storage.optimize(spark, table_path, zorder_by="timestamp_ms")
+    after = storage.health_check(spark, table_path)
+    diff = storage.compare_health(before, after)
+    assert diff["rows_preserved"], "row count changed across OPTIMIZE"
+    assert after.num_files < before.num_files
+    # 2 tickers x 3 days, one file per partition dir after compaction
+    assert after.num_files == 6
+
+
+def test_zorder_tightens_file_ranges(spark, table_path):
+    """After sort-clustering on timestamp_ms, per-file [min,max] ranges are
+    disjoint within each partition -- the stats a reader skips files by."""
+    from delta_lake_stock_pipeline_spark.storage.maintenance import file_timestamp_ranges
+
+    ranges = sorted(file_timestamp_ranges(table_path))
+    assert len(ranges) == 6
+    for lo, hi in ranges:
+        assert hi - lo <= 60 * 60_000, "file covers more than its hour of bars"
+
+
+def test_history_and_time_travel(spark, table_path):
+    hist = storage.history(spark, table_path).collect()
+    assert [r["operation"] for r in hist][:2] == [
+        "WRITE",
+        "OPTIMIZE ZORDER BY (timestamp_ms)",
+    ]
+    v0 = storage.read_table(spark, table_path, version=0)
+    v1 = storage.read_table(spark, table_path, version=1)
+    assert v0.count() == v1.count() == 360
+
+
+def test_vacuum_removes_old_versions(spark, table_path):
+    removed = storage.vacuum(table_path, retain_last=1)
+    assert removed == [0]
+    assert not os.path.exists(os.path.join(table_path, "v0000"))
+    assert storage.read_table(spark, table_path).count() == 360  # current intact
+
+
+def test_external_ddl_and_reference_queries(spark, table_path):
+    kind = storage.register_external(spark, "stocks_external", table_path)
+    assert kind in ("table", "view")
+    got = spark.sql(
+        """SELECT ticker, trade_date, COUNT(*) AS bar_count,
+                  MIN(low) AS day_low, MAX(high) AS day_high
+           FROM stocks_external GROUP BY ticker, trade_date
+           ORDER BY ticker, trade_date"""
+    ).collect()
+    assert len(got) == 6 and all(r["bar_count"] == 60 for r in got)
+    assert all(r["day_high"] >= r["day_low"] for r in got)
+
+    top = stocks.top_volume_days(storage.read_table(spark, table_path), k=5).collect()
+    assert len(top) == 5
+    vols = [r["total_volume"] for r in top]
+    assert vols == sorted(vols, reverse=True)
+    spark.sql("DROP TABLE IF EXISTS stocks_external")
