@@ -27,6 +27,7 @@ from . import (
     relational,
     similarity,
     text,
+    udfs,
     windows,
 )
 
@@ -39,6 +40,7 @@ _MODULES = [
     dedup,
     similarity,
     multimodal,
+    udfs,
     streaming,
 ]
 

@@ -1,0 +1,186 @@
+"""UDF surface (SURVEY.md §2.12 "UDF surface"): the four escape hatches out
+of pure Catalyst, each demonstrated on a query that ALSO has an exact SQL
+oracle -- so the harness proves the Python-side path computes exactly what
+the declarative form would.
+
+Scale ladder (slowest to fastest, per pyspark_guide/SNIPPETS patterns):
+
+* row-at-a-time ``F.udf``      -- pickle per row, no codegen. Demonstrated
+  once, deliberately on a tiny projection; real pipelines avoid it.
+* ``pandas_udf`` (scalar)      -- Arrow-batched, vectorized numpy ops.
+* ``applyInPandas``            -- grouped map; one shuffle on the group key,
+  whole group as a pandas frame (bounded by group size, not table size).
+* ``mapInPandas``              -- partition-wise streaming batches; no
+  shuffle at all.
+
+Every function still pushes filters/projections into Spark BEFORE the
+Python boundary -- the Arrow transfer should carry only needed columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+
+
+def py_udf_priority_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: extract the word after 'N-' in
+    o_orderpriority ('1-URGENT' -> 'URGENT'); count orders per code.
+
+    The UDF is a black box to Catalyst: no pushdown through it, every row
+    crosses the JVM->Python pickle boundary. Kept to one narrow string
+    column; the oracle proves equivalence to the built-in split form a real
+    pipeline would use instead."""
+
+    @F.udf("string")
+    def priority_code(p):
+        return p.split("-", 1)[1].strip() if p and "-" in p else None
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(priority_code("o_orderpriority").alias("code"))
+        .groupBy("code")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("code")
+    )
+
+
+def pandas_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: net revenue = extendedprice * (1-discount) *
+    (1+tax), vectorized over Arrow batches, then aggregated per returnflag.
+    ~10-100x the row-UDF throughput; still slower than the pure-Catalyst
+    expression the oracle uses -- the comparison IS the point."""
+
+    @F.pandas_udf("double")
+    def net_revenue(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            net_revenue("l_extendedprice", "l_discount", "l_tax").alias("net"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("net"), 2).alias("net_revenue"))
+        .orderBy("l_returnflag")
+    )
+
+
+_GROUP_STATS_SCHEMA = (
+    "event_type STRING, n BIGINT, mean_value DOUBLE, sd_value DOUBLE, max_abs_z DOUBLE"
+)
+
+
+def apply_in_pandas_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per event_type, z-score the values inside
+    pandas and report (n, mean, sample sd, max |z|). One shuffle on the
+    group key; each group materializes as a single pandas frame -- viable
+    while the largest group fits an executor (here: 5 event types; at scale
+    use a salted pre-agg instead)."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        mean, sd = v.mean(), v.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "mean_value": [round(mean, 4)],
+                "sd_value": [round(sd, 4)],
+                "max_abs_z": [round(((v - mean).abs() / sd).max(), 4)],
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(stats, schema=_GROUP_STATS_SCHEMA)
+        .orderBy("event_type")
+    )
+
+
+def map_in_pandas_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise mapInPandas: parse the events.props JSON with pandas
+    (streaming Arrow batches, zero shuffle), keep (event_type, k), then
+    aggregate k per event_type Spark-side. The JSON never leaves the
+    partition; only the 2 projected columns cross the Arrow boundary."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        for pdf in batches:
+            ks = pdf["props"].map(
+                lambda s: json.loads(s).get("k") if isinstance(s, str) else None
+            )
+            yield pd.DataFrame({"event_type": pdf["event_type"], "k": ks})
+
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select("event_type", "props").mapInPandas(
+        parse, schema="event_type STRING, k BIGINT"
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "u_py_udf": py_udf_priority_code,
+    "u_pandas_udf": pandas_udf_net_revenue,
+    "u_apply_in_pandas": apply_in_pandas_group_zscores,
+    "u_map_in_pandas": map_in_pandas_json_props,
+}
+
+ORACLES = {
+    "u_py_udf": """
+        SELECT trim(string_split(o_orderpriority, '-')[2]) AS code,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE contains(o_orderpriority, '-')
+        GROUP BY 1 ORDER BY 1
+    """,
+    "u_pandas_udf": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS net_revenue
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "u_apply_in_pandas": """
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   AVG(value) AS mean_raw,
+                   STDDEV_SAMP(value) AS sd_raw
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               s.n,
+               ROUND(s.mean_raw, 4) AS mean_value,
+               ROUND(s.sd_raw, 4) AS sd_value,
+               ROUND(MAX(ABS(e.value - s.mean_raw) / s.sd_raw), 4) AS max_abs_z
+        FROM events e JOIN s ON e.event_type = s.event_type
+        GROUP BY e.event_type, s.n, s.mean_raw, s.sd_raw
+        ORDER BY e.event_type
+    """,
+    "u_map_in_pandas": """
+        SELECT event_type,
+               COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+               ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+}
