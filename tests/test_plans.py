@@ -1,0 +1,79 @@
+"""Plan-quality gates (SURVEY.md §4): the scale-critical physical-plan
+properties asserted per operator class. These run explain-only (no jobs),
+so they are cheap and catch plan regressions (a lost pushdown, a broadcast
+that became a shuffle) before any benchmark would."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_stock_pipeline_spark import plans
+from delta_lake_stock_pipeline_spark.operators import all_queries
+from delta_lake_stock_pipeline_spark.sources.fixtures import load_table
+
+_Q = all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plans.assert_pushed_filters(_Q["f_filter_eq"](spark, sf_dir), "l_returnflag")
+    plans.assert_pushed_filters(_Q["f_filter_range"](spark, sf_dir), "o_orderdate")
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plans.assert_read_schema_only(df, {"l_orderkey", "l_quantity"})
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    plans.assert_broadcast_join(_Q["j_broadcast"](spark, sf_dir))
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plans.assert_top_k(_Q["o4_topk"](spark, sf_dir))
+    plans.assert_top_k(_Q["v_cosine_topk"](spark, sf_dir))
+
+
+def test_groupby_has_partial_aggregate(spark, sf_dir):
+    feats = plans.plan_features(_Q["a1_group_count"](spark, sf_dir))
+    assert feats.has_partial_aggregate, "groupBy.count should partial-agg map-side"
+
+
+def test_aggregate_query_shuffles_once(spark, sf_dir):
+    """flagship: scan -> partial agg -> ONE exchange -> final agg -> top-k.
+    More exchanges would mean a redundant repartition crept in."""
+    feats = plans.plan_features(_Q["a0_flagship_daily_rollup"](spark, sf_dir))
+    assert feats.n_exchanges <= 1, f"expected <=1 shuffle, got {feats.n_exchanges}"
+    assert feats.has_take_ordered
+
+
+def test_pure_catalyst_queries_have_no_python_boundary(spark, sf_dir):
+    """Relational/agg/join/window queries must stay JVM-side end to end --
+    a stray UDF in the hot path shows up as an Arrow/pickle eval node."""
+    for name in ("a0_flagship_daily_rollup", "j_sortmerge", "w_rank", "t_token_count"):
+        feats = plans.plan_features(_Q[name](spark, sf_dir))
+        assert feats.n_python_boundaries == 0, f"{name} crosses into Python"
+
+
+def test_udf_queries_use_arrow_not_pickle(spark, sf_dir):
+    """The pandas-UDF paths must compile to ArrowEvalPython / *InPandas
+    (vectorized), and only the deliberate row-UDF query may use
+    BatchEvalPython (pickled rows)."""
+    for name in ("u_pandas_udf", "u_apply_in_pandas", "u_map_in_pandas"):
+        text = plans.plan_string(_Q[name](spark, sf_dir))
+        assert "BatchEvalPython" not in text, f"{name} fell back to pickled rows"
+    assert "BatchEvalPython" in plans.plan_string(_Q["u_py_udf"](spark, sf_dir))
+
+
+def test_partition_filter_prunes_partitioned_table(spark, tmp_path):
+    """End-to-end pruning on a partitioned write: predicate on the partition
+    column must land in PartitionFilters, not post-scan Filter."""
+    from delta_lake_stock_pipeline_spark import storage
+
+    path = str(tmp_path / "t")
+    bars = storage.with_derived_columns(
+        storage.synthesize_bars(spark, n_tickers=2, n_days=2, bars_per_day=10)
+    )
+    storage.write_partitioned(bars, path)
+    df = storage.read_table(spark, path).filter(F.col("ticker") == "AAPL")
+    feats = plans.plan_features(df)
+    assert any("ticker" in pf for pf in feats.partition_filters), feats.partition_filters
