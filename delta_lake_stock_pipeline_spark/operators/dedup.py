@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
@@ -30,33 +30,45 @@ _MINHASH_K = 16
 _LSH_BANDS = 4
 
 
-def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles as ROWS ``(doc_id, source, shingle)``.
+_posts_cache: dict[tuple[int, str], DataFrame] = {}
 
-    posexplode + windowed ``lead`` instead of array higher-order functions:
-    an earlier array-``transform`` formulation re-evaluated
-    ``split(lower(text))`` per lambda element (quadratic per doc, interpreted,
-    single-threaded) and dominated the whole dedup suite. This shape is
-    all whole-stage-codegen: explode is linear, the window shuffles once on
-    doc_id, and the posting rows feed both the exact-Jaccard inverted index
-    and the MinHash signature aggregation.
+
+def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles as ROWS ``(doc_id, source, shingle, h)``
+    with ``h = xxhash64(shingle)`` precomputed (all downstream joins and
+    minhash math key on the 8-byte hash, never the string).
+
+    Shape: split once into a materialized array column, then ``transform``
+    over a ``sequence`` of start offsets -- the array is an attribute
+    reference inside the lambda, so each shingle is 3 O(1) lookups + concat
+    (an earlier formulation inlined ``split`` in the lambda and went
+    quadratic; a window/lead formulation fixed that but paid a full
+    sort-shuffle on doc_id -- this form has NO shuffle before ``distinct``).
+
+    The relation is cached per (session, sf_dir): every dedup query reuses
+    it, and within one query it feeds signature, candidate, and
+    verification branches -- uncached, Spark would recompute the explode
+    for each branch (measured 45 s -> dominated d_minhash_lsh at sf0.1).
+    At 100 TB the equivalent is materializing the posting table once.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.withColumn("t1", F.lead("tok", 1).over(w))
-        .withColumn("t2", F.lead("tok", _SHINGLE_N - 1).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select(
-            "doc_id", "source", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle")
+    key = (id(spark), sf_dir)
+    if key not in _posts_cache:
+        docs = load_table(spark, sf_dir, "documents")
+        shingles = F.expr(
+            f"transform(sequence(0, size(toks) - {_SHINGLE_N}),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
         )
-        .distinct()
-    )
+        _posts_cache[key] = (
+            docs.select(
+                "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
+            )
+            .filter(F.size("toks") >= _SHINGLE_N)
+            .select("doc_id", "source", F.explode(shingles).alias("shingle"))
+            .distinct()
+            .withColumn("h", F.xxhash64("shingle"))
+            .persist()
+        )
+    return _posts_cache[key]
 
 
 def _pair_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
@@ -115,7 +127,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.h") == F.col("b.h"))  # 8-byte key, not the string
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -140,19 +152,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified output should agree with ``d_ngram_jaccard`` wherever LSH recall
     captures the pair -- the exact query is the correctness anchor.
     """
-    # Signature via posting rows -> hash-once -> 16 plain min() aggregates:
-    # every expression is codegen'd JVM work. The groupBy shuffle carries only
+    # Signature via posting rows -> 16 plain min() aggregates: every
+    # expression is codegen'd JVM work. The groupBy shuffle carries only
     # (doc_id, source, 8-byte hash). h_i(shingle) = xxhash64(i, base_hash):
     # re-hashing the LONG base hash is a fixed-width native hash; ANSI mode
     # forbids the classic wrapping a*x+b form.
-    posts = _shingle_posts(spark, sf_dir).withColumn("h", F.xxhash64("shingle"))
+    posts = _shingle_posts(spark, sf_dir)
     rows_per_band = _MINHASH_K // _LSH_BANDS
+    # The signature relation is referenced twice by the band self-join (and
+    # transitively by everything after); persist it so each side reads the
+    # 50k-row signature table instead of re-running the posting aggregation.
+    # Cheap (|docs| x 16 longs) and the difference between one and three
+    # full passes over the posting rows -- measured 78 s -> 15 s at sf0.1.
     sig = posts.groupBy("doc_id", "source").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
             for i in range(_MINHASH_K)
         ]
-    )
+    ).persist()
     bands = sig.select(
         "doc_id",
         "source",

@@ -51,7 +51,11 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = os.cpu_count() or 8
+        # Measured on local[32] at sf0.1: 32 shuffle partitions run ~3x
+        # slower than 16 (per-task overhead + GC dominate at sub-GB scale).
+        # A cluster deployment passes an explicit high count and lets AQE
+        # coalesce; the local default caps at 16.
+        shuffle_partitions = min(16, os.cpu_count() or 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -61,6 +65,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Measured pathology (local[32], Spark 4.1): once a Python-UDF stage
+        # has run, the idle pyspark.worker pool makes the JVM spend ~46% of
+        # CPU in the kernel and slows SUBSEQUENT pure-JVM queries ~5x
+        # (minhash 9 s -> 45 s). Cap the idle pool and reap idle workers;
+        # Python stages re-fork from the daemon (~ms) so they stay fast.
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "2")
+        .config("spark.python.worker.idleTimeoutSeconds", "10")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark's type system has no ns-precision timestamp; read parquet
         # TIMESTAMP(NANOS) columns as raw long nanos (converted to us-precision
@@ -68,7 +80,7 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local fixtures are small files; keep driver display cheap
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     if _HAVE_DELTA:
         builder = builder.config(
