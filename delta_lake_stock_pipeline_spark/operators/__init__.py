@@ -22,6 +22,7 @@ from .. import streaming
 from . import (
     aggregates,
     dedup,
+    functions_ext,
     joins,
     multimodal,
     relational,
@@ -34,6 +35,7 @@ from . import (
 _MODULES = [
     relational,
     aggregates,
+    functions_ext,
     joins,
     windows,
     text,

@@ -181,6 +181,25 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id -- the general form rollup
+    and cube desugar to, via the SQL surface over a direct parquet relation
+    (``FROM parquet.`path``` -- no view registration needed)."""
+    path = f"{sf_dir}/lineitem.parquet"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM parquet.`{path}`
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT x) per group (absent from reference; SS2.4 note)."""
     return (
@@ -231,6 +250,7 @@ QUERIES = {
     "a6_daily_envelope": daily_envelope,
     "a7_volume_summary": volume_summary,
     "x_rollup": rollup_agg,
+    "x_grouping_sets": grouping_sets_agg,
     "x_cube": cube_agg,
     "x_count_distinct": count_distinct_agg,
     "x_approx_count_distinct": approx_count_distinct_agg,
@@ -271,6 +291,16 @@ ORACLES = {
                ROUND(AVG(l_discount), 4) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "x_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag)::INT AS g_flag,
+               GROUPING(l_linestatus)::INT AS g_status,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag, l_linestatus
     """,
     "x_rollup": """

@@ -1,0 +1,99 @@
+"""Scalar-function surface extensions (SURVEY.md §2.8).
+
+The reference exercises only cast/timezone/to_date/round (F1-F5) and
+imports-but-never-calls ``date_format`` (F6, ``stock_harvester.py:24``);
+the driver fixtures add arrays (embeddings) worth first-class coverage.
+Everything here is built-in Catalyst -- higher-order array functions run
+inside codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 + date arithmetic: date_format, quarter/extract, date_add,
+    datediff -- aggregated per month so the output stays compact."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM").alias("month_str"),
+            F.quarter("ts").alias("qtr"),
+            F.to_date("ts").alias("d"),
+        )
+        .groupBy("month_str", "qtr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.date_add(F.col("d"), 30)).alias("min_plus_30"),
+            F.max(F.datediff(F.col("d"), F.lit("2024-01-01"))).alias("max_day_offset"),
+        )
+        .orderBy("month_str")
+    )
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: size,
+    ordered fold (``aggregate``), element-wise ``transform`` fold, min/max.
+    Floats are cast to double inside the fold in BOTH engines so the
+    left-to-right summation order (and hence the rounded result) matches
+    exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(
+                F.expr(
+                    "aggregate(embedding, CAST(0 AS DOUBLE),"
+                    " (acc, x) -> acc + CAST(x AS DOUBLE))"
+                ),
+                4,
+            ).alias("sum_v"),
+            F.round(
+                F.expr(
+                    "aggregate(embedding, CAST(0 AS DOUBLE),"
+                    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                ),
+                4,
+            ).alias("sum_sq"),
+            F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
+            F.round(F.array_min("embedding").cast("double"), 6).alias("min_v"),
+        )
+        .orderBy("vec_id")
+        .limit(1000)
+    )
+
+
+QUERIES = {
+    "fn_date_funcs": date_funcs,
+    "fn_array_funcs": array_funcs,
+}
+
+ORACLES = {
+    "fn_date_funcs": """
+        WITH e AS (
+            SELECT strftime(ts, '%Y-%m') AS month_str,
+                   EXTRACT(quarter FROM ts)::INT AS qtr,
+                   CAST(ts AS DATE) AS d
+            FROM events
+        )
+        SELECT month_str, qtr,
+               COUNT(*) AS n_events,
+               MIN(d + 30) AS min_plus_30,
+               MAX(d - DATE '2024-01-01')::INT AS max_day_offset
+        FROM e GROUP BY month_str, qtr ORDER BY month_str
+    """,
+    "fn_array_funcs": """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               ROUND(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum'), 4) AS sum_v,
+               ROUND(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'), 4) AS sum_sq,
+               ROUND(list_max(embedding)::DOUBLE, 6) AS max_v,
+               ROUND(list_min(embedding)::DOUBLE, 6) AS min_v
+        FROM embeddings ORDER BY vec_id LIMIT 1000
+    """,
+}
