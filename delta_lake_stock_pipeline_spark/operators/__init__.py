@@ -26,8 +26,10 @@ from . import (
     joins,
     multimodal,
     relational,
+    reshape,
     similarity,
     text,
+    tpch,
     udfs,
     windows,
 )
@@ -37,6 +39,8 @@ _MODULES = [
     aggregates,
     functions_ext,
     joins,
+    tpch,
+    reshape,
     windows,
     text,
     dedup,

@@ -1,0 +1,141 @@
+"""Reshaping + sampling operators: pivot, unpivot/melt, and the sampling
+surface a training-data pipeline needs (systematic, Bernoulli, stratified).
+
+None of these exist in the reference (single-table aggregate pipeline,
+SURVEY.md SS2.12); they are first-class here because data-curation jobs
+lean on them constantly (class rebalancing, eval holdouts, wide->long
+feature reshaping).
+
+Scale notes: pivot compiles to one hash aggregate with per-value filtered
+aggregates (no shuffle beyond the groupBy); unpivot is a zero-shuffle
+projection (Expand node); samples are narrow scans -- the systematic
+variant is pushdown-friendly and reproducible across engines, the
+Bernoulli/stratified variants use Spark's per-partition RNG (seeded,
+engine-specific => rows-only check, anchored by their deterministic twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: quantity/count per (returnflag x linestatus). Pivot values
+    are enumerated explicitly -- at scale an implicit pivot triggers an extra
+    distinct-collect job over the fact table to discover them."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide part attributes into (metric, value) rows, then
+    summarize per metric. Compiles to an Expand projection -- no shuffle
+    until the final small aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    long = part.withColumn("p_size_d", F.col("p_size").cast("double")).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size_d"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("metric")
+    )
+
+
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample: every 7th order key. Reproducible on
+    any engine (pure predicate => full pushdown), the right default for
+    eval-holdout splits that must be stable across reruns and engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_orderkey") % 7 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli row sample (~10%): per-partition RNG, no shuffle.
+    Engine-specific RNG stream => rows-only check; the systematic twin above
+    anchors correctness of the sampling *surface*."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.sample(fraction=0.1, seed=42)
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("l_linestatus")
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with per-class fractions (``sampleBy``) -- the
+    class-rebalancing primitive: downsample the majority 'N' flag, keep all
+    of 'A'/'R'. Rows-only (seeded engine RNG)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.sampleBy("l_returnflag", {"N": 0.2, "A": 1.0, "R": 1.0}, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES = {
+    "r_pivot": pivot_wide,
+    "r_unpivot": unpivot_long,
+    "r_sample_systematic": sample_systematic,
+    "r_sample_bernoulli": sample_bernoulli,
+    "r_sample_stratified": sample_stratified,
+}
+
+ORACLES = {
+    "r_pivot": """
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O_qty,
+               COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F_qty,
+               COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "r_unpivot": """
+        WITH long AS (
+            SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size_d' AS metric, p_size::DOUBLE AS val FROM part
+        )
+        SELECT metric, COUNT(*) AS n,
+               ROUND(AVG(val), 4) AS avg_val,
+               ROUND(MIN(val), 4) AS min_val,
+               ROUND(MAX(val), 4) AS max_val
+        FROM long GROUP BY metric ORDER BY metric
+    """,
+    "r_sample_systematic": """
+        SELECT l_returnflag, COUNT(*) AS n_sampled,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem WHERE l_orderkey % 7 = 0
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+}
