@@ -28,6 +28,7 @@ from . import (
     relational,
     reshape,
     similarity,
+    subqueries,
     text,
     tpch,
     udfs,
@@ -40,6 +41,7 @@ _MODULES = [
     functions_ext,
     joins,
     tpch,
+    subqueries,
     reshape,
     windows,
     text,
