@@ -178,11 +178,79 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 16
+_IVF_NPROBE = 4
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the same sequential double arithmetic as
+    functions/vector.py, so cluster assignment of the query vector is
+    bit-identical to the JVM-side expression."""
+    d = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = sum(float(x) * float(x) for x in a) ** 0.5
+    nb = sum(float(y) * float(y) for y in b) ** 0.5
+    return d / (na * nb)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (inverted-file) coarse quantization:
+    assign every vector to its nearest of K centroids, probe the query's
+    nprobe closest clusters, exact-cosine rerank within them.
+
+    Training-free deterministic quantizer: the centroids are the first K
+    vectors by vec_id (a bounded K-row driver fetch -- a query parameter,
+    like ``_query_vector``). Cluster assignment is a PER-ROW higher-order
+    expression (``transform`` over the centroid array + ``array_position``
+    of the max) -- no shuffle, no UDF, stays in whole-stage codegen.
+
+    At 100 TB: centroids come from a k-means sample at ingest, the cluster
+    id is materialized as a write-time column and the table is partitioned
+    by it, so a query prunes to nprobe partitions instead of scanning the
+    corpus; recall/latency trades via nprobe exactly as in FAISS-style IVF.
+    Rows-only check (approximate; ``v_cosine_topk`` is the exact anchor).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _IVF_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [list(r["embedding"]) for r in cent_rows]
+    qvec = centroids[0]  # vec_id = 0 is the query vector, as in the LSH twin
+
+    # Query-side probe set: nprobe nearest centroids, computed with the same
+    # arithmetic driver-side (smallest index wins ties, same as
+    # array_position on the first max).
+    qsims = [_py_cosine(qvec, c) for c in centroids]
+    probe = sorted(range(_IVF_K), key=lambda i: (-qsims[i], i))[:_IVF_NPROBE]
+    probe_clusters = [i + 1 for i in probe]  # array_position is 1-based
+
+    cents = F.array(*[_lit_vec(c) for c in centroids])
+    sims = F.transform(cents, lambda c: cosine(F.col("embedding"), c))
+    cluster = F.array_position(sims, F.array_max(sims))
+
+    q = _lit_vec(qvec)
+    return (
+        emb.withColumn("cluster", cluster)
+        .filter(F.col("cluster").isin(probe_clusters) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "v_cosine_topk": cosine_topk,
     "v_pairwise_neardup": pairwise_neardup,
     "v_knn_per_query": knn_per_query,
     "v_ann_lsh": ann_lsh_topk,
+    "v_ann_ivf": ann_ivf_topk,
 }
 
 # DuckDB cosine with explicit double math mirroring functions/vector.py:
@@ -230,5 +298,5 @@ ORACLES = {
         ) WHERE rank <= 3
         ORDER BY query_id, rank
     """,
-    # v_ann_lsh: intentionally no oracle (approximate).
+    # v_ann_lsh / v_ann_ivf: intentionally no oracle (approximate).
 }
