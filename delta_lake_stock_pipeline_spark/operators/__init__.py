@@ -27,6 +27,7 @@ from . import (
     multimodal,
     relational,
     reshape,
+    scale,
     similarity,
     subqueries,
     text,
@@ -42,6 +43,7 @@ _MODULES = [
     joins,
     tpch,
     subqueries,
+    scale,
     reshape,
     windows,
     text,

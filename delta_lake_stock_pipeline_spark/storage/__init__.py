@@ -21,6 +21,7 @@ At 100 TB this layout is object-store friendly: no renames of data files,
 only directory-scoped additions plus a small append-only manifest.
 """
 
+from .bucketed import bucketed_join, write_bucketed
 from .maintenance import HealthReport, compare_health, health_check, optimize, vacuum
 from .stocks import STOCK_SCHEMA, synthesize_bars, with_derived_columns
 from .table import (
@@ -34,6 +35,8 @@ from .table import (
 __all__ = [
     "STOCK_SCHEMA",
     "HealthReport",
+    "bucketed_join",
+    "write_bucketed",
     "compare_health",
     "current_version",
     "health_check",

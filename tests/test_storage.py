@@ -136,3 +136,32 @@ def test_external_ddl_and_reference_queries(spark, table_path):
     vols = [r["total_volume"] for r in top]
     assert vols == sorted(vols, reverse=True)
     spark.sql("DROP TABLE IF EXISTS stocks_external")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-located join: both sides bucketed on the join key -> the physical
+    plan contains ZERO Exchange operators, and results match the plain join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    storage.write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=4)
+    storage.write_bucketed(lineitem, "lineitem_b", "l_orderkey", n_buckets=4)
+    # The fixtures are tiny enough to broadcast, which would bypass the
+    # bucketed scan; disable auto-broadcast so the plan is the one a
+    # 100 TB fact-fact join gets (sort-merge over co-located buckets).
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = storage.bucketed_join(
+            spark, "orders_b", "lineitem_b", ("o_orderkey", "l_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        expected = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == expected > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
