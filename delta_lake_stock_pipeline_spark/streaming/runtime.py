@@ -116,6 +116,49 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def purchase_attribution(stream: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user clicks
+    within the preceding day (streaming twin of
+    ``windows.click_purchase_attribution``).
+
+    Both sides are watermarked and the join condition gives an event-time
+    interval, so state is BOUNDED: a buffered click is evicted once the
+    purchase-side watermark passes ``click_ts + 1 day`` -- without the
+    interval bound, stream-stream join state grows forever."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purch_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purch_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def run_available_now(
     result: DataFrame,
     checkpoint_dir: str,

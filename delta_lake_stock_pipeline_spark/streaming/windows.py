@@ -85,10 +85,51 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (batch form of the stream-stream join): every purchase
+    attributed to each click by the same user in the preceding day.
+
+    In streaming (runtime.purchase_attribution) both sides carry watermarks
+    and the interval condition bounds the join state: a click older than
+    (watermark - 1 day) can never match again and is evicted. Batch form
+    proves the join semantics against the oracle; the equivalence test
+    proves the streaming execution."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("purch_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purch_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("click_user").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 QUERIES = {
     "s_tumbling_daily": tumbling_daily,
     "s_sliding_2d_1d": sliding_2d_1d,
     "s_session_window": session_windows,
+    "s_interval_join": click_purchase_attribution,
 }
 
 ORACLES = {
@@ -136,5 +177,23 @@ ORACLES = {
         FROM sessions
         GROUP BY user_id, session_id
         ORDER BY user_id, session_start
+    """,
+    # Spark floors the fixture's ns timestamps to us (fixtures.load_table);
+    # CASTs below apply the same truncation on the DuckDB side so the
+    # interval boundary comparisons agree.
+    "s_interval_join": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               ROUND(p.value, 2) AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ORDER BY click_id, purchase_id
     """,
 }

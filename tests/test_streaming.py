@@ -125,3 +125,28 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
     }
     for uid, n in base.items():
         assert latest[uid] == 2 * n, f"user {uid}: {latest[uid]} != 2*{n}"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Inner stream-stream interval join over the full fixture emits exactly
+    the batch interval-join rows. Single-file source: one micro-batch, so no
+    event is late relative to the watermark (the multi-file case correctly
+    evicts state for out-of-order batches -- that is watermark semantics,
+    not join semantics, and is covered by test_watermark_drops_late_data)."""
+    from delta_lake_stock_pipeline_spark.streaming.windows import (
+        click_purchase_attribution,
+    )
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_DIR, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = runtime.events_stream(spark, src)
+    got = runtime.run_available_now(
+        runtime.purchase_attribution(stream),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    want = click_purchase_attribution(spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
