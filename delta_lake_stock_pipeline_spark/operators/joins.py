@@ -61,6 +61,25 @@ def sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SHUFFLE_HASH strategy hint: both sides shuffle on the key
+    and the hinted side builds a per-partition hash map -- no sort on
+    either side. The right strategy when both sides are too large to
+    broadcast but the build side fits per-partition executor memory; at
+    100 TB that is a deliberate choice the optimizer cannot always infer,
+    hence the hint surface (plan gate: ShuffledHashJoin in test_plans)."""
+    part = load_table(spark, sf_dir, "part").hint("SHUFFLE_HASH")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", revenue)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
 def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi: customers that placed at least one urgent order (EXISTS)."""
     customer = load_table(spark, sf_dir, "customer")
@@ -183,6 +202,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "j_broadcast": broadcast_join,
+    "j_hint_shuffle_hash": shuffle_hash_join,
     "j_sortmerge": sortmerge_join,
     "j_semi": semi_join,
     "j_anti": anti_join,
@@ -200,6 +220,13 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name
+    """,
+    "j_hint_shuffle_hash": """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
     """,
     "j_sortmerge": """
         SELECT o_orderpriority,

@@ -184,6 +184,23 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4): ``parse_json`` into the binary semi-structured
+    type, ``variant_get`` for typed path extraction -- the engine-native
+    upgrade over string probing (``fn_json_extract``'s get_json_object
+    re-parses the string per path; a VARIANT column parses once and at
+    scale can be shredded columnar at write time)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.parse_json("props").alias("v"))
+        .select(
+            "event_id",
+            F.try_variant_get(F.col("v"), "$.k", "bigint").alias("prop_k"),
+        )
+        .filter(F.col("prop_k").isNotNull())
+    )
+
+
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar-function battery over part names (SS2.8 extension:
     lower/upper/substring/length/concat/regexp)."""
@@ -213,6 +230,7 @@ QUERIES = {
     "u_set_intersect": set_intersect,
     "u_set_except": set_except,
     "fn_json_extract": json_extract,
+    "fn_variant_json": variant_json,
     "fn_string_funcs": string_funcs,
 }
 
@@ -285,6 +303,12 @@ ORACLES = {
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
     "fn_json_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+    "fn_variant_json": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         FROM events

@@ -138,11 +138,41 @@ def map_in_pandas_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@F.udtf(returnType="word string, pos int")
+class _WordSplit:
+    """Python UDTF (Spark 4): one input row -> many output rows, applied
+    via LATERAL join. The row-generating escape hatch the four map-shaped
+    UDFs can't express (explode handles simple splits; a UDTF carries
+    arbitrary Python per-row fan-out logic)."""
+
+    def eval(self, text: str):  # noqa: D102 - contract fixed by Spark
+        if text:
+            for i, w in enumerate(text.split(" ")):
+                yield w, i + 1
+
+
+def py_udtf_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF word fan-out over the first 50 documents: (doc_id, word, pos)
+    one row per token. Filter is pushed BEFORE the lateral join so only the
+    selected rows cross the Python boundary."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("word_split", _WordSplit)
+    return spark.sql(
+        """
+        SELECT doc_id, s.word AS word, s.pos AS pos
+        FROM udtf_docs, LATERAL word_split(text) s
+        ORDER BY doc_id, pos
+        """
+    )
+
+
 QUERIES = {
     "u_py_udf": py_udf_priority_code,
     "u_pandas_udf": pandas_udf_net_revenue,
     "u_apply_in_pandas": apply_in_pandas_group_zscores,
     "u_map_in_pandas": map_in_pandas_json_props,
+    "u_py_udtf": py_udtf_word_split,
 }
 
 ORACLES = {
@@ -182,5 +212,15 @@ ORACLES = {
                ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
                MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "u_py_udtf": """
+        SELECT doc_id, word, CAST(pos AS INTEGER) AS pos
+        FROM (
+            SELECT doc_id,
+                   UNNEST(string_split(text, ' ')) AS word,
+                   UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents WHERE doc_id < 50
+        )
+        ORDER BY doc_id, pos
     """,
 }
