@@ -153,50 +153,74 @@ def theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Generic as-of join core: for every left row, the latest right row
+    with the same ``key`` and ``right.ts <= left.ts`` (ties count as
+    at-or-before; among equal-ts right rows the largest ``right_id`` wins).
+
+    Union both sides, window over (key) ordered by (ts, side, id) with
+    last-observation-carried-forward of the right struct, keep left rows.
+    One shuffle on the key, no row explosion -- the scale-correct shape vs.
+    a per-key range join. Output: left_id, key, ts, right_id, ``ts_matched``.
+    Property-tested against a brute-force reference in
+    tests/test_properties.py.
+    """
+    tag = lambda df, idc, side: df.select(  # noqa: E731
+        F.col(idc).alias("__id"), F.col(key).alias(key), F.col(ts).alias(ts)
+    ).withColumn("__side", F.lit(side))
+    tagged = tag(left, left_id, 0).unionByName(tag(right, right_id, 1))
+    # At equal ts the right row sorts first (__side desc) so ties count as
+    # "at-or-before", matching DuckDB ASOF JOIN's >= semantics.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts), F.desc("__side"), F.col("__id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    locf = tagged.withColumn(
+        "__m",
+        F.last(
+            F.when(F.col("__side") == 1, F.struct(F.col(ts), F.col("__id"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return locf.filter((F.col("__side") == 0) & F.col("__m").isNotNull()).select(
+        F.col("__id").alias(left_id),
+        key,
+        ts,
+        F.col(f"__m.__id").alias(right_id),
+        F.col(f"__m.{ts}").alias(f"{ts}_matched"),
+    )
+
+
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each 'click' event matched to the latest 'purchase' by the
     same user at-or-before the click time.
 
-    Spark has no batch as-of primitive (SURVEY.md SS2.12). Implementation:
-    union both streams, window over (user_id) ordered by (ts, side, event_id)
-    with last-observation-carried-forward of the purchase struct, then keep
-    clicks. One shuffle on user_id, no row explosion -- this is the
-    scale-correct shape vs. a per-key range join.
-
-    Oracle: DuckDB's native ``ASOF JOIN``.
+    Spark has no batch as-of primitive (SURVEY.md SS2.12); see
+    ``asof_union_window`` for the algorithm. Oracle: DuckDB's native
+    ``ASOF JOIN``.
     """
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        F.col("event_id").alias("click_id"), "user_id", "ts"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
-    tagged = clicks.withColumn("is_purchase", F.lit(0)).unionByName(
-        purchases.withColumn("is_purchase", F.lit(1))
-    )
-    # At equal ts the purchase sorts first (is_purchase desc) so ties count as
-    # "at-or-before", matching ASOF JOIN's >= semantics.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.desc("is_purchase"), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    locf = tagged.withColumn(
-        "last_purchase",
-        F.last(
-            F.when(F.col("is_purchase") == 1, F.struct("ts", "event_id")),
-            ignorenulls=True,
-        ).over(w),
-    )
-    return (
-        locf.filter((F.col("is_purchase") == 0) & F.col("last_purchase").isNotNull())
-        .select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            F.unix_millis("ts").alias("click_ms"),
-            F.unix_millis("last_purchase.ts").alias("purchase_ms"),
-        )
+    return asof_union_window(
+        clicks, purchases, "user_id", "ts", "click_id", "purchase_id"
+    ).select(
+        "click_id",
+        "user_id",
+        F.unix_millis("ts").alias("click_ms"),
+        F.unix_millis("ts_matched").alias("purchase_ms"),
     )
 
 

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the custom algorithmic operators --
+the ones whose correctness is NOT a single Catalyst primitive:
+
+* ``asof_union_window`` -- the union+LOCF-window as-of join, vs a brute-force
+  per-row reference;
+* key salting -- semantics preservation vs the plain join under arbitrary
+  (including maximally skewed) key distributions.
+
+Fixture-based oracle parity pins these on one distribution; hypothesis walks
+the edge cases (empty sides, all-ties, single hot key, duplicate
+timestamps).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from delta_lake_stock_pipeline_spark.operators.joins import asof_union_window
+
+# Small domains force key/timestamp collisions -- the interesting cases.
+_row = st.tuples(
+    st.integers(min_value=0, max_value=3),  # key
+    st.integers(min_value=0, max_value=9),  # ts
+)
+_rows = st.lists(_row, min_size=0, max_size=25)
+
+_SETTINGS = dict(
+    max_examples=12,  # each example runs Spark jobs; keep the walk bounded
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _brute_force_asof(left_rows, right_rows):
+    """Reference: for each left row, the right row with max ts <= left.ts on
+    the same key; among equal-ts right rows the largest id wins."""
+    out = []
+    for lid, (lk, lts) in enumerate(left_rows):
+        best = None  # (ts, rid)
+        for rid, (rk, rts) in enumerate(right_rows):
+            if rk == lk and rts <= lts and (best is None or (rts, rid) > best):
+                best = (rts, rid)
+        if best is not None:
+            out.append((lid, lk, lts, best[1], best[0]))
+    return sorted(out)
+
+
+@given(left=_rows, right=_rows)
+@settings(**_SETTINGS)
+def test_asof_union_window_matches_brute_force(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], "rid long, k long, ts long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in asof_union_window(ldf, rdf, "k", "ts", "lid", "rid")
+        .select("lid", "k", "ts", "rid", "ts_matched")
+        .collect()
+    )
+    assert got == _brute_force_asof(left, right)
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows):
+    """Salting the fact side S ways against an S-replicated dim must be
+    row-for-row identical to the plain join, for any key distribution."""
+    S = 4
+    fact = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rows)], "id long, k long, v long"
+    )
+    dim = fact.groupBy("k").agg(F.sum("v").alias("total"))
+    plain = sorted(
+        tuple(r) for r in fact.join(dim, "k").select("id", "k", "total").collect()
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    salted_fact = fact.withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.lit(S)).cast("int")
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_fact.join(salted_dim, ["k", "salt"])
+        .select("id", "k", "total")
+        .collect()
+    )
+    assert salted == plain
