@@ -171,6 +171,24 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles (``percentile_approx``, KLL-style): the bounded-
+    memory scale path for quantiles -- an exact percentile over 100 TB
+    needs a full sort or all values in memory per group; the sketch is one
+    pass, fixed size, mergeable across partitions. accuracy=10000 keeps
+    rank error ~1e-4. Rows-only check (sketch is engine-specific);
+    ``x_percentile`` is the exact anchor on the same column."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_approx(l_quantity, 0.5, 10000)").alias("p50_qty"),
+            F.expr("percentile_approx(l_quantity, 0.9, 10000)").alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity time rollup: one pass over events
     produces hour-level, day-level, and grand-total aggregates via ROLLUP
@@ -279,6 +297,7 @@ QUERIES = {
     "x_count_distinct": count_distinct_agg,
     "x_approx_count_distinct": approx_count_distinct_agg,
     "x_percentile": percentile_agg,
+    "x_percentile_approx": percentile_approx_agg,
 }
 
 ORACLES = {
@@ -359,5 +378,6 @@ ORACLES = {
                quantile_cont(l_quantity, 0.9) AS p90_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    # x_approx_count_distinct: intentionally no oracle (sketch-based).
+    # x_approx_count_distinct / x_percentile_approx: intentionally no
+    # oracle (sketch-based); exact twins are the anchors.
 }

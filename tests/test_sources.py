@@ -43,3 +43,10 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     got = _roundtrip(events, str(tmp_path / "json"), "json")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, events.collect()))
     assert got.schema == events.schema
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    events = _events(spark, sf_dir)
+    got = _roundtrip(events, str(tmp_path / "orc"), "orc")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, events.collect()))
+    assert got.schema == events.schema
