@@ -44,6 +44,12 @@ def main() -> int:
     spark.range(100).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # Also warm the parquet-scan + shuffle-exchange path (codegen compile,
+    # AQE first use) on the smallest table so it doesn't land on the
+    # alphabetically-first query.
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     t_total = time.time()
