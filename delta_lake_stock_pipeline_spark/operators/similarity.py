@@ -228,17 +228,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = F.array(*[_lit_vec(c) for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col("embedding"), c))
-    cluster = F.array_position(sims, F.array_max(sims))
 
-    q = _lit_vec(qvec)
+    # Materialize the centroid-similarity array ONCE per row; cluster
+    # assignment and the query similarity (query == centroid 0, so
+    # cos(v, q) == sims[1]) both read it instead of re-running the
+    # 16-cosine transform per reference.
     return (
-        emb.withColumn("cluster", cluster)
+        emb.withColumn("sims", sims)
+        .withColumn("cluster", F.array_position(F.col("sims"), F.array_max("sims")))
         .filter(F.col("cluster").isin(probe_clusters) & (F.col("vec_id") != 0))
         .select(
             "vec_id",
             "label",
             F.col("cluster").cast("int").alias("cluster"),
-            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+            F.round(F.element_at("sims", 1), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
