@@ -200,6 +200,57 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of per-customer order counts -- LEFT OUTER join
+    with a join-side filter (so zero-order customers keep count 0), then a
+    second aggregation over the first's result (a histogram of counts).
+    Two shuffles by construction; the second is over the tiny count domain."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_customer = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the maximum quarterly revenue -- an aggregate
+    CTE reused twice (per-supplier revenue + its global max) with a scalar
+    subquery equality. The max broadcasts as a 1-row cross join; revenue
+    sums use exact decimal terms so the equality and the rounded output are
+    engine-independent."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue().cast("decimal(18,6)")).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14: promo revenue share for one month -- conditional / total ratio
     in a single aggregate; part dim broadcasts."""
@@ -372,7 +423,9 @@ QUERIES = {
     "h_q8_market_share": q8_market_share,
     "h_q9_product_profit": q9_product_profit,
     "h_q12_priority_shipping": q12_priority_shipping,
+    "h_q13_customer_distribution": q13_customer_distribution,
     "h_q14_promo_effect": q14_promo_effect,
+    "h_q15_top_supplier": q15_top_supplier,
     "h_q16_supplier_variety": q16_supplier_variety,
     "h_q17_small_quantity": q17_small_quantity,
     "h_q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -461,6 +514,35 @@ ORACLES = {
           AND l_shipdate < TIMESTAMP '1997-01-01'
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    "h_q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "h_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
     """,
     "h_q14_promo_effect": """
         SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
