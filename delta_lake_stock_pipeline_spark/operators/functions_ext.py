@@ -68,9 +68,36 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (the one complex type the other queries don't touch):
+    construct with ``create_map``, probe with ``element_at``, inspect with
+    ``map_keys``/``size``. The oracle checks the extracted VALUES (map
+    construction round-trips the inputs); map layout itself is
+    engine-specific."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("uid"),
+        F.col("user_id").cast("string"),
+    )
+    return (
+        events.select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.element_at("m", "type").alias("type_val"),
+            F.element_at("m", "uid").alias("uid_val"),
+            F.size("m").alias("n_keys"),
+            F.array_contains(F.map_keys("m"), "uid").alias("has_uid"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "fn_date_funcs": date_funcs,
     "fn_array_funcs": array_funcs,
+    "fn_map_funcs": map_funcs,
 }
 
 ORACLES = {
@@ -95,5 +122,14 @@ ORACLES = {
                ROUND(list_max(embedding)::DOUBLE, 6) AS max_v,
                ROUND(list_min(embedding)::DOUBLE, 6) AS min_v
         FROM embeddings ORDER BY vec_id LIMIT 1000
+    """,
+    "fn_map_funcs": """
+        SELECT event_id,
+               event_type AS type_val,
+               CAST(user_id AS VARCHAR) AS uid_val,
+               CAST(2 AS INTEGER) AS n_keys,
+               TRUE AS has_uid
+        FROM events
+        ORDER BY event_id
     """,
 }
