@@ -77,3 +77,39 @@ def test_partition_filter_prunes_partitioned_table(spark, tmp_path):
     df = storage.read_table(spark, path).filter(F.col("ticker") == "AAPL")
     feats = plans.plan_features(df)
     assert any("ticker" in pf for pf in feats.partition_filters), feats.partition_filters
+
+
+def test_hint_produces_shuffled_hash_join(spark, sf_dir):
+    """The SHUFFLE_HASH hint must actually change the physical strategy."""
+    plan = (
+        _Q["j_hint_shuffle_hash"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """The EXISTS / NOT EXISTS pair must compile to one LeftSemi and one
+    LeftAnti join -- not a correlated per-row subquery or a cross product."""
+    plan = (
+        _Q["h_q21_sole_late_supplier"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
+    """The brand disjunction must reach the part scan as a pushed filter
+    (Or(...Brand#...)), not be evaluated only post-join."""
+    plan = (
+        _Q["h_q19_disjunctive_revenue"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "Brand#" in plan.split("PushedFilters")[1][:400]
