@@ -112,4 +112,10 @@ def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "PushedFilters: [" in plan and "Brand#" in plan.split("PushedFilters")[1][:400]
+    # One fragment per scan; which scan prints first is not deterministic
+    # across sessions, so accept the Brand disjunction in ANY scan's pushed
+    # list (the metadata string is truncated at ~100 chars, but the brand
+    # predicate leads the part scan's list).
+    fragments = plan.split("PushedFilters: [")[1:]
+    assert fragments, "no scan reported pushed filters"
+    assert any("Brand#" in frag[:200] for frag in fragments), fragments
