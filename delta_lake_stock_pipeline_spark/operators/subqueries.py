@@ -348,6 +348,101 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped value per part restricted to one nation's
+    suppliers, kept only when the group's value exceeds a fraction of the
+    GLOBAL value -- i.e. HAVING against a global scalar subquery. (No
+    partsupp table in the fixtures; "value" is discounted revenue from
+    lineitem.)
+
+    Spark-first: the global total is an aggregate of the already-grouped
+    per-part table (tiny), broadcast as a 1-row cross join -- the fact is
+    scanned and shuffled exactly once, and the HAVING is a post-aggregate
+    filter, never a per-row subquery. Cf. reference aggregate surface
+    ``external_table.py:105-122`` (grouped SUM), extended with the
+    scalar-subquery HAVING the reference lacks."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    national = lineitem.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+                "left_semi",
+            ).select("s_suppkey")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    per_part = national.groupBy("l_partkey").agg(
+        F.sum(_revenue().cast("decimal(18,6)")).alias("value_exact")
+    )
+    total = per_part.agg(
+        F.sum("value_exact").alias("total_value")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_exact") > 0.001 * F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value_exact", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers in one nation who, on some widget-like part,
+    shipped more in 1996 than 40% of their all-time volume of that part --
+    the classic nested-IN + correlated scalar threshold, decorrelated to a
+    pair-level aggregate compared against a conditional aggregate of the
+    same pass (one scan computes both sums), then a semi-join up to
+    supplier. (Fixtures lack partsupp, so "stock on hand" is the pair's
+    all-time shipped quantity.)"""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    widget_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(widget_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    pair = lineitem.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias(
+            "qty_1996"
+        ),
+        F.sum("l_quantity").alias("qty_total"),
+    )
+    qualifying = (
+        pair.filter(F.col("qty_1996") > 0.4 * F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: suppliers who were the ONLY late shipper on a finished
     multi-supplier order -- correlated EXISTS (another supplier on the
@@ -429,6 +524,8 @@ QUERIES = {
     "h_q16_supplier_variety": q16_supplier_variety,
     "h_q17_small_quantity": q17_small_quantity,
     "h_q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "h_q11_important_stock": q11_important_stock,
+    "h_q20_potential_promotion": q20_potential_promotion,
     "h_q21_sole_late_supplier": q21_sole_late_supplier,
     "h_q22_dormant_customers": q22_dormant_customers,
 }
@@ -588,6 +685,43 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "h_q11_important_stock": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                       AS value_exact
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+            )
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS p_partkey,
+               CAST(ROUND(value_exact, 2) AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE value_exact > 0.001 * (SELECT SUM(value_exact) FROM per_part)
+        ORDER BY part_value DESC, p_partkey
+    """,
+    "h_q20_potential_promotion": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5'
+        )
+        AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+            )
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate < TIMESTAMP '1997-01-01'
+                            THEN l_quantity ELSE 0 END) > 0.4 * SUM(l_quantity)
+        )
+        ORDER BY s_name
     """,
     "h_q21_sole_late_supplier": """
         SELECT s_name, COUNT(*) AS numwait
