@@ -282,6 +282,33 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates -- stddev/variance (sample),
+    correlation, covariance -- per return flag. All are single-pass
+    co-moment aggregates (Welford-style partial states merged at the
+    final agg), so at scale they cost exactly one shuffle like any
+    group-count; nothing is collected or two-passed.
+
+    Rounded to 6 dp (ratios) / 2 dp (covariance) because co-moment
+    accumulation order differs across engines in the last few ulps.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "a0_flagship_daily_rollup": flagship_daily_rollup,
     "a1_group_count": group_count,
@@ -298,6 +325,7 @@ QUERIES = {
     "x_approx_count_distinct": approx_count_distinct_agg,
     "x_percentile": percentile_agg,
     "x_percentile_approx": percentile_approx_agg,
+    "x_stats_moments": stats_moments,
 }
 
 ORACLES = {
@@ -376,6 +404,15 @@ ORACLES = {
         SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS p50_qty,
                quantile_cont(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "x_stats_moments": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+               ROUND(var_samp(l_quantity), 6) AS var_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2)
+                   AS covar_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     # x_approx_count_distinct / x_percentile_approx: intentionally no

@@ -247,13 +247,138 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph (``d_ngram_jaccard``), labeling every involved doc
+    with the minimum doc_id of its component -- the step a real dedup
+    pipeline runs after pair generation, so "A~B, B~C" collapses to one
+    keeper instead of two independent pair decisions.
+
+    Iterative min-label propagation: each round every node takes
+    ``min(own label, neighbors' labels)``; converges in O(component
+    diameter) rounds (near-dup components are shallow). Each round is one
+    shuffled join + aggregate on the (tiny) edge set -- the fact table is
+    never touched again. At 100 TB the same loop runs on the pair output
+    with the large-star/small-star optimization (alternating min-to-
+    neighbors / min-to-root) to bound per-round shuffle width; driver-side
+    there is only the O(1)-row convergence count per round.
+
+    Deterministic fixpoint (min id per component) -> exact DuckDB oracle
+    via WITH RECURSIVE transitive closure.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # >> any fixture component diameter
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("lab").alias("nbr_lab")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_lab").alias("nbr_lab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))
+                ).alias("lab"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover
+        raise RuntimeError("component labeling did not converge in 20 rounds")
+    return labels.select("doc_id", F.col("lab").alias("cluster_id")).orderBy(
+        "doc_id"
+    )
+
+
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance on a fixed-length prefix,
+    blocked by (source, lang) so the quadratic comparison stays inside
+    bounded blocks (~|docs|/100 here; at 100 TB the block key would be a
+    coarse content signature, same shape). ``levenshtein`` runs as a JVM
+    join residual on the equi-keys -- no Python, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.substring(F.lower("text"), 1, 40).alias("prefix"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 10)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_distance"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "d_exact_summary": exact_dedup_summary,
     "d_exact_keys": exact_dedup_keys,
     "d_ngram_jaccard": ngram_jaccard_pairs,
     "d_minhash_lsh": minhash_lsh_pairs,
     "d_simhash": simhash_buckets,
+    "d_dup_clusters": duplicate_clusters,
+    "d_fuzzy_levenshtein": fuzzy_levenshtein_pairs,
 }
+
+_NGRAM_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, len(string_split(lower(text), ' ')) - 1),
+                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                        string_split(lower(text), ' ')[i+1] || ' ' ||
+                        string_split(lower(text), ' ')[i+2])) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+               AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {_JACCARD_THRESHOLD}
+"""
 
 ORACLES = {
     "d_exact_summary": """
@@ -269,24 +394,32 @@ ORACLES = {
         FROM documents GROUP BY lang, source, n_chars
         ORDER BY lang, source, n_chars
     """,
-    "d_ngram_jaccard": f"""
-        WITH sh AS (
-            SELECT doc_id, source,
-                   list_distinct(list_transform(
-                       range(1, len(string_split(lower(text), ' ')) - 1),
-                       i -> string_split(lower(text), ' ')[i] || ' ' ||
-                            string_split(lower(text), ' ')[i+1] || ' ' ||
-                            string_split(lower(text), ' ')[i+2])) AS s
-            FROM documents
+    "d_ngram_jaccard": _NGRAM_SQL + "    ORDER BY doc_a, doc_b",
+    "d_dup_clusters": f"""
+        WITH RECURSIVE
+        pairs AS (SELECT doc_a, doc_b FROM ({_NGRAM_SQL})),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc_id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
         )
+        SELECT doc_id, MIN(lab) AS cluster_id
+        FROM reach GROUP BY doc_id ORDER BY doc_id
+    """,
+    "d_fuzzy_levenshtein": """
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               ROUND(len(list_intersect(a.s, b.s))
-                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
-                   AS jaccard
-        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.s, b.s))
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-              >= {_JACCARD_THRESHOLD}
+               levenshtein(substr(lower(a.text), 1, 40),
+                           substr(lower(b.text), 1, 40)) AS edit_distance
+        FROM documents a
+        JOIN documents b
+          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(lower(a.text), 1, 40),
+                          substr(lower(b.text), 1, 40)) <= 10
         ORDER BY doc_a, doc_b
     """,
     # d_minhash_lsh, d_simhash: intentionally no oracle (xxhash64-based).

@@ -26,7 +26,9 @@ from .maintenance import HealthReport, compare_health, health_check, optimize, v
 from .stocks import STOCK_SCHEMA, synthesize_bars, with_derived_columns
 from .table import (
     current_version,
+    delete_where,
     history,
+    merge_into,
     read_table,
     register_external,
     write_partitioned,
@@ -39,7 +41,9 @@ __all__ = [
     "write_bucketed",
     "compare_health",
     "current_version",
+    "delete_where",
     "health_check",
+    "merge_into",
     "history",
     "optimize",
     "read_table",

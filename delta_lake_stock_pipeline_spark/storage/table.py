@@ -133,6 +133,54 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     ).orderBy("version")
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = DEFAULT_PARTITION_COLS,
+) -> int:
+    """MERGE (upsert): rows in ``updates`` replace current rows with the
+    same key; unmatched update rows are inserted. The Delta-class operation
+    the reference's storage layer implies but never calls (its writes are
+    full overwrites, ``stock_harvester.py:170-181``); here it is the
+    copy-on-write rewrite ``MERGE INTO`` performs:
+
+        new snapshot = updates ∪ (current ⟕anti updates on key)
+
+    One left_anti join (key columns only travel through the shuffle build
+    side; with few update keys Catalyst broadcasts them) + one partitioned
+    write -- no driver-side row handling. At 100 TB the anti join is
+    restricted to partitions referenced by ``updates`` (partition-pruned
+    copy-on-write): untouched partitions' files would be carried into the
+    new snapshot by manifest reference rather than rewritten; this
+    single-dir-per-version layout rewrites the full table instead, which
+    is the same simplification the reference's overwrite makes.
+    """
+    current = read_table(spark, path)
+    keys = list(key_cols)
+    kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+    merged = updates.select(*current.columns).unionByName(kept)
+    return write_partitioned(merged, path, partition_cols, operation="MERGE")
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    partition_cols: Sequence[str] = DEFAULT_PARTITION_COLS,
+) -> int:
+    """DELETE: new version containing only rows NOT matching ``condition``
+    (Delta ``DELETE FROM``): a predicate-pushdown scan + partitioned write.
+    When ``condition`` touches only partition columns, the scan prunes to
+    the doomed partitions' complement and the rewrite is metadata-cheap."""
+    from pyspark.sql import functions as F
+
+    current = read_table(spark, path)
+    remaining = current.filter(~F.expr(condition))
+    return write_partitioned(remaining, path, partition_cols, operation="DELETE")
+
+
 def register_external(
     spark: SparkSession, name: str, path: str, version: int | None = None
 ) -> str:

@@ -165,3 +165,41 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_merge_and_delete(spark, bars, tmp_path_factory):
+    """MERGE upsert + DELETE produce correct snapshots, are logged in the
+    manifest, and leave prior versions readable (time travel)."""
+    path = str(tmp_path_factory.mktemp("stocks_merge") / "stocks")
+    storage.write_partitioned(bars, path)
+    n0 = storage.read_table(spark, path).count()
+
+    # Updates: bump volume on one existing minute (update) + one brand-new
+    # minute bar (insert), keyed by (ticker, timestamp_ms).
+    first = storage.read_table(spark, path).orderBy("ticker", "timestamp_ms").limit(1)
+    updated = first.withColumn("volume", (F.col("volume") + 1000).cast("long"))
+    inserted = first.withColumn(
+        "timestamp_ms", (F.col("timestamp_ms") - 60000).cast("long")
+    )
+    v1 = storage.merge_into(
+        spark, path, updated.unionByName(inserted), ["ticker", "timestamp_ms"]
+    )
+    after = storage.read_table(spark, path)
+    assert after.count() == n0 + 1  # one insert, one in-place update
+    key = first.collect()[0]
+    got = after.filter(
+        (F.col("ticker") == key["ticker"])
+        & (F.col("timestamp_ms") == key["timestamp_ms"])
+    ).collect()
+    assert len(got) == 1 and got[0]["volume"] == key["volume"] + 1000
+
+    v2 = storage.delete_where(spark, path, f"ticker = '{key['ticker']}'")
+    remaining = storage.read_table(spark, path)
+    assert remaining.filter(F.col("ticker") == key["ticker"]).count() == 0
+    assert remaining.count() == after.filter(F.col("ticker") != key["ticker"]).count()
+
+    ops = [r["operation"] for r in storage.history(spark, path).collect()]
+    assert ops == ["WRITE", "MERGE", "DELETE"]
+    # Time travel: the pre-merge snapshot still reads exactly as written.
+    assert storage.read_table(spark, path, version=0).count() == n0
+    assert v1 == 1 and v2 == 2
