@@ -266,26 +266,33 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic fixpoint (min id per component) -> exact DuckDB oracle
     via WITH RECURSIVE transitive closure.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
+    # Materialize the pair list ONCE before symmetrizing -- a plain union
+    # would re-run the whole shingle-join pipeline per branch.
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("lab", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()  # truncate the pair-generation lineage once
     )
     for _ in range(20):  # >> any fixture component diameter
+        # The label table is |nodes-with-a-dup| rows -- orders of magnitude
+        # smaller than the corpus -- so it broadcasts; each round's only
+        # shuffle is the tiny groupBy. localCheckpoint truncates lineage so
+        # round N's plan doesn't re-derive rounds 1..N-1 (and an O(1)-row
+        # count per round is the driver's entire involvement).
         nbr_min = (
             edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"), F.col("lab").alias("nbr_lab")
+                F.broadcast(
+                    labels.select(
+                        F.col("doc_id").alias("dst"), F.col("lab").alias("nbr_lab")
+                    )
                 ),
                 "dst",
             )
@@ -293,22 +300,21 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nbr_lab").alias("nbr_lab"))
         )
         new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
+            labels.join(F.broadcast(nbr_min), "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))
                 ).alias("lab"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(F.broadcast(labels.alias("o")), "doc_id")
             .filter(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -331,16 +337,26 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.substring(F.lower("text"), 1, 40).alias("prefix"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    # The fixture parquet is one file -> one scan partition; without a
+    # repartition the broadcast self-join's ~|block|^2 levenshtein evals all
+    # land in ONE task (measured 7.5 s -> 0.5 s at sf0.1). Partitioning the
+    # probe side by block key is also the 100 TB shape: comparisons fan out
+    # across executors, one block never straddles tasks.
+    a = docs.repartition(32, "source", "lang").alias("a")
+    b = docs.alias("b")
+    # Banded levenshtein (threshold form): returns -1 when distance > 10,
+    # so the join residual is ONE eval per pair (a plain `dist <= 10`
+    # filter would appear twice in the residual and double the DP work;
+    # the banded DP itself is O(len*k) not O(len^2)).
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 10)
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (dist >= 0),
         )
-        .filter(dist <= 10)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

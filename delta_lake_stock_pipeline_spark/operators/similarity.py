@@ -69,7 +69,11 @@ def pairwise_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "embedding")
         .withColumn("nrm", norm("embedding"))
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # One-file fixture -> one scan partition; without spreading the probe
+    # side the ~|block|^2/2 dot products run in a single task. Hash-
+    # partitioning on the block key fans the comparison out (the 100 TB
+    # shape: one block never straddles tasks, tasks ~ distinct blocks).
+    a, b = emb.repartition(32, "label").alias("a"), emb.alias("b")
     sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
