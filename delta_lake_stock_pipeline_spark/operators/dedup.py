@@ -58,14 +58,24 @@ def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(sequence(0, size(toks) - {_SHINGLE_N}),"
             " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
         )
+        # Spread the doc rows BEFORE exploding: the one-file fixture scans
+        # as a single partition, and the explode + distinct's map-side
+        # partial would otherwise run in one task. Shuffling 1 row/doc is
+        # cheap; shuffling post-explode rows would not be.
         _posts_cache[key] = (
-            docs.select(
+            docs.repartition(32, "doc_id")
+            .select(
                 "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
             )
             .filter(F.size("toks") >= _SHINGLE_N)
             .select("doc_id", "source", F.explode(shingles).alias("shingle"))
+            # hash BEFORE distinct: the dedup shuffle then carries an
+            # 8-byte key instead of the shingle string (nothing downstream
+            # reads the string; distinct-on-hash == distinct-on-string
+            # modulo xxhash64 collisions, which the 64-bit space makes
+            # negligible at any per-doc shingle count).
+            .select("doc_id", "source", F.xxhash64("shingle").alias("h"))
             .distinct()
-            .withColumn("h", F.xxhash64("shingle"))
             .persist()
         )
     return _posts_cache[key]
@@ -221,7 +231,9 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens -- pure JVM expressions, one shuffle on doc_id.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # repartition pre-explode: parallelize the 64-expression partial agg
+    # (single-file scan would otherwise run it in one task).
+    toks = docs.repartition(32, "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
