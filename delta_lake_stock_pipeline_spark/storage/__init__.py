@@ -31,6 +31,8 @@ from .table import (
     merge_into,
     read_table,
     register_external,
+    snapshot_dirs,
+    snapshot_of,
     write_partitioned,
 )
 
@@ -48,6 +50,8 @@ __all__ = [
     "optimize",
     "read_table",
     "register_external",
+    "snapshot_dirs",
+    "snapshot_of",
     "synthesize_bars",
     "vacuum",
     "with_derived_columns",

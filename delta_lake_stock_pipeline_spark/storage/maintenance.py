@@ -25,6 +25,7 @@ from .table import (
     current_version,
     read_table,
     remove_versions_before,
+    snapshot_dirs,
     write_partitioned,
 )
 
@@ -90,7 +91,11 @@ def health_check(
     spark: SparkSession, path: str, key_col: str = "ticker"
 ) -> HealthReport:
     v = current_version(path)
-    n_files, size = _dir_file_stats(_version_dir(path, v))
+    n_files, size = 0, 0
+    for d in snapshot_dirs(path, v):  # snapshot may span version dirs
+        nf, sz = _dir_file_stats(d)
+        n_files += nf
+        size += sz
     df = read_table(spark, path)
     counts = {r[0]: r[1] for r in df.groupBy(key_col).count().collect()}
     return HealthReport(
@@ -119,9 +124,10 @@ def file_timestamp_ranges(path: str, version: int | None = None) -> list[tuple]:
     import pyarrow.parquet as pq
 
     v = current_version(path) if version is None else version
-    root = _version_dir(path, v)
     out = []
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, _dirs, files in (
+        w for root in snapshot_dirs(path, v) for w in os.walk(root)
+    ):
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue

@@ -50,6 +50,47 @@ def _version_dir(path: str, version: int) -> str:
     return os.path.join(path, f"v{version:04d}")
 
 
+def _partition_rel_dirs(version_root: str) -> list[str]:
+    """Relative partition directories (e.g. ``ticker=T00/trade_date=...``)
+    that contain parquet files under a version dir; ``""`` for a flat
+    (unpartitioned) layout."""
+    rels = set()
+    for dirpath, _dirs, files in os.walk(version_root):
+        if any(f.endswith(".parquet") for f in files):
+            rel = os.path.relpath(dirpath, version_root)
+            rels.add("" if rel == "." else rel)
+    return sorted(rels)
+
+
+def _entry_for(path: str, version: int) -> dict | None:
+    for e in _read_manifest(path):
+        if e.get("version") == version:
+            return e
+    return None
+
+
+def snapshot_of(path: str, version: int) -> dict[str, int]:
+    """The table snapshot at ``version``: map of partition-relative dir ->
+    version whose directory physically holds that partition's files. Full
+    writes map every partition to their own version; pruned MERGE/DELETE
+    snapshots reference untouched partitions from earlier versions (the
+    Delta-log model: a commit lists files, most carried over by reference).
+    Manifests written before snapshots existed fall back to "everything
+    lives in this version's dir"."""
+    entry = _entry_for(path, version)
+    if entry and "snapshot" in entry:
+        return {k: int(v) for k, v in entry["snapshot"].items()}
+    return {rel: version for rel in _partition_rel_dirs(_version_dir(path, version))}
+
+
+def snapshot_dirs(path: str, version: int) -> list[str]:
+    """Absolute partition directories making up ``version``'s snapshot."""
+    return [
+        os.path.join(_version_dir(path, v), rel) if rel else _version_dir(path, v)
+        for rel, v in snapshot_of(path, version).items()
+    ]
+
+
 def current_version(path: str) -> int | None:
     entries = [e for e in _read_manifest(path) if "version" in e]
     return max((e["version"] for e in entries), default=None)
@@ -72,6 +113,8 @@ def write_partitioned(
     path: str,
     partition_cols: Sequence[str] = DEFAULT_PARTITION_COLS,
     operation: str = "WRITE",
+    base_snapshot: dict[str, int] | None = None,
+    replaced: Sequence[str] | None = None,
 ) -> int:
     """Write a new table version partitioned by ``partition_cols`` (S4/S5,
     ``stock_harvester.py:170-181``) and log it. Returns the new version.
@@ -90,18 +133,35 @@ def write_partitioned(
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     observed.write.mode("error").partitionBy(*partition_cols).parquet(out)
     n_files, size = _dir_file_stats(out)
+    own = {rel: version for rel in _partition_rel_dirs(out)}
+    if base_snapshot is None:
+        snapshot = own
+    else:
+        # Pruned commit: carry forward unaffected partitions by reference,
+        # override/add the partitions this version rewrote, drop the ones
+        # it emptied (``replaced`` that produced no output dir).
+        snapshot = {
+            rel: v
+            for rel, v in base_snapshot.items()
+            if rel not in set(replaced or ())
+        }
+        snapshot.update(own)
+    metrics = {
+        "numOutputRows": obs.get["rows"],
+        "numFiles": n_files,
+        "sizeBytes": size,
+        "partitionBy": list(partition_cols),
+        "numRewrittenPartitions": len(own),
+        "numReferencedPartitions": len(snapshot) - len(own),
+    }
     _append_manifest(
         path,
         {
             "version": version,
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "operation": operation,
-            "operationMetrics": {
-                "numOutputRows": obs.get["rows"],
-                "numFiles": n_files,
-                "sizeBytes": size,
-                "partitionBy": list(partition_cols),
-            },
+            "operationMetrics": metrics,
+            "snapshot": snapshot,
         },
     )
     return version
@@ -109,11 +169,35 @@ def write_partitioned(
 
 def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Scan a table version (S7; default latest). ``version`` is time travel:
-    old version dirs are immutable until VACUUM removes them."""
+    old version dirs are immutable until VACUUM removes them.
+
+    Resolves the version's SNAPSHOT: after a pruned MERGE/DELETE the live
+    table is a union of partition dirs across version dirs (one read per
+    contributing version, each with its own ``basePath`` so partition
+    columns materialize; filters on partition columns still prune because
+    every listed path carries its partition values). Single-version
+    snapshots take the plain whole-dir scan."""
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions at {path}")
-    return spark.read.parquet(_version_dir(path, v))
+    snap = snapshot_of(path, v)
+    by_ver: dict[int, list[str]] = {}
+    for rel, sv in snap.items():
+        by_ver.setdefault(sv, []).append(rel)
+    if len(by_ver) == 1:
+        (sv, rels), = by_ver.items()
+        vdir = _version_dir(path, sv)
+        if set(rels) == set(_partition_rel_dirs(vdir)):
+            return spark.read.parquet(vdir)
+    parts = []
+    for sv, rels in sorted(by_ver.items()):
+        vdir = _version_dir(path, sv)
+        paths = [os.path.join(vdir, rel) if rel else vdir for rel in sorted(rels)]
+        parts.append(spark.read.option("basePath", vdir).parquet(*paths))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def history(spark: SparkSession, path: str) -> DataFrame:
@@ -133,6 +217,28 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     ).orderBy("version")
 
 
+def _partition_pred(keys: list[dict]):
+    """OR-of-conjunctions predicate selecting the listed partition keys --
+    static, so Catalyst prunes non-matching partition dirs at planning."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def one(k: dict):
+        return reduce(
+            lambda a, b: a & b, (F.col(c) == F.lit(v) for c, v in k.items())
+        )
+
+    return reduce(lambda a, b: a | b, (one(k) for k in keys))
+
+
+def _rel_dir(key: dict) -> str:
+    """Hive-style relative dir for a partition key, matching what
+    ``partitionBy`` writes for the scalar types used here (strings without
+    special characters, dates, ints)."""
+    return "/".join(f"{c}={v}" for c, v in key.items())
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -143,25 +249,41 @@ def merge_into(
     """MERGE (upsert): rows in ``updates`` replace current rows with the
     same key; unmatched update rows are inserted. The Delta-class operation
     the reference's storage layer implies but never calls (its writes are
-    full overwrites, ``stock_harvester.py:170-181``); here it is the
-    copy-on-write rewrite ``MERGE INTO`` performs:
+    full overwrites, ``stock_harvester.py:170-181``).
 
-        new snapshot = updates ∪ (current ⟕anti updates on key)
+    Partition-pruned copy-on-write, the shape that survives 100 TB: only
+    partitions actually containing update keys are rewritten --
 
-    One left_anti join (key columns only travel through the shuffle build
-    side; with few update keys Catalyst broadcasts them) + one partitioned
-    write -- no driver-side row handling. At 100 TB the anti join is
-    restricted to partitions referenced by ``updates`` (partition-pruned
-    copy-on-write): untouched partitions' files would be carried into the
-    new snapshot by manifest reference rather than rewritten; this
-    single-dir-per-version layout rewrites the full table instead, which
-    is the same simplification the reference's overwrite makes.
-    """
+        rewritten = updates ∪ (current ⋂ affected-partitions ⟕anti updates)
+
+    -- and every untouched partition enters the new snapshot by manifest
+    REFERENCE, zero bytes moved. The affected-partition list is
+    partition-granular metadata (collected to the driver exactly like
+    Delta reads its log); the kept-rows scan carries a static partition
+    predicate so pruning happens at planning time, and the anti join's
+    build side is just the update keys (broadcast when small). Requires
+    ``updates`` to carry the partition columns; Delta's MERGE needs the
+    same to prune."""
     current = read_table(spark, path)
     keys = list(key_cols)
-    kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+    pcols = list(partition_cols)
+    cur_v = current_version(path)
+    affected = [r.asDict() for r in updates.select(*pcols).distinct().collect()]
+    if not affected:
+        return cur_v
+    pred = _partition_pred(affected)
+    kept = current.filter(pred).join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    )
     merged = updates.select(*current.columns).unionByName(kept)
-    return write_partitioned(merged, path, partition_cols, operation="MERGE")
+    return write_partitioned(
+        merged,
+        path,
+        pcols,
+        operation="MERGE",
+        base_snapshot=snapshot_of(path, cur_v),
+        replaced=[_rel_dir(k) for k in affected],
+    )
 
 
 def delete_where(
@@ -170,15 +292,35 @@ def delete_where(
     condition: str,
     partition_cols: Sequence[str] = DEFAULT_PARTITION_COLS,
 ) -> int:
-    """DELETE: new version containing only rows NOT matching ``condition``
-    (Delta ``DELETE FROM``): a predicate-pushdown scan + partitioned write.
-    When ``condition`` touches only partition columns, the scan prunes to
-    the doomed partitions' complement and the rewrite is metadata-cheap."""
+    """DELETE: remove rows matching ``condition`` (Delta ``DELETE FROM``)
+    as a partition-pruned copy-on-write commit: only partitions that
+    contain at least one matching row are rewritten (minus their matching
+    rows; a partition emptied entirely just drops out of the snapshot);
+    all other partitions carry over by reference. A condition on partition
+    columns only makes the rewrite metadata-cheap -- matching partitions
+    vanish without writing a row."""
     from pyspark.sql import functions as F
 
     current = read_table(spark, path)
-    remaining = current.filter(~F.expr(condition))
-    return write_partitioned(remaining, path, partition_cols, operation="DELETE")
+    pcols = list(partition_cols)
+    cur_v = current_version(path)
+    cond = F.expr(condition)
+    affected = [
+        r.asDict()
+        for r in current.filter(cond).select(*pcols).distinct().collect()
+    ]
+    if not affected:
+        return cur_v
+    pred = _partition_pred(affected)
+    remaining = current.filter(pred).filter(~cond)
+    return write_partitioned(
+        remaining,
+        path,
+        pcols,
+        operation="DELETE",
+        base_snapshot=snapshot_of(path, cur_v),
+        replaced=[_rel_dir(k) for k in affected],
+    )
 
 
 def register_external(
@@ -191,6 +333,13 @@ def register_external(
     reference documents, ``DESIGN.md:69-78``). Falls back to a temp view
     when catalog DDL is unavailable (D4, ``external_table.py:83-86``)."""
     v = current_version(path) if version is None else version
+    if len(set(snapshot_of(path, v).values())) > 1:
+        # Snapshot spans version dirs (pruned MERGE/DELETE since the last
+        # full write) -- no single LOCATION exists, so register the view
+        # form (D4 fallback, ``external_table.py:83-86``). OPTIMIZE
+        # collapses the snapshot back into one dir, re-enabling D3.
+        read_table(spark, path, v).createOrReplaceTempView(name)
+        return "view"
     loc = _version_dir(path, v)
     try:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -203,11 +352,23 @@ def register_external(
 
 
 def remove_versions_before(path: str, keep_from: int) -> list[int]:
-    """Delete version dirs below ``keep_from``; used by VACUUM (M2)."""
-    removed = []
-    for e in _read_manifest(path):
+    """Delete version dirs below ``keep_from``; used by VACUUM (M2).
+
+    A version dir is retained even below the cutoff while any RETAINED
+    version's snapshot still references partitions inside it (the Delta
+    VACUUM rule: eligibility is "unreferenced by the retained log", not
+    age alone -- deleting by age would tear partitions out from under a
+    pruned-merge snapshot)."""
+    entries = _read_manifest(path)
+    referenced: set[int] = set()
+    for e in entries:
         v = e.get("version")
-        if v is not None and v < keep_from:
+        if v is not None and v >= keep_from:
+            referenced.update(snapshot_of(path, v).values())
+    removed = []
+    for e in entries:
+        v = e.get("version")
+        if v is not None and v < keep_from and v not in referenced:
             d = _version_dir(path, v)
             if os.path.exists(d):
                 shutil.rmtree(d)

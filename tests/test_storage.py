@@ -6,6 +6,7 @@ external DDL.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -203,3 +204,53 @@ def test_merge_and_delete(spark, bars, tmp_path_factory):
     # Time travel: the pre-merge snapshot still reads exactly as written.
     assert storage.read_table(spark, path, version=0).count() == n0
     assert v1 == 1 and v2 == 2
+
+
+def test_merge_is_partition_pruned(spark, bars, tmp_path_factory):
+    """MERGE rewrites ONLY partitions containing update keys; everything
+    else enters the new snapshot by manifest reference (copy-on-write at
+    partition granularity). DELETE on a partition predicate writes nothing.
+    VACUUM keeps old version dirs while the live snapshot references them."""
+    path = str(tmp_path_factory.mktemp("stocks_cow") / "stocks")
+    storage.write_partitioned(bars, path)
+    n_parts = len(storage.snapshot_of(path, 0))
+    n0 = storage.read_table(spark, path).count()
+
+    one = storage.read_table(spark, path).orderBy("ticker", "timestamp_ms").limit(1)
+    updates = one.withColumn("volume", (F.col("volume") + 7).cast("long"))
+    storage.merge_into(spark, path, updates, ["ticker", "timestamp_ms"])
+
+    snap = storage.snapshot_of(path, 1)
+    assert len(snap) == n_parts
+    rewritten = [rel for rel, v in snap.items() if v == 1]
+    referenced = [rel for rel, v in snap.items() if v == 0]
+    assert len(rewritten) == 1  # update touched exactly one (ticker, day)
+    assert len(referenced) == n_parts - 1
+    assert storage.read_table(spark, path).count() == n0
+    hist = {r["version"]: json.loads(r["operationMetrics"])
+            for r in storage.history(spark, path).collect()}
+    assert hist[1]["numRewrittenPartitions"] == 1
+    assert hist[1]["numReferencedPartitions"] == n_parts - 1
+
+    # VACUUM below the current version must NOT remove v0: the live
+    # snapshot still references its partitions.
+    assert storage.vacuum(path, retain_last=1) == []
+    assert storage.read_table(spark, path).count() == n0
+
+    # Partition-predicate DELETE: affected partitions drop out wholesale.
+    key = one.collect()[0]
+    storage.delete_where(spark, path, f"ticker = '{key['ticker']}'")
+    snap2 = storage.snapshot_of(path, 2)
+    assert all(not rel.startswith(f"ticker={key['ticker']}") for rel in snap2)
+    assert (
+        storage.read_table(spark, path).filter(
+            F.col("ticker") == key["ticker"]
+        ).count()
+        == 0
+    )
+    # OPTIMIZE collapses the multi-version snapshot into one dir; vacuum
+    # can then actually reclaim the old version dirs.
+    storage.optimize(spark, path)
+    assert set(storage.snapshot_of(path, 3).values()) == {3}
+    removed = storage.vacuum(path, retain_last=1)
+    assert sorted(removed) == [0, 1, 2]
