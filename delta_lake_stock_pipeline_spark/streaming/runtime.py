@@ -159,6 +159,48 @@ def purchase_attribution(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert_to_table(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """CDC apply: land a stream into the versioned table as one MERGE per
+    micro-batch (``foreachBatch`` -> ``storage.merge_into``) -- the
+    streaming-upsert pattern Delta users run with
+    ``foreachBatch(lambda df, id: deltaTable.merge(df...))``.
+
+    Each batch's merge is a partition-pruned copy-on-write commit, so an
+    incremental trickle only ever rewrites the partitions it touches.
+    Within a batch, later duplicates of a key are collapsed first
+    (``dropDuplicates``) since a single MERGE source must be key-unique.
+    The manifest records the batch id per commit; on at-least-once replay
+    after a checkpoint recovery, re-merging the same batch is value-
+    idempotent (same keys -> same rows), mirroring Delta's txn-id
+    idempotent writes."""
+    from ..storage import current_version, merge_into, write_partitioned
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(key_cols)
+        if current_version(path) is None:
+            write_partitioned(
+                batch, path, partition_cols, operation=f"STREAM WRITE b{batch_id}"
+            )
+        else:
+            merge_into(
+                batch_df.sparkSession, path, batch, key_cols, partition_cols
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     result: DataFrame,
     checkpoint_dir: str,

@@ -150,3 +150,51 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     want = click_purchase_attribution(spark, SF_DIR)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_stream_upsert_cdc_apply(spark, tmp_path):
+    """foreachBatch CDC apply: two micro-batches land as STREAM WRITE then
+    pruned MERGE; the final table equals batch-2 updates applied over
+    batch-1, and untouched partitions carry over by reference."""
+    from delta_lake_stock_pipeline_spark import storage
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    base = events.limit(200)
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = base.schema
+
+    def upsert_stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        runtime.stream_upsert_to_table(
+            s, tbl, ["event_id"], ["event_date"], ckpt
+        )
+
+    upsert_stream()
+    n0 = storage.read_table(spark, tbl).count()
+    assert n0 == 200
+
+    # Batch 2: bump value on 50 existing events + 10 brand-new event_ids.
+    updated = base.limit(50).withColumn("value", F.col("value") + 1000.0)
+    fresh = (
+        events.limit(210)
+        .join(base.select("event_id"), "event_id", "left_anti")
+        .limit(10)
+    )
+    updated.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+    upsert_stream()
+
+    after = storage.read_table(spark, tbl)
+    assert after.count() == n0 + 10
+    assert after.filter(F.col("value") >= 1000.0).count() == 50
+    ops = [r["operation"] for r in storage.history(spark, tbl).collect()]
+    assert ops[0].startswith("STREAM WRITE") and "MERGE" in ops[1:]
