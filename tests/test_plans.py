@@ -119,3 +119,36 @@ def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
     fragments = plan.split("PushedFilters: [")[1:]
     assert fragments, "no scan reported pushed filters"
     assert any("Brand#" in frag[:200] for frag in fragments), fragments
+
+
+def test_q11_having_is_broadcast_not_subquery(spark, sf_dir):
+    """Q11's HAVING-vs-global-fraction must compile to a broadcast of the
+    1-row total (one scan+shuffle of the fact), never a per-row subquery."""
+    feats = plans.plan_features(_Q["h_q11_important_stock"](spark, sf_dir))
+    assert feats.has_broadcast_hash_join or "BroadcastNestedLoop" in plans.plan_string(
+        _Q["h_q11_important_stock"](spark, sf_dir)
+    )
+    assert feats.n_python_boundaries == 0
+
+
+def test_fuzzy_and_pairwise_blocked_joins_stay_jvm_and_parallel(spark, sf_dir):
+    """The blocked self-joins (levenshtein, pairwise cosine) must be pure
+    JVM and must spread the probe side across partitions (a single-task
+    quadratic comparison is the degenerate plan we fixed)."""
+    for name in ("d_fuzzy_levenshtein", "v_pairwise_neardup"):
+        df = _Q[name](spark, sf_dir)
+        feats = plans.plan_features(df)
+        assert feats.n_python_boundaries == 0, f"{name} crosses into Python"
+        assert "hashpartitioning" in plans.plan_string(df).lower(), (
+            f"{name}: probe side is not spread across partitions"
+        )
+
+
+def test_levenshtein_single_eval_in_residual(spark, sf_dir):
+    """The banded-threshold levenshtein must appear exactly once in the
+    join residual (the two-sided `0 <= d <= 10` form evaluates the DP
+    twice per candidate pair)."""
+    text = plans.plan_string(_Q["d_fuzzy_levenshtein"](spark, sf_dir))
+    join_lines = [l for l in text.splitlines() if "Join" in l and "levenshtein" in l]
+    assert join_lines, "levenshtein no longer evaluated as a join residual"
+    assert all(l.count("levenshtein") == 1 for l in join_lines), join_lines
