@@ -73,6 +73,11 @@ def get_spark(
         .config("spark.python.factory.idleWorkerMaxPoolSize", "2")
         .config("spark.python.worker.idleTimeoutSeconds", "10")
         .config("spark.python.worker.killOnIdleTimeout", "true")
+        # Cost-based optimization: inert until ANALYZE TABLE records stats
+        # (storage.analyze_table); with stats, join reordering and build-side
+        # selection use real row counts instead of size heuristics.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark's type system has no ns-precision timestamp; read parquet
         # TIMESTAMP(NANOS) columns as raw long nanos (converted to us-precision

@@ -25,6 +25,7 @@ from .bucketed import bucketed_join, write_bucketed
 from .maintenance import HealthReport, compare_health, health_check, optimize, vacuum
 from .stocks import STOCK_SCHEMA, synthesize_bars, with_derived_columns
 from .table import (
+    analyze_table,
     current_version,
     delete_where,
     history,
@@ -38,6 +39,7 @@ from .table import (
 
 __all__ = [
     "STOCK_SCHEMA",
+    "analyze_table",
     "HealthReport",
     "bucketed_join",
     "write_bucketed",

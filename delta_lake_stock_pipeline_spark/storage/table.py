@@ -351,6 +351,42 @@ def register_external(
         return "view"
 
 
+def analyze_table(
+    spark: SparkSession, name: str, columns: Sequence[str] | None = None
+) -> dict:
+    """ANALYZE TABLE: record table (and optionally column) statistics in
+    the catalog for cost-based optimization -- the optimizer-level
+    analogue of the reference's ``DESCRIBE DETAIL`` file statistics (D5,
+    ``maintenance.py:42-46``). With stats present (and CBO enabled in
+    ``session.py``), Catalyst reorders multi-way joins and picks
+    broadcast sides from real row counts rather than file-size guesses --
+    at 100 TB the difference between a plan that broadcasts a filtered
+    dimension and one that shuffles it.
+
+    Returns the recorded statistics parsed back from DESCRIBE EXTENDED
+    (``sizeInBytes``, ``rowCount``)."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    stats_line = next(
+        (
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+            if r["col_name"] == "Statistics"
+        ),
+        "",
+    )
+    out: dict = {"raw": stats_line}
+    for part in stats_line.split(","):
+        part = part.strip()
+        if part.endswith("bytes"):
+            out["sizeInBytes"] = int(part.split()[0])
+        elif part.endswith("rows"):
+            out["rowCount"] = int(part.split()[0])
+    return out
+
+
 def remove_versions_before(path: str, keep_from: int) -> list[int]:
     """Delete version dirs below ``keep_from``; used by VACUUM (M2).
 

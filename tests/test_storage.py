@@ -254,3 +254,28 @@ def test_merge_is_partition_pruned(spark, bars, tmp_path_factory):
     assert set(storage.snapshot_of(path, 3).values()) == {3}
     removed = storage.vacuum(path, retain_last=1)
     assert sorted(removed) == [0, 1, 2]
+
+
+def test_analyze_table_records_cbo_stats(spark, bars, tmp_path_factory):
+    """ANALYZE TABLE records row/size statistics that the cost-based
+    optimizer then exposes on the table's optimized plan."""
+    path = str(tmp_path_factory.mktemp("stocks_stats") / "stocks")
+    storage.write_partitioned(bars, path)
+    kind = storage.register_external(spark, "stocks_stats_tbl", path)
+    if kind != "table":
+        pytest.skip("catalog DDL unavailable; stats need a catalog table")
+    stats = storage.analyze_table(
+        spark, "stocks_stats_tbl", columns=["ticker", "volume"]
+    )
+    n = storage.read_table(spark, path).count()
+    assert stats.get("rowCount") == n
+    assert stats.get("sizeInBytes", 0) > 0
+    # The optimizer must now see the exact row count on the relation.
+    plan_stats = (
+        spark.table("stocks_stats_tbl")._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .toString()
+    )
+    assert f"rowCount={n}" in plan_stats, plan_stats
+    spark.sql("DROP TABLE IF EXISTS stocks_stats_tbl")
