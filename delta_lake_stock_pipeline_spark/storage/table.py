@@ -115,13 +115,22 @@ def write_partitioned(
     operation: str = "WRITE",
     base_snapshot: dict[str, int] | None = None,
     replaced: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
+    codec: str | None = None,
 ) -> int:
     """Write a new table version partitioned by ``partition_cols`` (S4/S5,
     ``stock_harvester.py:170-181``) and log it. Returns the new version.
 
     Row count is captured via ``observe`` so the write job itself produces
     the metric -- no second scan over the data (at 100 TB a metrics
-    ``count()`` would double the job)."""
+    ``count()`` would double the job).
+
+    ``max_records_per_file`` is the file-size governor (the "~1 GB not
+    1 KB" target the reference motivates, ``DESIGN.md:20``): writers roll
+    to a new file at the cap, bounding the other direction of the
+    small-file problem -- files too LARGE to parallelize a read over.
+    ``codec`` picks the parquet compression (e.g. ``zstd`` for cold data,
+    ``snappy``/default for hot)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -131,7 +140,12 @@ def write_partitioned(
     out = _version_dir(path, version)
     obs = Observation(f"write_v{version}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    observed.write.mode("error").partitionBy(*partition_cols).parquet(out)
+    writer = observed.write.mode("error").partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if codec is not None:
+        writer = writer.option("compression", codec)
+    writer.parquet(out)
     n_files, size = _dir_file_stats(out)
     own = {rel: version for rel in _partition_rel_dirs(out)}
     if base_snapshot is None:

@@ -279,3 +279,22 @@ def test_analyze_table_records_cbo_stats(spark, bars, tmp_path_factory):
     )
     assert f"rowCount={n}" in plan_stats, plan_stats
     spark.sql("DROP TABLE IF EXISTS stocks_stats_tbl")
+
+
+def test_max_records_per_file_and_codec(spark, bars, tmp_path_factory):
+    """The file-size governor rolls files at the record cap, and the codec
+    option lands in the parquet file names."""
+    path = str(tmp_path_factory.mktemp("stocks_sized") / "stocks")
+    storage.write_partitioned(
+        bars.coalesce(1), path, max_records_per_file=25, codec="zstd"
+    )
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(path, "v0000"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    # 60 rows per (ticker, day) partition / 25-row cap -> 3 files each.
+    assert len(files) == 6 * 3
+    assert all(".zstd." in os.path.basename(f) for f in files)
+    assert storage.read_table(spark, path).count() == bars.count()
