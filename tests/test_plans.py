@@ -152,3 +152,29 @@ def test_levenshtein_single_eval_in_residual(spark, sf_dir):
     join_lines = [l for l in text.splitlines() if "Join" in l and "levenshtein" in l]
     assert join_lines, "levenshtein no longer evaluated as a join residual"
     assert all(l.count("levenshtein") == 1 for l in join_lines), join_lines
+
+
+def test_dynamic_partition_pruning_on_versioned_table(spark, tmp_path):
+    """Joining the partitioned fact to a FILTERED small dim must inject a
+    dynamicpruning expression into the fact scan's PartitionFilters -- the
+    runtime companion of static pruning: at 100 TB the fact's partition
+    list is pruned by the dim filter's result, not read-then-discarded."""
+    from delta_lake_stock_pipeline_spark import storage
+
+    path = str(tmp_path / "t")
+    bars = storage.with_derived_columns(
+        storage.synthesize_bars(spark, n_tickers=4, n_days=3, bars_per_day=30)
+    )
+    storage.write_partitioned(bars, path)
+    fact = storage.read_table(spark, path)
+    dim = spark.createDataFrame(
+        [("T00", "tech"), ("T01", "tech"), ("T02", "fin"), ("T03", "fin")],
+        "ticker string, sector string",
+    )
+    j = (
+        fact.join(dim.filter(F.col("sector") == "tech"), "ticker")
+        .groupBy("ticker")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
