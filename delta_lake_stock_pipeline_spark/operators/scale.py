@@ -53,8 +53,51 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDERED row ids without a single-partition window.
+
+    ``ROW_NUMBER() OVER (ORDER BY k)`` with no PARTITION BY collapses the
+    whole table into ONE task -- the canonical 100 TB anti-pattern. The
+    scalable decomposition:
+
+    1. ``repartitionByRange(k)`` -- range-shuffle so partition p holds keys
+       entirely below partition p+1;
+    2. per-partition counts -> cumulative offsets (partition-count rows,
+       the only driver-side data -- metadata, like Delta reading its log);
+    3. per-partition ``row_number`` (parallel: each window partition is one
+       range partition) + broadcast-joined offset.
+
+    The result equals the global window's ids exactly (ids are determined
+    by total key order, independent of where range boundaries land), which
+    the DuckDB oracle checks."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranged = docs.select("doc_id").repartitionByRange(16, F.col("doc_id"))
+    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in with_pid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    offs = spark.createDataFrame(offsets, "pid INT, off LONG")
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    return (
+        with_pid.join(F.broadcast(offs), "pid")
+        .select(
+            "doc_id",
+            (F.row_number().over(w) + F.col("off")).alias("seq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "x_salted_skew_join": salted_skew_join,
+    "x_global_row_ids": global_row_ids,
 }
 
 ORACLES = {
@@ -66,5 +109,9 @@ ORACLES = {
             FROM events GROUP BY user_id
         ) d ON e.user_id = d.user_id
         ORDER BY event_id
+    """,
+    "x_global_row_ids": """
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS seq
+        FROM documents ORDER BY doc_id
     """,
 }
