@@ -247,3 +247,42 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
     got_tws = run(runtime.running_user_counts_tws, "tws", provider=rocks)
     got_aip = run(runtime.running_user_counts, "aip")
     assert got_tws == got_aip and len(got_tws) > 0
+
+
+def test_materialized_rollup_equals_batch(spark, tmp_path):
+    """The incrementally-maintained rollup table, after the stream drains
+    across two micro-batches, equals the batch aggregate over all data --
+    and the second batch's merges only rewrote partitions (days) it
+    touched."""
+    from delta_lake_stock_pipeline_spark import storage
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+
+    def run():
+        runtime.materialize_daily_rollup(
+            runtime.events_stream(spark, src), tbl, ckpt
+        )
+
+    run()
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = storage.read_table(spark, tbl).select(
+        "event_date", "event_type", "n_events", "total_value"
+    )
+    want = (
+        events.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    ops = [r["operation"] for r in storage.history(spark, tbl).collect()]
+    assert ops[0].startswith("MATERIALIZE") and "MERGE" in ops
