@@ -45,6 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     us-precision TimestampType here -- the same floor-truncation DuckDB
     applies when it reads the column as TIMESTAMP.
     """
+    if name == "events":
+        # Runtime-settable, so the read works on ANY session -- including
+        # the driver's vanilla SparkSession -- not just ones built by
+        # session.py. Without it the scan throws PARQUET_TYPE_ILLEGAL
+        # because Spark has no TIMESTAMP(NANOS) type.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
