@@ -93,11 +93,20 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders at all (NOT EXISTS)."""
+    """Left-anti: customers with no URGENT order (NOT EXISTS).
+
+    The predicate is deliberately one every fixture scale leaves non-empty:
+    at sf0.01 every customer has *some* order, so an anti-join against all
+    orders returns 0 rows and proves nothing. Anti-joining against the
+    urgent subset exercises the same LeftAnti physical operator with a
+    result whose values the oracle can actually distinguish.
+    """
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -149,6 +158,69 @@ def theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.join(customer, supplier.s_acctbal < customer.c_acctbal)
         .groupBy("s_suppkey")
         .agg(F.count("*").alias("n_richer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+def theta_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned theta join: same semantics as :func:`theta_join` (per supplier,
+    count of customers with strictly larger acctbal) without the
+    broadcast-nested-loop O(|S|*|C|) plan.
+
+    Decomposition: bin ``acctbal`` into fixed ranges (floor(x/1000); the
+    TPC-H domain is [-999.99, 9999.99] -> ~11 bins, and bin count B can grow
+    with scale or switch to approxQuantile equi-depth bins under skew):
+
+    1. customers in a STRICTLY HIGHER bin than a supplier are always richer
+       -- counted once per bin, then a range-frame window over the tiny
+       (<= 2B rows, pure bin metadata) union of bin tables turns per-bin
+       counts into "customers above bin b";
+    2. only SAME-BIN pairs need the actual comparison -- an equi-join on
+       ``bin`` with the ``<`` residual, work Sigma |S_b|*|C_b| ~= |S||C|/B
+       instead of |S||C|.
+
+    Plan gate (test_plans): no BroadcastNestedLoopJoin anywhere; the only
+    data-scale join is the equi residual. Oracle: identical SQL to j_theta.
+    """
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    customer = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    binexpr = lambda c: F.floor(F.col(c) / 1000).cast("int")  # noqa: E731
+
+    cust = customer.withColumn("bin", binexpr("c_acctbal"))
+    supp = supplier.withColumn("bin", binexpr("s_acctbal"))
+
+    per_bin = cust.groupBy("bin").agg(F.count("*").alias("cnt"))
+    # Union customer bin-counts with the distinct supplier bins (cnt=0) and
+    # take, for each bin, the total customer count in strictly higher bins
+    # via a value-range frame. Single-partition window -- but over <= 2B
+    # metadata rows, never data rows.
+    sbins = supp.select("bin").distinct().withColumn("cnt", F.lit(0).cast("long"))
+    w = Window.orderBy("bin").rangeBetween(1, Window.unboundedFollowing)
+    higher = (
+        per_bin.withColumn("is_supp", F.lit(False))
+        .unionByName(sbins.withColumn("is_supp", F.lit(True)))
+        .withColumn("higher_cnt", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .filter(F.col("is_supp"))
+        .select("bin", "higher_cnt")
+    )
+
+    residual = (
+        supp.join(cust, "bin")
+        .filter(F.col("s_acctbal") < F.col("c_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("res_cnt"))
+    )
+
+    return (
+        supp.join(F.broadcast(higher), "bin", "left")
+        .join(residual, "s_suppkey", "left")
+        .withColumn(
+            "n_richer_customers",
+            F.coalesce(F.col("higher_cnt"), F.lit(0))
+            + F.coalesce(F.col("res_cnt"), F.lit(0)),
+        )
+        .filter(F.col("n_richer_customers") > 0)
+        .select("s_suppkey", "n_richer_customers")
         .orderBy("s_suppkey")
     )
 
@@ -233,6 +305,7 @@ QUERIES = {
     "j_outer": outer_join,
     "j_range": range_join,
     "j_theta": theta_join,
+    "j_theta_binned": theta_join_binned,
     "j_asof": asof_join,
 }
 
@@ -269,7 +342,9 @@ ORACLES = {
     "j_anti": """
         SELECT c_custkey, c_name
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
     "j_outer": """
         SELECT n_orders, COUNT(*) AS n_customers
@@ -288,6 +363,11 @@ ORACLES = {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "j_theta": """
+        SELECT s_suppkey, COUNT(*) AS n_richer_customers
+        FROM supplier JOIN customer ON s_acctbal < c_acctbal
+        GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "j_theta_binned": """
         SELECT s_suppkey, COUNT(*) AS n_richer_customers
         FROM supplier JOIN customer ON s_acctbal < c_acctbal
         GROUP BY s_suppkey ORDER BY s_suppkey

@@ -74,7 +74,13 @@ def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ranged = docs.select("doc_id").repartitionByRange(16, F.col("doc_id"))
-    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    # localCheckpoint pins the range partitioning: repartitionByRange picks
+    # boundaries by SAMPLING, so re-evaluating the plan (once for the counts
+    # collect, once for the final join) could place rows differently than
+    # they were counted, silently corrupting the ids. Checkpointing makes
+    # the counted rows the numbered rows. At cluster scale use
+    # reliable checkpoint/persist(DISK) for the same guarantee.
+    with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
     counts = sorted(
         (r["pid"], r["cnt"])
         for r in with_pid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()

@@ -154,6 +154,30 @@ def test_levenshtein_single_eval_in_residual(spark, sf_dir):
     assert all(l.count("levenshtein") == 1 for l in join_lines), join_lines
 
 
+def test_theta_binned_has_no_nested_loop_join(spark, sf_dir):
+    """The binned theta form exists to kill the O(|S|*|C|)
+    BroadcastNestedLoopJoin; its plan must contain none -- the only
+    data-scale join is the bin equi-join carrying the `<` residual."""
+    text = plans.plan_string(_Q["j_theta_binned"](spark, sf_dir))
+    assert "BroadcastNestedLoop" not in text, text
+    assert "CartesianProduct" not in text
+
+
+def test_global_row_ids_stable_across_invocations(spark, sf_dir):
+    """repartitionByRange samples to pick boundaries; the localCheckpoint
+    inside global_row_ids must pin one placement so the counted rows are
+    the numbered rows -- repeated runs must give byte-identical ids."""
+    a = sorted(map(tuple, _Q["x_global_row_ids"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, _Q["x_global_row_ids"](spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_anti_join_is_nonempty(spark, sf_dir):
+    """j_anti must return rows at fixture scale -- a 0==0 oracle match
+    proves nothing about LeftAnti semantics."""
+    assert _Q["j_anti"](spark, sf_dir).count() > 0
+
+
 def test_dynamic_partition_pruning_on_versioned_table(spark, tmp_path):
     """Joining the partitioned fact to a FILTERED small dim must inject a
     dynamicpruning expression into the fact scan's PartitionFilters -- the
