@@ -30,7 +30,19 @@ _MINHASH_K = 16
 _LSH_BANDS = 4
 
 
-_posts_cache: dict[tuple[int, str], DataFrame] = {}
+_posts_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_posts_cache() -> None:
+    """Unpersist and drop every cached posting table. Call when done with a
+    session (tests/conftest does) -- otherwise the persisted blocks live
+    until the owning session stops."""
+    for df in _posts_cache.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks are gone with it
+    _posts_cache.clear()
 
 
 def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +63,10 @@ def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each branch (measured 45 s -> dominated d_minhash_lsh at sf0.1).
     At 100 TB the equivalent is materializing the posting table once.
     """
-    key = (id(spark), sf_dir)
+    # applicationId is stable for a session's lifetime and never reused the
+    # way id(spark) can be after GC -- a dead session's entries can't be
+    # returned for a new session.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _posts_cache:
         docs = load_table(spark, sf_dir, "documents")
         shingles = F.expr(
@@ -347,17 +362,21 @@ def duplicate_clusters_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, so leaving the whole shingle pipeline inline multiplies it
     by the recursion depth (measured 14 s vs 1.5 s at sf0.1). The closure
     enumerates label-carrying paths with UNION ALL to a fixed depth
-    (near-dup components are shallow; the loop twin asserts true
-    convergence), then MIN-aggregates per node. Path enumeration is
-    exponential in dense components, so at 100 TB the iterative min-label
-    loop is the scale path and this form is the declarative cross-check."""
-    (
-        ngram_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-        .createOrReplaceTempView("dup_pairs")
+    (near-dup components are shallow; path enumeration is exponential in
+    dense components, so at 100 TB the iterative min-label loop is the
+    scale path and this form is the declarative cross-check).
+
+    The depth cap cannot silently truncate: a capped closure is correct
+    iff NO edge joins two different cluster ids (every node self-labels at
+    level 0, so edge-consistent labels are constant per component and that
+    constant is the component min). That fixpoint is asserted below with
+    one non-recursive join -- if a component ever exceeded the cap, this
+    raises instead of returning wrong ids."""
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     )
-    return spark.sql("""
+    pairs.createOrReplaceTempView("dup_pairs")
+    res = spark.sql("""
         WITH RECURSIVE
         edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
@@ -373,7 +392,19 @@ def duplicate_clusters_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, MIN(lab) AS cluster_id
         FROM reach GROUP BY doc_id ORDER BY doc_id
-    """)
+    """).localCheckpoint()
+    crossing = (
+        pairs.join(res.alias("la"), pairs.doc_a == F.col("la.doc_id"))
+        .join(res.alias("lb"), pairs.doc_b == F.col("lb.doc_id"))
+        .filter(F.col("la.cluster_id") != F.col("lb.cluster_id"))
+        .count()
+    )
+    if crossing:  # pragma: no cover - requires component diameter > 8
+        raise RuntimeError(
+            f"recursive closure depth cap too small: {crossing} edges cross "
+            "cluster boundaries; raise the lvl bound"
+        )
+    return res
 
 
 def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,7 +43,12 @@ def py_udf_priority_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.select(priority_code("o_orderpriority").alias("code"))
+        # Filter JVM-side BEFORE the UDF (fewer rows cross the pickle
+        # boundary) and mirror the oracle's WHERE contains(...,'-') exactly:
+        # without it, a fixture whose priorities lack a dash would emit a
+        # NULL code group the oracle filters out.
+        orders.filter(F.col("o_orderpriority").contains("-"))
+        .select(priority_code("o_orderpriority").alias("code"))
         .groupBy("code")
         .agg(F.count("*").alias("n_orders"))
         .orderBy("code")

@@ -277,18 +277,37 @@ def merge_into(
     predicate so pruning happens at planning time, and the anti join's
     build side is just the update keys (broadcast when small). Requires
     ``updates`` to carry the partition columns; Delta's MERGE needs the
-    same to prune."""
+    same to prune.
+
+    Matching is TABLE-WIDE, like Delta MERGE: the affected set is the
+    partitions the updates land in PLUS any partition currently holding a
+    matching key -- so an update that moves a key to a new partition value
+    (a corrected trade_date) deletes the old row rather than leaving a
+    duplicate behind. Finding those partitions costs one column-pruned
+    scan of (keys, pcols) semi-joined to the update keys; when the caller
+    KNOWS partition values are key-determined, that scan returns nothing
+    new and AQE makes it cheap."""
+    from pyspark.sql import functions as F
+
     current = read_table(spark, path)
     keys = list(key_cols)
     pcols = list(partition_cols)
     cur_v = current_version(path)
-    affected = [r.asDict() for r in updates.select(*pcols).distinct().collect()]
+    upd_keys = updates.select(*keys).distinct()
+    landing = [r.asDict() for r in updates.select(*pcols).distinct().collect()]
+    matching = [
+        r.asDict()
+        for r in current.join(F.broadcast(upd_keys), keys, "left_semi")
+        .select(*pcols)
+        .distinct()
+        .collect()
+    ]
+    affected = {tuple(sorted(d.items())): d for d in landing + matching}
+    affected = list(affected.values())
     if not affected:
         return cur_v
     pred = _partition_pred(affected)
-    kept = current.filter(pred).join(
-        updates.select(*keys).distinct(), keys, "left_anti"
-    )
+    kept = current.filter(pred).join(upd_keys, keys, "left_anti")
     merged = updates.select(*current.columns).unionByName(kept)
     return write_partitioned(
         merged,

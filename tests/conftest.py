@@ -15,6 +15,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     spark = get_spark(app_name="tests", shuffle_partitions=8)
     yield spark
+    from delta_lake_stock_pipeline_spark.operators.dedup import clear_posts_cache
+
+    clear_posts_cache()
     spark.stop()
 
 

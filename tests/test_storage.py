@@ -206,6 +206,33 @@ def test_merge_and_delete(spark, bars, tmp_path_factory):
     assert v1 == 1 and v2 == 2
 
 
+def test_merge_matches_table_wide_across_partitions(spark, bars, tmp_path_factory):
+    """Delta-MERGE semantics: an update that carries a NEW partition value
+    for an existing key must delete the old row from its old partition --
+    not leave a duplicate behind by manifest reference."""
+    path = str(tmp_path_factory.mktemp("stocks_xpart") / "stocks")
+    storage.write_partitioned(bars, path)
+    n0 = storage.read_table(spark, path).count()
+
+    one = storage.read_table(spark, path).orderBy("ticker", "timestamp_ms").limit(1)
+    # Corrected trade_date: same (ticker, timestamp_ms) key, different
+    # partition value -> the row must MOVE, old partition rewritten.
+    moved = one.withColumn("trade_date", F.date_add(F.col("trade_date"), 365))
+    storage.merge_into(spark, path, moved, ["ticker", "timestamp_ms"])
+
+    after = storage.read_table(spark, path)
+    key = one.collect()[0]
+    got = after.filter(
+        (F.col("ticker") == key["ticker"])
+        & (F.col("timestamp_ms") == key["timestamp_ms"])
+    ).collect()
+    assert len(got) == 1, "key duplicated across partitions after MERGE"
+    import datetime
+
+    assert got[0]["trade_date"] == key["trade_date"] + datetime.timedelta(days=365)
+    assert after.count() == n0
+
+
 def test_merge_is_partition_pruned(spark, bars, tmp_path_factory):
     """MERGE rewrites ONLY partitions containing update keys; everything
     else enters the new snapshot by manifest reference (copy-on-write at
