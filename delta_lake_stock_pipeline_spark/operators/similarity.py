@@ -15,6 +15,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -184,6 +185,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 16
 _IVF_NPROBE = 4
+_IVF_TRAIN_ITERS = 2
 
 
 def _py_cosine(a: list[float], b: list[float]) -> float:
@@ -196,56 +198,127 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
     return d / (na * nb)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF (inverted-file) coarse quantization:
-    assign every vector to its nearest of K centroids, probe the query's
-    nprobe closest clusters, exact-cosine rerank within them.
-
-    Training-free deterministic quantizer: the centroids are the first K
-    vectors by vec_id (a bounded K-row driver fetch -- a query parameter,
-    like ``_query_vector``). Cluster assignment is a PER-ROW higher-order
-    expression (``transform`` over the centroid array + ``array_position``
-    of the max) -- no shuffle, no UDF, stays in whole-stage codegen.
-
-    At 100 TB: centroids come from a k-means sample at ingest, the cluster
-    id is materialized as a write-time column and the table is partitioned
-    by it, so a query prunes to nprobe partitions instead of scanning the
-    corpus; recall/latency trades via nprobe exactly as in FAISS-style IVF.
-    Rows-only check (approximate; ``v_cosine_topk`` is the exact anchor).
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < _IVF_K)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    centroids = [list(r["embedding"]) for r in cent_rows]
-    qvec = centroids[0]  # vec_id = 0 is the query vector, as in the LSH twin
-
-    # Query-side probe set: nprobe nearest centroids, computed with the same
-    # arithmetic driver-side (smallest index wins ties, same as
-    # array_position on the first max).
-    qsims = [_py_cosine(qvec, c) for c in centroids]
-    probe = sorted(range(_IVF_K), key=lambda i: (-qsims[i], i))[:_IVF_NPROBE]
-    probe_clusters = [i + 1 for i in probe]  # array_position is 1-based
-
+def _assign_expr(centroids: list[list[float]]) -> F.Column:
+    """1-based nearest-centroid id as a pure Catalyst expression:
+    ``transform`` over the centroid literal array + ``array_position`` of
+    the max similarity (first max wins ties -- deterministic)."""
     cents = F.array(*[_lit_vec(c) for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col("embedding"), c))
+    return F.array_position(sims, F.array_max(sims)).cast("int")
 
-    # Materialize the centroid-similarity array ONCE per row; cluster
-    # assignment and the query similarity (query == centroid 0, so
-    # cos(v, q) == sims[1]) both read it instead of re-running the
-    # 16-cosine transform per reference.
+
+# (applicationId, sf_dir) -> (index_path, trained_centroids). The index is
+# the session's ingest-time artifact; every ann_ivf query reuses it.
+_ivf_cache: dict[tuple[str, str], tuple[str, list[list[float]]]] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
+    """Build (once per session+sf_dir) the IVF index: train centroids with
+    spherical-k-means Lloyd iterations, then write the corpus partitioned
+    BY CLUSTER ID -- the write-time materialization that lets queries prune
+    to nprobe partition directories instead of scanning the corpus.
+
+    Training is distributed: assignment is the Catalyst expression above;
+    the per-dimension means come back as K*DIM grouped rows (bounded
+    centroid metadata, like Delta log reads -- never data-scale). Init =
+    first K vectors by vec_id, so the whole pipeline is deterministic.
+
+    The index is cached on DISK keyed by the source file's identity
+    (path+mtime+size) and the quantizer parameters: the ingest cost is
+    paid once per corpus, not once per process -- exactly how a real
+    ingest-time artifact behaves. Writes are atomic (build in a tmp dir,
+    rename into place) so concurrent builders can't observe a half-index.
+    """
+    import json
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ivf_cache:
+        return _ivf_cache[key]
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+        f":{_IVF_K}:{_IVF_TRAIN_ITERS}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_ivf", tag)
+    idx = os.path.join(base, "index")
+    meta = os.path.join(base, "centroids.json")
+
+    if not (os.path.exists(os.path.join(idx, "_SUCCESS")) and os.path.exists(meta)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = [
+            list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < _IVF_K)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        ]
+        for _ in range(_IVF_TRAIN_ITERS):
+            means = (
+                emb.withColumn("cluster", _assign_expr(centroids))
+                .select("cluster", F.posexplode("embedding").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            new = [list(c) for c in centroids]  # empty clusters keep centroid
+            for r in means:
+                new[r["cluster"] - 1][r["pos"]] = float(r["m"])
+            centroids = new
+
+        tmp = f"{base}.tmp-{os.getpid()}"
+        (
+            emb.withColumn("cluster", _assign_expr(centroids))
+            .write.partitionBy("cluster")
+            .parquet(os.path.join(tmp, "index"))
+        )
+        with open(os.path.join(tmp, "centroids.json"), "w") as fh:
+            json.dump(centroids, fh)
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # a concurrent builder won the rename; use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    with open(meta) as fh:
+        centroids = json.load(fh)
+    _ivf_cache[key] = (idx, centroids)
+    return _ivf_cache[key]
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (inverted-file) coarse quantization:
+    k-means-trained centroids, cluster id materialized as a write-time
+    PARTITION column (see ``_ivf_index``), query pruned to the nprobe
+    closest clusters' partitions, exact-cosine rerank within them.
+
+    The scan reads ONLY the probed partition directories (plan-gated:
+    ``cluster`` appears in PartitionFilters) -- at 100 TB a query touches
+    nprobe/K of the corpus, trading recall for latency via nprobe exactly
+    as FAISS-style IVF does. Rows-only check (approximate;
+    ``v_cosine_topk`` is the exact anchor, recall gated in tests).
+    """
+    path, centroids = _ivf_index(spark, sf_dir)
+    qvec = _query_vector(spark, sf_dir, 0)
+
+    # Probe set: nprobe nearest centroids, same arithmetic driver-side.
+    qsims = [_py_cosine(qvec, c) for c in centroids]
+    probe = [
+        i + 1 for i in sorted(range(_IVF_K), key=lambda i: (-qsims[i], i))[:_IVF_NPROBE]
+    ]
+
+    q = _lit_vec(qvec)
     return (
-        emb.withColumn("sims", sims)
-        .withColumn("cluster", F.array_position(F.col("sims"), F.array_max("sims")))
-        .filter(F.col("cluster").isin(probe_clusters) & (F.col("vec_id") != 0))
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
         .select(
             "vec_id",
             "label",
             F.col("cluster").cast("int").alias("cluster"),
-            F.round(F.element_at("sims", 1), 6).alias("cos_sim"),
+            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)

@@ -172,6 +172,25 @@ def test_global_row_ids_stable_across_invocations(spark, sf_dir):
     assert a == b
 
 
+def test_ivf_query_prunes_to_probed_partitions(spark, sf_dir):
+    """The IVF query must read ONLY the probed clusters' partition
+    directories: `cluster IN (...)` in PartitionFilters, not a post-scan
+    Filter over the whole corpus -- that pruning IS the IVF speedup."""
+    feats = plans.plan_features(_Q["v_ann_ivf"](spark, sf_dir))
+    assert any("cluster" in pf and " IN " in pf for pf in feats.partition_filters), (
+        feats.partition_filters
+    )
+
+
+def test_ivf_recall_anchored_to_exact_topk(spark, sf_dir):
+    """IVF is approximate by design; recall@10 vs the exact brute-force
+    anchor must stay high (nprobe/K = 4/16 trades a bounded recall loss
+    for reading 1/4 of the corpus)."""
+    exact = {r["vec_id"] for r in _Q["v_cosine_topk"](spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in _Q["v_ann_ivf"](spark, sf_dir).collect()}
+    assert len(exact & approx) >= 8, f"recall@10 dropped: {sorted(exact & approx)}"
+
+
 def test_anti_join_is_nonempty(spark, sf_dir):
     """j_anti must return rows at fixture scale -- a 0==0 oracle match
     proves nothing about LeftAnti semantics."""
