@@ -333,16 +333,18 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))
                 ).alias("lab"),
+                # Convergence flag computed IN the update (old lab is right
+                # here) -- the count below scans the already-materialized
+                # checkpoint instead of re-joining new vs old labels.
+                (
+                    F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab")))
+                    != F.col("lab")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(F.broadcast(labels.alias("o")), "doc_id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.select("doc_id", "lab")
         if changed == 0:
             break
     else:  # pragma: no cover
