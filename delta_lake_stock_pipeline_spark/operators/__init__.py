@@ -22,6 +22,7 @@ from .. import streaming
 from . import (
     aggregates,
     dedup,
+    formats,
     functions_ext,
     joins,
     multimodal,
@@ -39,6 +40,7 @@ from . import (
 _MODULES = [
     relational,
     aggregates,
+    formats,
     functions_ext,
     joins,
     tpch,

@@ -103,8 +103,42 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split by CONTENT-INDEPENDENT key
+    hash -- the reproducible-holdout primitive of every training-data
+    pipeline: md5 of the doc id, first 32 bits mod 100, 80/10/10.
+
+    Unlike the seeded-RNG samples above, this is engine-portable (md5 is
+    md5 everywhere), so membership is EXACTLY oracle-checked (sum of doc
+    ids per split pins the assignment, not just the counts). Zero shuffle
+    before the final 3-group aggregate; at 100 TB the same expression is a
+    write-time partition column so each split reads its own files."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(F.length("text")).alias("sum_len"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "r_pivot": pivot_wide,
+    "r_hash_split": hash_split,
     "r_unpivot": unpivot_long,
     "r_sample_systematic": sample_systematic,
     "r_sample_bernoulli": sample_bernoulli,
@@ -112,6 +146,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "r_hash_split": """
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'validation'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               SUM(doc_id) AS sum_doc_id,
+               SUM(length(text)) AS sum_len
+        FROM (
+            SELECT doc_id, text,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS b
+            FROM documents
+        )
+        GROUP BY 1 ORDER BY 1
+    """,
     "r_pivot": """
         SELECT l_returnflag,
                ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O_qty,
