@@ -46,8 +46,13 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = events.withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT)).cast("int")
     )
+    # SHUFFLE_HASH hint: at fixture scale the exploded dim is small enough
+    # that Catalyst would broadcast it -- which never shuffles the fact and
+    # so never exercises what salting exists for. The hint forces the
+    # shuffle-join path (the 100 TB situation where BOTH sides are big),
+    # so the (user_id, salt) key really does spread each hot key S ways.
     return (
-        fact.join(salted_dim, ["user_id", "salt"])
+        fact.join(salted_dim.hint("SHUFFLE_HASH"), ["user_id", "salt"])
         .select("event_id", "user_id", "event_type", "user_events")
         .orderBy("event_id")
     )

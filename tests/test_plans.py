@@ -191,6 +191,15 @@ def test_ivf_recall_anchored_to_exact_topk(spark, sf_dir):
     assert len(exact & approx) >= 8, f"recall@10 dropped: {sorted(exact & approx)}"
 
 
+def test_salted_join_actually_shuffles(spark, sf_dir):
+    """x_salted_skew_join must take the shuffle-join path: a broadcast of
+    the salted dim would never shuffle the fact, so the (user_id, salt)
+    spreading it demonstrates would be dead code."""
+    text = plans.plan_string(_Q["x_salted_skew_join"](spark, sf_dir))
+    assert "ShuffledHashJoin" in text
+    assert "BroadcastHashJoin" not in text
+
+
 def test_anti_join_is_nonempty(spark, sf_dir):
     """j_anti must return rows at fixture scale -- a 0==0 oracle match
     proves nothing about LeftAnti semantics."""
