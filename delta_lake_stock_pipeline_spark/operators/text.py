@@ -131,8 +131,95 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters for
+    boilerplate/spam): unique-token ratio, duplicate-2-gram fraction, and
+    the share of the single most-repeated token.
+
+    All three are WITHIN-ROW higher-order array expressions -- zero
+    shuffle, zero Python, whole-stage codegen; the most-repeated share is
+    O(unique x tokens) per row, bounded by document length (never by
+    corpus size), which is the right place to spend the work at 100 TB.
+    """
+    toks = _tokens()
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    bigrams = F.expr(
+        "transform(sequence(0, size(split(lower(text), ' ')) - 2),"
+        " i -> concat_ws(' ', split(lower(text), ' ')[i],"
+        " split(lower(text), ' ')[i+1]))"
+    )
+    top_cnt = F.array_max(
+        F.transform(uniq, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(n >= 2)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            F.round(F.size(uniq) / n, 4).alias("uniq_ratio"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4
+            ).alias("dup_bigram_frac"),
+            F.round(top_cnt / n, 4).alias("top_token_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan -- the composed
+    job an LLM-data user actually runs nightly:
+
+    1. quality gate: token count in [10, 1000], unique-token ratio >= 0.3;
+    2. exact dedup: one keeper (min doc_id) per normalized-content md5,
+       via a window over the fingerprint -- one shuffle, no self-join;
+    3. reproducible split: md5 hash bucket 80/10/10 (same expression as
+       ``r_hash_split``);
+    4. report: kept docs + chars per (lang, split).
+
+    Everything stays in Catalyst: the only shuffles are the dedup window
+    and the final small aggregate; at 100 TB both key on well-distributed
+    hashes (content fp, lang) so no skew. Exactly oracle-checked."""
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(n.between(10, 1000) & (uniq_ratio >= 0.3))
+        .withColumn("fp", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 QUERIES = {
     "t_token_count": token_count,
+    "t_repetition": repetition_stats,
+    "t_curation_pipeline": curation_pipeline,
     "t_word_frequency": word_frequency,
     "t_doc_stats": doc_stats,
     "t_quality_score": quality_score,
@@ -147,6 +234,53 @@ _MARKER_SQL = {
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
 
 ORACLES = {
+    "t_curation_pipeline": """
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+                   len(string_split(lower(text), ' ')) AS n_toks,
+                   len(list_distinct(string_split(lower(text), ' ')))
+                       / len(string_split(lower(text), ' ')) AS uniq_ratio,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS b
+            FROM documents
+        ),
+        kept AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored
+            WHERE n_toks BETWEEN 10 AND 1000 AND uniq_ratio >= 0.3
+        )
+        SELECT lang,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'validation'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars,
+               SUM(doc_id) AS sum_doc_id
+        FROM kept WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "t_repetition": """
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(len(list_distinct(toks)) / len(toks), 4) AS uniq_ratio,
+               ROUND(1.0 - len(list_distinct(bigrams)) / len(bigrams), 4)
+                   AS dup_bigram_frac,
+               ROUND(list_max(list_transform(list_distinct(toks),
+                         t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4)
+                   AS top_token_share
+        FROM (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS toks,
+                   list_transform(range(1, len(string_split(lower(text), ' '))),
+                       i -> string_split(lower(text), ' ')[i] || ' ' ||
+                            string_split(lower(text), ' ')[i+1]) AS bigrams
+            FROM documents
+        )
+        WHERE len(toks) >= 2
+        ORDER BY doc_id
+    """,
     "t_token_count": """
         SELECT doc_id,
                CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
