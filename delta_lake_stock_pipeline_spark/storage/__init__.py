@@ -25,6 +25,7 @@ from .bucketed import bucketed_join, write_bucketed
 from .maintenance import HealthReport, compare_health, health_check, optimize, vacuum
 from .stocks import STOCK_SCHEMA, synthesize_bars, with_derived_columns
 from .table import (
+    ExpectationError,
     analyze_table,
     current_version,
     delete_where,
@@ -32,12 +33,17 @@ from .table import (
     merge_into,
     read_table,
     register_external,
+    restore,
     snapshot_dirs,
     snapshot_of,
     write_partitioned,
+    write_with_expectations,
 )
 
 __all__ = [
+    "ExpectationError",
+    "restore",
+    "write_with_expectations",
     "STOCK_SCHEMA",
     "analyze_table",
     "HealthReport",

@@ -210,8 +210,99 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
         parts.append(spark.read.option("basePath", vdir).parquet(*paths))
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        # allowMissingColumns = schema evolution on read: a snapshot can mix
+        # versions written before/after an added column (Delta reads such
+        # tables the same way -- absent columns are NULL).
+        df = df.unionByName(p, allowMissingColumns=True)
     return df
+
+
+def restore(path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION (Delta ``RESTORE``,
+    reference maintenance surface extension): roll the LIVE table back to
+    ``version``'s snapshot as a NEW commit -- pure manifest metadata, zero
+    bytes copied (the old version dirs are immutable until VACUUM), and
+    the rolled-back versions stay readable, so a bad restore is itself
+    restorable. Returns the new version number."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no versions at {path}")
+    target = snapshot_of(path, version)
+    new_version = cur + 1
+    _append_manifest(
+        path,
+        {
+            "version": new_version,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "operation": "RESTORE",
+            "operationMetrics": {
+                "restoredVersion": version,
+                "numReferencedPartitions": len(target),
+                "numRewrittenPartitions": 0,
+            },
+            "snapshot": target,
+        },
+    )
+    return new_version
+
+
+class ExpectationError(ValueError):
+    """Raised when a ``fail``-mode expectation is violated; carries the
+    per-rule violation counts."""
+
+    def __init__(self, violations: dict[str, int]):
+        super().__init__(f"expectations violated: {violations}")
+        self.violations = violations
+
+
+def write_with_expectations(
+    df: DataFrame,
+    path: str,
+    expectations: dict[str, str],
+    on_violation: str = "fail",
+    partition_cols: Sequence[str] = DEFAULT_PARTITION_COLS,
+    **write_kwargs,
+) -> tuple[int | None, dict[str, int]]:
+    """Data-quality-gated write (Delta CHECK constraints / DLT
+    expectations): each rule is a SQL boolean that every row must satisfy.
+
+    Violation counts are measured with ``observe`` DURING the write job --
+    no second scan at any scale. ``on_violation``:
+
+    * ``"fail"``  -- constraint semantics: if any rule is violated the
+      just-written version is rolled back (version dir removed, manifest
+      entry popped -- the commit never becomes visible) and
+      :class:`ExpectationError` raises.
+    * ``"track"`` -- DLT-style monitoring: the write commits regardless and
+      the counts are returned for the caller's quality dashboard.
+
+    Returns ``(version, violations)``; version is None only on failure.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if on_violation not in ("fail", "track"):
+        raise ValueError(f"on_violation must be fail|track, got {on_violation}")
+    obs = Observation("expectations")
+    observed = df.observe(
+        obs,
+        *[
+            F.sum(F.when(~F.expr(rule), 1).otherwise(0)).alias(name)
+            for name, rule in expectations.items()
+        ],
+    )
+    version = write_partitioned(
+        observed, path, partition_cols, operation="WRITE", **write_kwargs
+    )
+    violations = {k: int(v or 0) for k, v in obs.get.items()}
+    if on_violation == "fail" and any(violations.values()):
+        entries = [e for e in _read_manifest(path) if e["version"] != version]
+        with open(_manifest_path(path), "w") as fh:
+            for e in entries:
+                fh.write(json.dumps(e) + "\n")
+        shutil.rmtree(_version_dir(path, version), ignore_errors=True)
+        raise ExpectationError({k: v for k, v in violations.items() if v})
+    return version, violations
 
 
 def history(spark: SparkSession, path: str) -> DataFrame:
@@ -259,6 +350,7 @@ def merge_into(
     updates: DataFrame,
     key_cols: Sequence[str],
     partition_cols: Sequence[str] = DEFAULT_PARTITION_COLS,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE (upsert): rows in ``updates`` replace current rows with the
     same key; unmatched update rows are inserted. The Delta-class operation
@@ -308,7 +400,13 @@ def merge_into(
         return cur_v
     pred = _partition_pred(affected)
     kept = current.filter(pred).join(upd_keys, keys, "left_anti")
-    merged = updates.select(*current.columns).unionByName(kept)
+    if evolve_schema:
+        # Delta autoMerge semantics: updates may ADD columns; kept rows
+        # (and, via read_table's allowMissingColumns union, every untouched
+        # partition) surface NULL for them.
+        merged = updates.unionByName(kept, allowMissingColumns=True)
+    else:
+        merged = updates.select(*current.columns).unionByName(kept)
     return write_partitioned(
         merged,
         path,

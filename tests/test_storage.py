@@ -206,6 +206,81 @@ def test_merge_and_delete(spark, bars, tmp_path_factory):
     assert v1 == 1 and v2 == 2
 
 
+def test_restore_rolls_back_as_new_metadata_commit(spark, bars, tmp_path_factory):
+    """RESTORE returns the live table to an old snapshot without copying
+    data, as a NEW version -- the rolled-back history stays readable."""
+    path = str(tmp_path_factory.mktemp("stocks_restore") / "stocks")
+    storage.write_partitioned(bars, path)
+    n0 = storage.read_table(spark, path).count()
+
+    one = storage.read_table(spark, path).orderBy("ticker", "timestamp_ms").limit(1)
+    key = one.collect()[0]
+    storage.delete_where(spark, path, f"ticker = '{key['ticker']}'")
+    assert storage.read_table(spark, path).count() < n0
+
+    v2 = storage.restore(path, 0)
+    assert v2 == 2
+    assert storage.read_table(spark, path).count() == n0  # live == v0 again
+    assert storage.read_table(spark, path, version=1).filter(
+        F.col("ticker") == key["ticker"]
+    ).count() == 0  # the deleted state is still time-travelable
+    ops = [r["operation"] for r in storage.history(spark, path).collect()]
+    assert ops == ["WRITE", "DELETE", "RESTORE"]
+    # Metadata-only: no new version directory was written.
+    assert storage.snapshot_of(path, 2) == storage.snapshot_of(path, 0)
+
+
+def test_merge_evolves_schema_with_null_backfill(spark, bars, tmp_path_factory):
+    """evolve_schema MERGE: updates carrying a NEW column commit, with old
+    rows (touched and untouched partitions alike) reading NULL for it."""
+    path = str(tmp_path_factory.mktemp("stocks_evolve") / "stocks")
+    storage.write_partitioned(bars, path)
+    n0 = storage.read_table(spark, path).count()
+
+    one = storage.read_table(spark, path).orderBy("ticker", "timestamp_ms").limit(1)
+    updates = one.withColumn("adj_close", F.col("close") * 0.5)
+    storage.merge_into(
+        spark, path, updates, ["ticker", "timestamp_ms"], evolve_schema=True
+    )
+    after = storage.read_table(spark, path)
+    assert "adj_close" in after.columns
+    assert after.count() == n0
+    assert after.filter(F.col("adj_close").isNotNull()).count() == 1
+    key = one.collect()[0]
+    got = after.filter(
+        (F.col("ticker") == key["ticker"])
+        & (F.col("timestamp_ms") == key["timestamp_ms"])
+    ).collect()
+    assert len(got) == 1 and got[0]["adj_close"] == key["close"] * 0.5
+
+
+def test_write_with_expectations_gates_and_tracks(spark, bars, tmp_path_factory):
+    """fail-mode: a violated rule rolls the commit back entirely;
+    track-mode: the write commits and reports per-rule counts."""
+    path = str(tmp_path_factory.mktemp("stocks_expect") / "stocks")
+
+    with pytest.raises(storage.ExpectationError) as ei:
+        storage.write_with_expectations(
+            bars,
+            path,
+            {"positive_volume": "volume > 0", "absurd_price": "close > 1e12"},
+        )
+    # close > 1e12 fails for every row; the commit must have vanished.
+    assert ei.value.violations["absurd_price"] > 0
+    assert storage.current_version(path) is None
+
+    version, violations = storage.write_with_expectations(
+        bars,
+        path,
+        {"positive_volume": "volume > 0", "absurd_price": "close > 1e12"},
+        on_violation="track",
+    )
+    assert version == 0
+    assert violations["positive_volume"] == 0
+    assert violations["absurd_price"] == bars.count()
+    assert storage.read_table(spark, path).count() == bars.count()
+
+
 def test_merge_matches_table_wide_across_partitions(spark, bars, tmp_path_factory):
     """Delta-MERGE semantics: an update that carries a NEW partition value
     for an existing key must delete the old row from its old partition --
