@@ -184,7 +184,18 @@ def theta_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     customer = load_table(spark, sf_dir, "customer").select("c_acctbal")
-    binexpr = lambda c: F.floor(F.col(c) / 1000).cast("int")  # noqa: E731
+    return binned_count_greater(supplier, customer, bin_width=1000)
+
+
+def binned_count_greater(
+    supplier: DataFrame, customer: DataFrame, bin_width: float
+) -> DataFrame:
+    """Core of the binned theta join (property-tested in
+    tests/test_properties.py across bin boundaries, negatives, empties):
+    per (s_suppkey, s_acctbal) row, the count of customer rows with
+    strictly larger c_acctbal; rows with zero matches are omitted
+    (inner-join semantics, same as the nested-loop form)."""
+    binexpr = lambda c: F.floor(F.col(c) / bin_width).cast("int")  # noqa: E731
 
     cust = customer.withColumn("bin", binexpr("c_acctbal"))
     supp = supplier.withColumn("bin", binexpr("s_acctbal"))

@@ -17,7 +17,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from delta_lake_stock_pipeline_spark.operators.joins import asof_union_window
+from delta_lake_stock_pipeline_spark.operators.joins import (
+    asof_union_window,
+    binned_count_greater,
+)
 
 # Small domains force key/timestamp collisions -- the interesting cases.
 _row = st.tuples(
@@ -91,3 +94,35 @@ def test_salted_join_equals_plain_join(spark, rows):
         .collect()
     )
     assert salted == plain
+
+
+# Balances that sit EXACTLY on bin boundaries (multiples of the width),
+# straddle zero (floor-of-negative), and collide -- the edge cases of the
+# bin decomposition.
+_bals = st.lists(
+    st.integers(min_value=-25, max_value=25).map(lambda i: i * 5.0),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(supp=_bals, cust=_bals)
+@settings(**_SETTINGS)
+def test_binned_theta_matches_brute_force(spark, supp, cust):
+    """binned_count_greater == the nested-loop count for ANY balances,
+    including values exactly on bin boundaries and negatives (bin width 10
+    over a [-125, 125] domain -> every row within 2 bins of a boundary)."""
+    expected = sorted(
+        (i, sum(1 for c in cust if c > s))
+        for i, s in enumerate(supp)
+        if any(c > s for c in cust)
+    )
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(supp)], "s_suppkey long, s_acctbal double"
+    )
+    cdf = spark.createDataFrame([(c,) for c in cust], "c_acctbal double")
+    got = sorted(
+        (r["s_suppkey"], r["n_richer_customers"])
+        for r in binned_count_greater(sdf, cdf, bin_width=10.0).collect()
+    )
+    assert got == expected
