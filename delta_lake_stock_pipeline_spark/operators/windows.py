@@ -107,8 +107,34 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit full-partition
+    frame, plus percent_rank and cume_dist -- the analytic value/distribution
+    functions per market segment by balance. One shuffle on the partition
+    key; the full-partition frame is explicit because last_value over the
+    default (unbounded-preceding..current) frame is the classic silent-wrong
+    window."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.first_value("c_custkey").over(wf).alias("richest_key"),
+            F.last_value("c_custkey").over(wf).alias("poorest_key"),
+            F.nth_value("c_custkey", 2).over(wf).alias("second_key"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("c_custkey") % 10 == 0)
+    )
+
+
 QUERIES = {
     "w_rank": window_rank,
+    "w_value_functions": window_value_functions,
     "w_lag_lead": window_lag_lead,
     "w_moving_avg": window_moving_avg,
     "w_cumulative": window_cumulative,
@@ -116,6 +142,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w_value_functions": """
+        SELECT * FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   FIRST_VALUE(c_custkey) OVER wf AS richest_key,
+                   LAST_VALUE(c_custkey) OVER wf AS poorest_key,
+                   NTH_VALUE(c_custkey, 2) OVER wf AS second_key,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey),
+                   wf AS (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
+        ) WHERE c_custkey % 10 = 0
+    """,
     "w_rank": """
         SELECT * FROM (
             SELECT c_mktsegment, c_custkey, c_acctbal,
