@@ -206,6 +206,30 @@ def test_anti_join_is_nonempty(spark, sf_dir):
     assert _Q["j_anti"](spark, sf_dir).count() > 0
 
 
+# Queries ALLOWED to contain a nested-loop join: the 1-row scalar-subquery
+# broadcasts (q11's global fraction, q22's avg balance -- a 1-row build side
+# is exactly what BNLJ is for) and the deliberate brute-force theta join,
+# whose scale twin j_theta_binned is gated to have none.
+_BNLJ_OK = {"h_q11_important_stock", "h_q22_dormant_customers", "j_theta"}
+# Queries ALLOWED to cross into Python row-at-a-time (pickled): the two
+# deliberate slow-path demos.
+_PICKLE_OK = {"u_py_udf", "u_py_udtf"}
+
+
+def test_no_query_regresses_to_cartesian_nested_loop_or_pickle(spark, sf_dir):
+    """Blanket plan audit over EVERY registered query: no cartesian
+    product anywhere; nested-loop joins and pickled Python only on the
+    explicit allowlists above. Catches a silently-degenerated plan the
+    per-operator gates don't cover."""
+    for name, fn in sorted(all_queries().items()):
+        text = plans.plan_string(fn(spark, sf_dir))
+        assert "CartesianProduct" not in text, f"{name} has a cartesian product"
+        if name not in _BNLJ_OK:
+            assert "BroadcastNestedLoop" not in text, f"{name} grew a BNLJ"
+        if name not in _PICKLE_OK:
+            assert "BatchEvalPython" not in text, f"{name} fell back to pickle"
+
+
 def test_dynamic_partition_pruning_on_versioned_table(spark, tmp_path):
     """Joining the partitioned fact to a FILTERED small dim must inject a
     dynamicpruning expression into the fact scan's PartitionFilters -- the
