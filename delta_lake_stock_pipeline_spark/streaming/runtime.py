@@ -73,6 +73,18 @@ def tumbling_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_static_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a BATCH
+    dimension table (user profile, reference data). No watermark needed --
+    the static side is re-read per micro-batch (so dim updates are picked
+    up) and broadcast when small: zero state, zero stream-side shuffle.
+    The canonical lookup-enrichment shape; at 100 TB the dim broadcast is
+    the same decision as the batch ``j_broadcast``."""
+    return stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "ts", "event_type", "value", "user_segment"
+    )
+
+
 def dedup_within_watermark(stream: DataFrame) -> DataFrame:
     """Drop duplicate event_ids arriving within the watermark horizon --
     the streaming form of exact dedup (state bounded by the watermark,

@@ -43,6 +43,30 @@ def test_streaming_tumbling_equals_batch(spark, events_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_stream_static_enrichment_equals_batch_join(spark, events_dir, tmp_path):
+    """Stream-static broadcast join: every streamed event picks up its
+    user's segment from the batch dim, identically to the batch join."""
+    dim = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "user_segment",
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+        )
+    )
+    stream = runtime.events_stream(spark, events_dir)
+    got = runtime.run_available_now(
+        runtime.enrich_with_static_dim(stream, dim),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    want = load_table(spark, SF_DIR, "events").join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "ts", "event_type", "value", "user_segment"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     """Duplicate event_ids inside the watermark horizon are dropped."""
     src = str(tmp_path / "src")
