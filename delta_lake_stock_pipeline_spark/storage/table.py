@@ -181,9 +181,28 @@ def write_partitioned(
     return version
 
 
-def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Scan a table version (S7; default latest). ``version`` is time travel:
-    old version dirs are immutable until VACUUM removes them.
+def version_at_timestamp(path: str, timestamp: str) -> int:
+    """Delta ``timestampAsOf`` resolution: the last version committed at or
+    before ``timestamp`` (ISO-8601 UTC, same format the manifest stores).
+    Raises if the table has no version that old."""
+    candidates = [
+        e["version"] for e in _read_manifest(path) if e["timestamp"] <= timestamp
+    ]
+    if not candidates:
+        raise ValueError(f"no version at or before {timestamp} in {path}")
+    return max(candidates)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+) -> DataFrame:
+    """Scan a table version (S7; default latest). ``version`` (Delta
+    ``versionAsOf``) or ``timestamp`` (``timestampAsOf``, resolved against
+    manifest commit times) is time travel: old version dirs are immutable
+    until VACUUM removes them.
 
     Resolves the version's SNAPSHOT: after a pruned MERGE/DELETE the live
     table is a union of partition dirs across version dirs (one read per
@@ -191,6 +210,10 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
     columns materialize; filters on partition columns still prune because
     every listed path carries its partition values). Single-version
     snapshots take the plain whole-dir scan."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions at {path}")

@@ -230,6 +230,30 @@ def test_restore_rolls_back_as_new_metadata_commit(spark, bars, tmp_path_factory
     assert storage.snapshot_of(path, 2) == storage.snapshot_of(path, 0)
 
 
+def test_time_travel_by_timestamp(spark, bars, tmp_path_factory):
+    """timestampAsOf: reads resolve to the last version committed at or
+    before the given instant; too-early timestamps raise."""
+    import time as _time
+
+    path = str(tmp_path_factory.mktemp("stocks_tsasof") / "stocks")
+    storage.write_partitioned(bars, path)
+    n0 = storage.read_table(spark, path).count()
+    ts0 = [r for r in storage.history(spark, path).collect()][0]["timestamp"]
+    _time.sleep(1.1)  # manifest timestamps are second-granularity
+    key = storage.read_table(spark, path).limit(1).collect()[0]
+    storage.delete_where(spark, path, f"ticker = '{key['ticker']}'")
+
+    assert storage.read_table(spark, path, timestamp=ts0).count() == n0
+    assert (
+        storage.read_table(spark, path, timestamp="9999-12-31T00:00:00Z").count()
+        == storage.read_table(spark, path).count()
+    )
+    with pytest.raises(ValueError):
+        storage.read_table(spark, path, timestamp="1999-01-01T00:00:00Z")
+    with pytest.raises(ValueError):
+        storage.read_table(spark, path, version=0, timestamp=ts0)
+
+
 def test_merge_evolves_schema_with_null_backfill(spark, bars, tmp_path_factory):
     """evolve_schema MERGE: updates carrying a NEW column commit, with old
     rows (touched and untouched partitions alike) reading NULL for it."""
