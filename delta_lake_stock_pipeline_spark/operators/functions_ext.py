@@ -94,13 +94,65 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safety surface (Spark 4 runs ANSI mode by default, where
+    divide-by-zero / bad casts THROW): ``try_divide`` / ``try_cast`` /
+    ``try_to_timestamp`` return NULL instead, making dirty-data pipelines
+    total functions. The oracle mirrors with NULLIF / TRY_CAST.
+
+    Per-group sums go through decimal(18,6) so cross-engine double
+    summation order cannot perturb the last digit."""
+    orders = load_table(spark, sf_dir, "orders")
+    grp = (F.col("o_custkey") % 3).cast("int")
+    return (
+        orders.select(
+            grp.alias("grp"),
+            F.try_divide(F.col("o_totalprice"), grp).alias("div"),
+            F.expr(
+                "try_cast(substring(o_orderpriority, 1, 1) as bigint)"
+            ).alias("prio_num"),
+            F.expr("try_cast(o_orderstatus as bigint)").alias("status_num"),
+            F.try_to_timestamp("o_orderstatus").alias("status_ts"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("div").isNull().cast("long")).alias("n_div_null"),
+            F.sum(F.col("div").cast("decimal(18,6)")).alias("sum_div"),
+            F.count("prio_num").alias("n_prio_parsed"),
+            F.count("status_num").alias("n_status_parsed"),
+            F.count("status_ts").alias("n_ts_parsed"),
+        )
+        .orderBy("grp")
+    )
+
+
 QUERIES = {
+    "fn_try_funcs": try_funcs,
     "fn_date_funcs": date_funcs,
     "fn_array_funcs": array_funcs,
     "fn_map_funcs": map_funcs,
 }
 
 ORACLES = {
+    "fn_try_funcs": """
+        SELECT grp,
+               COUNT(*) AS n,
+               SUM(CASE WHEN div IS NULL THEN 1 ELSE 0 END) AS n_div_null,
+               SUM(CAST(div AS DECIMAL(18,6))) AS sum_div,
+               COUNT(prio_num) AS n_prio_parsed,
+               COUNT(status_num) AS n_status_parsed,
+               COUNT(status_ts) AS n_ts_parsed
+        FROM (
+            SELECT CAST(o_custkey % 3 AS INTEGER) AS grp,
+                   o_totalprice / NULLIF(CAST(o_custkey % 3 AS INTEGER), 0) AS div,
+                   TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+                   TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+                   TRY_CAST(o_orderstatus AS TIMESTAMP) AS status_ts
+            FROM orders
+        )
+        GROUP BY grp ORDER BY grp
+    """,
     "fn_date_funcs": """
         WITH e AS (
             SELECT strftime(ts, '%Y-%m') AS month_str,

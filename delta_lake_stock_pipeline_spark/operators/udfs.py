@@ -172,8 +172,74 @@ def py_udtf_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (a UDAF): quantity-weighted mean price
+    per returnflag. The whole group's columns arrive as Series; Spark still
+    runs a hash-partial/final pipeline around it (one shuffle on the key).
+
+    Float caution, made exact: prices are 2-decimal values, so the UDAF
+    sums integer CENTS (exact in int64) and divides once -- bit-identical
+    to the oracle's integer-sum form regardless of summation order."""
+
+    @F.pandas_udf("double")
+    def wavg_price(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        return float((cents * q).sum()) / float(q.sum()) / 100.0
+
+    # Spark disallows mixing a group-agg pandas UDF with JVM aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a
+    # second pandas aggregate.
+    @F.pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        return len(qty)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                wavg_price(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("wavg_price"),
+            n_rows(F.col("l_quantity")).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def map_in_arrow_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` (Spark 4): partition-wise transform on RAW Arrow
+    record batches -- one abstraction lower than mapInPandas (no pandas
+    conversion at all; zero-copy into pyarrow.compute). Doubling is a
+    power-of-two scale, so the float math is bit-exact and the oracle can
+    mirror it as ``value * 2``."""
+    import pyarrow as pa
+
+    def double_value(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.multiply(batch.column(1), pa.scalar(2.0))],
+                ["event_type", "value2"],
+            )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        events.mapInArrow(double_value, "event_type string, value2 double")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value2").cast("decimal(18,6)")).alias("sum_doubled"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "u_py_udf": py_udf_priority_code,
+    "u_pandas_udaf": pandas_udaf_weighted_mean,
+    "u_map_in_arrow": map_in_arrow_scaled,
     "u_pandas_udf": pandas_udf_net_revenue,
     "u_apply_in_pandas": apply_in_pandas_group_zscores,
     "u_map_in_pandas": map_in_pandas_json_props,
@@ -181,6 +247,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "u_pandas_udaf": """
+        SELECT l_returnflag,
+               ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0,
+                     4) AS wavg_price,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "u_map_in_arrow": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value * 2 AS DECIMAL(18,6))) AS sum_doubled
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "u_py_udf": """
         SELECT trim(string_split(o_orderpriority, '-')[2]) AS code,
                COUNT(*) AS n_orders
