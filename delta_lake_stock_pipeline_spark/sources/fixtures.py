@@ -51,9 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session.py. Without it the scan throws PARQUET_TYPE_ILLEGAL
         # because Spark has no TIMESTAMP(NANOS) type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Epoch-extracting functions (unix_millis etc.) depend on the session
+        # zone; pin UTC so results match DuckDB's naive-timestamp epoch on
+        # any session, not just ones built by session.py.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Depending on Spark version/conf timing the nanos column surfaces as
+        # raw long nanos or as truncated TIMESTAMP_NTZ; normalize both to
+        # us-precision TimestampType so downstream operators see ONE type.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # NTZ -> LTZ is wall-clock-preserving under the UTC session zone.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
