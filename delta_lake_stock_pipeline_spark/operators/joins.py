@@ -307,6 +307,79 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a Catalyst-injected runtime bloom filter: the
+    selective dimension side (urgent orders) builds a ``bloom_filter_agg``
+    sketch, and the fact scan is pre-filtered by ``might_contain`` BEFORE the
+    shuffle -- most non-matching lineitem rows never leave the map side.
+
+    At 100 TB this triggers on the default thresholds (application side
+    > 10 GB scan, creation side non-broadcastable); at fixture scale those
+    heuristics would pick a broadcast join (which already prunes), so the
+    demo scopes three runtime confs to this query and pins the physical
+    plan before restoring them. Exactness is unaffected: the bloom filter
+    only pre-filters, the equi-join still decides membership.
+
+    Plan gate: tests/test_plans.py asserts ``bloom_filter_agg`` /
+    ``might_contain`` in the optimized plan. Oracle: the plain join SQL.
+    """
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # Fixture scans are ~MBs; lift the 10 GB application-side floor so
+        # the injection rule fires at demo scale.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # Keep the creation side out of broadcast range so the join shuffles
+        # (the rule skips broadcast-able creation sides by design).
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k in scoped:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+            .agg(
+                F.count("*").alias("n_items"),
+                # Per-row decimal cast before the sum: the product of two
+                # 2-decimal inputs is an exact 4-decimal value, so summing
+                # decimals is order-independent -- the double-sum form can
+                # flip the cent at a rounding boundary depending on
+                # partitioning.
+                F.round(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                            "decimal(18,6)"
+                        )
+                    ).cast("double"),
+                    2,
+                ).alias("revenue"),
+            )
+            .orderBy("month")
+        )
+        # Materialize the physical plan while the scoped confs are active so
+        # a later .collect() executes the bloom-injected plan.
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 QUERIES = {
     "j_broadcast": broadcast_join,
     "j_hint_shuffle_hash": shuffle_hash_join,
@@ -318,6 +391,7 @@ QUERIES = {
     "j_theta": theta_join,
     "j_theta_binned": theta_join_binned,
     "j_asof": asof_join,
+    "j_bloom_pruned": bloom_pruned_join,
 }
 
 ORACLES = {
@@ -392,5 +466,14 @@ ORACLES = {
         ASOF JOIN
              (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "j_bloom_pruned": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_items,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY month ORDER BY month
     """,
 }

@@ -325,12 +325,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid: element-wise mean over every vector of
+    the label, emitted long-form ``(label, dim, c)`` -- the shape an IVF /
+    k-means trainer consumes.
+
+    Scale shape: ``posexplode`` -> groupBy(label, dim) mean. The shuffle
+    carries 8-byte scalars with map-side partial aggregation (each task
+    pre-reduces to |labels| * dim rows), never whole vectors, and stays
+    entirely JVM-side -- at 100 TB this beats a vector-valued Python UDAF
+    holding array state. round(6) for engine-portable float comparison.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .orderBy("label", "dim")
+    )
+
+
 QUERIES = {
     "v_cosine_topk": cosine_topk,
     "v_pairwise_neardup": pairwise_neardup,
     "v_knn_per_query": knn_per_query,
     "v_ann_lsh": ann_lsh_topk,
     "v_ann_ivf": ann_ivf_topk,
+    "v_label_centroids": label_centroids,
 }
 
 # DuckDB cosine with explicit double math mirroring functions/vector.py:
@@ -349,6 +370,14 @@ _pair_cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
 _knn_cos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
 
 ORACLES = {
+    "v_label_centroids": """
+        SELECT label, pos - 1 AS dim, ROUND(AVG(v), 6) AS c
+        FROM (SELECT label,
+                     CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, dim ORDER BY label, dim
+    """,
     "v_cosine_topk": f"""
         SELECT e.vec_id, e.label, ROUND({_q_cos}, 6) AS cos_sim
         FROM embeddings e

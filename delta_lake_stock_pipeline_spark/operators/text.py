@@ -216,6 +216,34 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigram frequency: adjacent-token pairs built with
+    array higher-order functions (zero Python), then the same two-phase
+    hash-agg + TakeOrderedAndProject shape as ``word_frequency``.
+
+    Pairs are formed on the RAW token positions (then pairs touching an
+    empty token dropped), so the count is position-faithful -- the n-gram
+    statistic an LM-data pipeline wants, and exactly what the oracle's
+    pos+1 self-join computes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "filter("
+        "  transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        "            (t, i) -> struct(t AS a, toks[i + 1] AS b)),"
+        "  p -> p.a <> '' AND p.b <> '')"
+    )
+    return (
+        docs.select(F.split(F.lower(F.col("text")), " ").alias("toks"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.concat_ws(" ", "p.a", "p.b").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "t_token_count": token_count,
     "t_repetition": repetition_stats,
@@ -225,6 +253,7 @@ QUERIES = {
     "t_quality_score": quality_score,
     "t_lang_id": lang_id,
     "t_fingerprint": fingerprint,
+    "t_bigram_frequency": bigram_frequency,
 }
 
 _MARKER_SQL = {
@@ -295,6 +324,18 @@ ORACLES = {
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
         WHERE word <> ''
         GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    "t_bigram_frequency": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS tok,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+            FROM documents
+        )
+        SELECT concat(a.tok, ' ', b.tok) AS bigram, COUNT(*) AS n
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok <> '' AND b.tok <> ''
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
     """,
     "t_doc_stats": """
         SELECT lang, source, COUNT(*) AS n_docs,

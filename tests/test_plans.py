@@ -163,6 +163,19 @@ def test_theta_binned_has_no_nested_loop_join(spark, sf_dir):
     assert "CartesianProduct" not in text
 
 
+def test_bloom_filter_injected_into_fact_scan_side(spark, sf_dir):
+    """j_bloom_pruned exists to demonstrate Catalyst's runtime bloom-filter
+    injection: the optimized plan must build a bloom_filter_agg sketch on
+    the selective orders side and pre-filter lineitem with might_contain
+    before the shuffle; and the scoped confs must be restored afterwards."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = _Q["j_bloom_pruned"](spark, sf_dir)
+    text = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in text, text
+    assert "might_contain" in text, text
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
 def test_global_row_ids_stable_across_invocations(spark, sf_dir):
     """repartitionByRange samples to pick boundaries; the localCheckpoint
     inside global_row_ids must pin one placement so the counted rows are
