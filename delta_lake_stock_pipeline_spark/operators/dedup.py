@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
@@ -450,6 +450,25 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def keep_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction dedup: keep only each user's LATEST event
+    (ts desc, event_id desc tiebreak) -- the "upsert view" of an append-only
+    log, and the batch twin of streaming dropDuplicates-within-watermark.
+
+    One shuffle on the key, per-partition sorted row_number, filter rn=1;
+    no driver involvement. At 100 TB the same shape serves log compaction
+    per (key, partition-day).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "d_exact_summary": exact_dedup_summary,
     "d_exact_keys": exact_dedup_keys,
@@ -459,6 +478,7 @@ QUERIES = {
     "d_dup_clusters": duplicate_clusters,
     "d_dup_clusters_sql": duplicate_clusters_sql,
     "d_fuzzy_levenshtein": fuzzy_levenshtein_pairs,
+    "d_keep_latest": keep_latest_per_key,
 }
 
 _NGRAM_SQL = f"""
@@ -522,6 +542,17 @@ ORACLES = {
         WHERE levenshtein(substr(lower(a.text), 1, 40),
                           substr(lower(b.text), 1, 40)) <= 10
         ORDER BY doc_a, doc_b
+    """,
+    "d_keep_latest": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
     """,
     # d_minhash_lsh, d_simhash: intentionally no oracle (xxhash64-based).
 }
