@@ -27,6 +27,7 @@ from .stocks import STOCK_SCHEMA, synthesize_bars, with_derived_columns
 from .table import (
     ExpectationError,
     analyze_table,
+    clone_table,
     current_version,
     delete_where,
     history,
@@ -36,13 +37,16 @@ from .table import (
     restore,
     snapshot_dirs,
     snapshot_of,
+    table_changes,
     write_partitioned,
     write_with_expectations,
 )
 
 __all__ = [
     "ExpectationError",
+    "clone_table",
     "restore",
+    "table_changes",
     "write_with_expectations",
     "STOCK_SCHEMA",
     "analyze_table",

@@ -269,6 +269,142 @@ def restore(path: str, version: int) -> int:
     return new_version
 
 
+def _read_rels(
+    spark: SparkSession, path: str, snap: dict[str, int], rels: set[str]
+) -> DataFrame | None:
+    """Scan only ``rels`` partitions of a snapshot (grouped per contributing
+    version dir so partition columns materialize via basePath). None when
+    the snapshot holds none of them."""
+    by_ver: dict[int, list[str]] = {}
+    for rel in rels:
+        if rel in snap:
+            by_ver.setdefault(snap[rel], []).append(rel)
+    if not by_ver:
+        return None
+    parts = []
+    for sv, vrels in sorted(by_ver.items()):
+        vdir = _version_dir(path, sv)
+        paths = [os.path.join(vdir, rel) if rel else vdir for rel in sorted(vrels)]
+        parts.append(spark.read.option("basePath", vdir).parquet(*paths))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    return df
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed emulation (Delta ``table_changes`` /
+    ``readChangeFeed``): every row inserted or deleted in versions
+    ``(from_version, to_version]``, tagged ``_change_type`` in
+    {'insert','delete'} and ``_commit_version``. Updates surface as a
+    delete+insert pair -- exactly how Delta reconstructs changes for
+    commits without per-row CDC files (add/remove file diffing).
+
+    Scale shape: the snapshot diff identifies the partitions each commit
+    touched (manifest metadata, no data read), and only THOSE partitions
+    are scanned -- the analogue of Delta reading just the add/remove files
+    of a commit. Row-level changes come from ``exceptAll`` (multiset
+    semantics, so duplicate rows diff correctly), one shuffle per changed
+    commit over changed partitions only.
+    """
+    to_v = current_version(path) if to_version is None else to_version
+    if to_v is None:
+        raise FileNotFoundError(f"no versions at {path}")
+    from pyspark.sql import functions as F
+
+    frames: list[DataFrame] = []
+    for v in range(from_version, to_v + 1):
+        snap_new = snapshot_of(path, v)
+        snap_old = snapshot_of(path, v - 1) if v > 0 else {}
+        changed = {
+            rel
+            for rel in set(snap_old) | set(snap_new)
+            if snap_old.get(rel) != snap_new.get(rel)
+        }
+        if not changed:
+            continue
+        old_df = _read_rels(spark, path, snap_old, changed)
+        new_df = _read_rels(spark, path, snap_new, changed)
+
+        def _tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(kind)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+
+        if old_df is None and new_df is not None:
+            frames.append(_tag(new_df, "insert"))
+        elif new_df is None and old_df is not None:
+            frames.append(_tag(old_df, "delete"))
+        elif old_df is not None and new_df is not None:
+            frames.append(_tag(new_df.exceptAll(old_df), "insert"))
+            frames.append(_tag(old_df.exceptAll(new_df), "delete"))
+    if not frames:
+        empty = read_table(spark, path, version=to_v).limit(0)
+        return (
+            empty.withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("int"))
+        )
+    df = frames[0]
+    for p in frames[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    return df
+
+
+def clone_table(src_path: str, dst_path: str) -> int:
+    """CREATE TABLE CLONE: materialize the source's CURRENT snapshot as a
+    brand-new self-contained table at ``dst_path`` without copying data --
+    every parquet file is hard-linked (falling back to copy across
+    filesystems). Delta's shallow clone gets zero-copy by referencing the
+    source's files in its log; hard links give the same property while
+    keeping the clone's metadata self-contained, so the two tables then
+    version, MERGE, VACUUM, and RESTORE fully independently (and immutable
+    version files make sharing the inodes safe).
+    """
+    src_cur = current_version(src_path)
+    if src_cur is None:
+        raise FileNotFoundError(f"no versions at {src_path}")
+    if os.path.exists(_manifest_path(dst_path)):
+        raise FileExistsError(f"{dst_path} is already a table")
+    os.makedirs(dst_path, exist_ok=True)
+    out = _version_dir(dst_path, 0)
+    n_files = size = 0
+    for rel, sv in snapshot_of(src_path, src_cur).items():
+        src_dir = os.path.join(_version_dir(src_path, sv), rel)
+        dst_dir = os.path.join(out, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fn in os.listdir(src_dir):
+            if not fn.endswith(".parquet"):
+                continue
+            s, d = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+            n_files += 1
+            size += os.path.getsize(s)
+    _append_manifest(
+        dst_path,
+        {
+            "version": 0,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "operation": "CLONE",
+            "operationMetrics": {
+                "sourceTable": src_path,
+                "sourceVersion": src_cur,
+                "numFiles": n_files,
+                "sizeBytes": size,
+            },
+            "snapshot": {rel: 0 for rel in _partition_rel_dirs(out)},
+        },
+    )
+    return 0
+
+
 class ExpectationError(ValueError):
     """Raised when a ``fail``-mode expectation is violated; carries the
     per-rule violation counts."""

@@ -424,3 +424,80 @@ def test_max_records_per_file_and_codec(spark, bars, tmp_path_factory):
     assert len(files) == 6 * 3
     assert all(".zstd." in os.path.basename(f) for f in files)
     assert storage.read_table(spark, path).count() == bars.count()
+
+
+def test_table_changes_replays_commits(spark, bars, tmp_path_factory):
+    """CDF emulation: changes (insert/delete rows per commit) replay the
+    table from any version to any later one -- v_from rows + inserts -
+    deletes == v_to rows, as multisets -- and updates surface as a
+    delete+insert pair in the same commit."""
+    path = str(tmp_path_factory.mktemp("stocks_cdf") / "stocks")
+    storage.write_partitioned(bars, path)
+
+    first = storage.read_table(spark, path).orderBy("ticker", "timestamp_ms").limit(1)
+    updated = first.withColumn("volume", (F.col("volume") + 1000).cast("long"))
+    inserted = first.withColumn(
+        "timestamp_ms", (F.col("timestamp_ms") - 60000).cast("long")
+    )
+    storage.merge_into(
+        spark, path, updated.unionByName(inserted), ["ticker", "timestamp_ms"]
+    )
+    key = first.collect()[0]
+    storage.delete_where(spark, path, f"ticker = '{key['ticker']}'")
+
+    ch = storage.table_changes(spark, path, from_version=1).cache()
+    assert set(ch.select("_change_type").distinct().toPandas()["_change_type"]) == {
+        "insert",
+        "delete",
+    }
+    # The MERGE commit: 1 update (delete+insert of the same key) + 1 insert.
+    m = ch.filter(F.col("_commit_version") == 1)
+    assert m.filter(F.col("_change_type") == "insert").count() == 2
+    assert m.filter(F.col("_change_type") == "delete").count() == 1
+    # Replay: v0 + inserts - deletes == current table, as multisets.
+    data_cols = [c for c in ch.columns if c not in ("_change_type", "_commit_version")]
+    base = storage.read_table(spark, path, version=0)
+    ins = ch.filter(F.col("_change_type") == "insert").select(*data_cols)
+    dels = ch.filter(F.col("_change_type") == "delete").select(*data_cols)
+    replayed = base.select(*data_cols).unionByName(ins).exceptAll(dels)
+    current = storage.read_table(spark, path).select(*data_cols)
+    assert replayed.exceptAll(current).count() == 0
+    assert current.exceptAll(replayed).count() == 0
+    ch.unpersist()
+
+
+def test_clone_is_zero_copy_and_independent(spark, bars, tmp_path_factory):
+    """CLONE: hard-linked snapshot -- no data bytes copied (shared inodes),
+    reads equal, and the clone versions independently of the source."""
+    root = tmp_path_factory.mktemp("stocks_clone")
+    src, dst = str(root / "src"), str(root / "dst")
+    storage.write_partitioned(bars, src)
+    storage.clone_table(src, dst)
+
+    s = storage.read_table(spark, src)
+    d = storage.read_table(spark, dst)
+    assert s.exceptAll(d).count() == 0 and d.exceptAll(s).count() == 0
+
+    # Zero-copy: every cloned parquet shares its inode with a source file.
+    import os as _os
+
+    src_inodes = set()
+    for dirpath, _dirs, files in _os.walk(src):
+        src_inodes |= {
+            _os.stat(_os.path.join(dirpath, f)).st_ino
+            for f in files
+            if f.endswith(".parquet")
+        }
+    for dirpath, _dirs, files in _os.walk(dst):
+        for f in files:
+            if f.endswith(".parquet"):
+                assert _os.stat(_os.path.join(dirpath, f)).st_ino in src_inodes
+
+    # Independence: deleting in the clone does not touch the source.
+    tick = bars.select("ticker").orderBy("ticker").first()["ticker"]
+    storage.delete_where(spark, dst, f"ticker = '{tick}'")
+    assert storage.read_table(spark, dst).filter(F.col("ticker") == tick).count() == 0
+    assert storage.read_table(spark, src).filter(F.col("ticker") == tick).count() > 0
+    assert storage.current_version(src) == 0
+    ops = [r["operation"] for r in storage.history(spark, dst).collect()]
+    assert ops == ["CLONE", "DELETE"]
