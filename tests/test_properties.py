@@ -126,3 +126,69 @@ def test_binned_theta_matches_brute_force(spark, supp, cust):
         for r in binned_count_greater(sdf, cdf, bin_width=10.0).collect()
     )
     assert got == expected
+
+
+# --- change-data-feed replay -------------------------------------------------
+#
+# For ANY sequence of MERGE/DELETE commits, replaying table_changes() onto
+# the base snapshot must reproduce the final table as a multiset:
+#     v0 rows + inserts(1..N) - deletes(1..N) == vN rows.
+# Fixture tests pin one such sequence; hypothesis walks edge cases (empty
+# updates, deletes matching nothing, re-inserting a deleted key, multiple
+# commits touching the same partition).
+
+_cdf_row = st.tuples(
+    st.integers(min_value=0, max_value=9),  # key
+    st.integers(min_value=0, max_value=2),  # partition
+    st.integers(min_value=0, max_value=99),  # value
+)
+
+_cdf_op = st.one_of(
+    st.tuples(st.just("merge"), st.lists(_cdf_row, min_size=0, max_size=4)),
+    st.tuples(st.just("delete"), st.integers(min_value=0, max_value=3)),
+)
+
+_cdf_counter = [0]
+
+
+@given(
+    base=st.lists(_cdf_row, min_size=1, max_size=8),
+    ops=st.lists(_cdf_op, min_size=1, max_size=3),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_table_changes_replays_any_commit_sequence(
+    spark, tmp_path_factory, base, ops
+):
+    from delta_lake_stock_pipeline_spark import storage
+
+    _cdf_counter[0] += 1
+    path = str(tmp_path_factory.mktemp("cdf_prop") / f"t{_cdf_counter[0]}")
+
+    def df_of(rows):
+        uniq = {k: (k, p, v) for k, p, v in rows}  # one row per key
+        return spark.createDataFrame(
+            list(uniq.values()) or [(None, None, None)], "k INT, p INT, val INT"
+        ).filter(F.col("k").isNotNull())
+
+    storage.write_partitioned(df_of(base), path, partition_cols=["p"])
+    for op, arg in ops:
+        if op == "merge":
+            storage.merge_into(spark, path, df_of(arg), ["k"], partition_cols=["p"])
+        else:
+            storage.delete_where(
+                spark, path, f"val % 4 = {arg}", partition_cols=["p"]
+            )
+
+    ch = storage.table_changes(spark, path, from_version=1)
+    data = ["k", "p", "val"]
+    ins = ch.filter(F.col("_change_type") == "insert").select(*data)
+    dels = ch.filter(F.col("_change_type") == "delete").select(*data)
+    replayed = (
+        storage.read_table(spark, path, version=0)
+        .select(*data)
+        .unionByName(ins)
+        .exceptAll(dels)
+    )
+    final = storage.read_table(spark, path).select(*data)
+    assert replayed.exceptAll(final).count() == 0
+    assert final.exceptAll(replayed).count() == 0
