@@ -309,6 +309,29 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+
+    ``bitmap_bucket_number`` / ``bitmap_construct_agg`` / ``bitmap_count``):
+    per event_type, the number of distinct users.
+
+    Scale shape: the shuffle carries one fixed-size bitmap per
+    (group, bucket-of-32768-ids) with map-side partial OR-merging, instead
+    of every raw distinct value -- the standard pattern when distinct
+    counts are recomputed repeatedly (the bitmaps are also storable as a
+    pre-aggregated rollup table and OR-merge across days). Result is
+    exact, so the oracle is plain COUNT(DISTINCT).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "a0_flagship_daily_rollup": flagship_daily_rollup,
     "a1_group_count": group_count,
@@ -322,6 +345,7 @@ QUERIES = {
     "x_grouping_sets": grouping_sets_agg,
     "x_cube": cube_agg,
     "x_count_distinct": count_distinct_agg,
+    "x_bitmap_distinct": bitmap_distinct,
     "x_approx_count_distinct": approx_count_distinct_agg,
     "x_percentile": percentile_agg,
     "x_percentile_approx": percentile_approx_agg,
@@ -399,6 +423,10 @@ ORACLES = {
     "x_count_distinct": """
         SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "x_bitmap_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "x_percentile": """
         SELECT l_returnflag,
