@@ -77,6 +77,9 @@ def main() -> int:
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
+    from delta_lake_stock_pipeline_spark.operators.formats import clear_roundtrip_dirs
+
+    clear_roundtrip_dirs()
     spark.stop()
     return 1 if failures else 0
 

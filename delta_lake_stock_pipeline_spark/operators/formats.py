@@ -36,6 +36,18 @@ _ORDERS_DDL = (
 _written: dict[tuple[str, str, str], str] = {}
 
 
+def clear_roundtrip_dirs() -> None:
+    """Delete every round-trip temp directory this process wrote. Call when
+    done with a session (tests/conftest does, next to the dedup cache
+    clear) -- otherwise each session leaks two orders-table copies under
+    the system temp dir."""
+    import shutil
+
+    for path in _written.values():
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    _written.clear()
+
+
 def _roundtrip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write ``orders`` through the ``fmt`` sink once per session+fixture."""
     key = (spark.sparkContext.applicationId, sf_dir, fmt)

@@ -103,6 +103,23 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hash_split_columns(key: F.Column) -> tuple[F.Column, F.Column]:
+    """The engine's ONE definition of the reproducible 80/10/10 holdout:
+    ``(bucket, split_label)`` from md5 of a key column (first 32 bits mod
+    100). Shared by r_hash_split and the curation pipeline so the two can
+    never silently diverge."""
+    bucket = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    return bucket, split
+
+
 def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/validation/test split by CONTENT-INDEPENDENT key
     hash -- the reproducible-holdout primitive of every training-data
@@ -114,16 +131,7 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final 3-group aggregate; at 100 TB the same expression is a
     write-time partition column so each split reads its own files."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "validation")
-        .otherwise("test")
-    )
+    _bucket, split = hash_split_columns(F.col("doc_id"))
     return (
         docs.withColumn("split", split)
         .groupBy("split")

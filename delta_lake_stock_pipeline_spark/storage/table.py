@@ -181,12 +181,25 @@ def write_partitioned(
     return version
 
 
+def _parse_ts(ts: str):
+    """ISO-8601 -> aware datetime (naive inputs assumed UTC). Parsing --
+    not string comparison -- so sub-second or no-'Z' inputs resolve
+    correctly against the manifest's second-granularity 'Z' format."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+
+
 def version_at_timestamp(path: str, timestamp: str) -> int:
     """Delta ``timestampAsOf`` resolution: the last version committed at or
-    before ``timestamp`` (ISO-8601 UTC, same format the manifest stores).
+    before ``timestamp`` (ISO-8601; naive strings are taken as UTC).
     Raises if the table has no version that old."""
+    want = _parse_ts(timestamp)
     candidates = [
-        e["version"] for e in _read_manifest(path) if e["timestamp"] <= timestamp
+        e["version"]
+        for e in _read_manifest(path)
+        if _parse_ts(e["timestamp"]) <= want
     ]
     if not candidates:
         raise ValueError(f"no version at or before {timestamp} in {path}")
@@ -250,6 +263,12 @@ def restore(path: str, version: int) -> int:
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(f"no versions at {path}")
+    if _entry_for(path, version) is None and not os.path.isdir(
+        _version_dir(path, version)
+    ):
+        # Without this, snapshot_of falls back to an EMPTY snapshot and the
+        # bad restore would commit an unreadable table.
+        raise ValueError(f"cannot restore {path} to nonexistent version {version}")
     target = snapshot_of(path, version)
     new_version = cur + 1
     _append_manifest(
@@ -300,22 +319,38 @@ def table_changes(
 ) -> DataFrame:
     """Change Data Feed emulation (Delta ``table_changes`` /
     ``readChangeFeed``): every row inserted or deleted in versions
-    ``(from_version, to_version]``, tagged ``_change_type`` in
-    {'insert','delete'} and ``_commit_version``. Updates surface as a
-    delete+insert pair -- exactly how Delta reconstructs changes for
-    commits without per-row CDC files (add/remove file diffing).
+    ``[from_version, to_version]`` (both inclusive, Delta CDF's
+    semantics), tagged ``_change_type`` in {'insert','delete'} and
+    ``_commit_version``. Updates surface as a delete+insert pair --
+    exactly how Delta reconstructs changes for commits without per-row
+    CDC files (add/remove file diffing).
 
     Scale shape: the snapshot diff identifies the partitions each commit
     touched (manifest metadata, no data read), and only THOSE partitions
     are scanned -- the analogue of Delta reading just the add/remove files
     of a commit. Row-level changes come from ``exceptAll`` (multiset
     semantics, so duplicate rows diff correctly), one shuffle per changed
-    commit over changed partitions only.
+    commit over changed partitions only. Snapshots that straddle a MERGE
+    schema evolution are NULL-aligned before diffing, mirroring how
+    ``read_table`` unions mixed-schema snapshots.
     """
-    to_v = current_version(path) if to_version is None else to_version
-    if to_v is None:
-        raise FileNotFoundError(f"no versions at {path}")
     from pyspark.sql import functions as F
+
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no versions at {path}")
+    to_v = cur if to_version is None else to_version
+    if to_v > cur:
+        raise ValueError(f"to_version {to_v} is beyond latest version {cur}")
+
+    def _align(df: DataFrame, other: DataFrame) -> DataFrame:
+        """Add ``other``'s missing columns as typed NULLs (schema evolution
+        on read, same contract as read_table's allowMissingColumns)."""
+        have = set(df.columns)
+        for f in other.schema.fields:
+            if f.name not in have:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
 
     frames: list[DataFrame] = []
     for v in range(from_version, to_v + 1):
@@ -341,8 +376,10 @@ def table_changes(
         elif new_df is None and old_df is not None:
             frames.append(_tag(old_df, "delete"))
         elif old_df is not None and new_df is not None:
-            frames.append(_tag(new_df.exceptAll(old_df), "insert"))
-            frames.append(_tag(old_df.exceptAll(new_df), "delete"))
+            old_a = _align(old_df, new_df)
+            new_a = _align(new_df, old_df).select(*old_a.columns)
+            frames.append(_tag(new_a.exceptAll(old_a), "insert"))
+            frames.append(_tag(old_a.exceptAll(new_a), "delete"))
     if not frames:
         empty = read_table(spark, path, version=to_v).limit(0)
         return (

@@ -16,8 +16,12 @@ def spark():
     spark = get_spark(app_name="tests", shuffle_partitions=8)
     yield spark
     from delta_lake_stock_pipeline_spark.operators.dedup import clear_posts_cache
+    from delta_lake_stock_pipeline_spark.operators.formats import (
+        clear_roundtrip_dirs,
+    )
 
     clear_posts_cache()
+    clear_roundtrip_dirs()
     spark.stop()
 
 

@@ -501,3 +501,52 @@ def test_clone_is_zero_copy_and_independent(spark, bars, tmp_path_factory):
     assert storage.current_version(src) == 0
     ops = [r["operation"] for r in storage.history(spark, dst).collect()]
     assert ops == ["CLONE", "DELETE"]
+
+
+def test_table_changes_spans_schema_evolution(spark, bars, tmp_path_factory):
+    """CDF across a MERGE that evolved the schema: the old snapshot is
+    NULL-aligned to the new columns before diffing (instead of crashing on
+    column-count mismatch), and the evolved column's values come through."""
+    path = str(tmp_path_factory.mktemp("stocks_cdf_evo") / "stocks")
+    storage.write_partitioned(bars, path)
+    first = storage.read_table(spark, path).orderBy("ticker", "timestamp_ms").limit(1)
+    upd = first.withColumn("quality_flag", F.lit("GOOD"))
+    storage.merge_into(
+        spark, path, upd, ["ticker", "timestamp_ms"], evolve_schema=True
+    )
+    ch = storage.table_changes(spark, path, from_version=1)
+    assert "quality_flag" in ch.columns
+    ins = ch.filter(F.col("_change_type") == "insert").collect()
+    assert [r["quality_flag"] for r in ins] == ["GOOD"]
+    # The matching delete is the pre-evolution row: NULL in the new column.
+    dels = ch.filter(F.col("_change_type") == "delete").collect()
+    assert len(dels) == 1 and dels[0]["quality_flag"] is None
+
+
+def test_restore_and_cdf_reject_nonexistent_versions(spark, bars, tmp_path_factory):
+    """restore() to a version that never existed must raise instead of
+    committing an empty (unreadable) snapshot; table_changes beyond the
+    latest version must raise instead of fabricating phantom deletes."""
+    path = str(tmp_path_factory.mktemp("stocks_guard") / "stocks")
+    storage.write_partitioned(bars, path)
+    with pytest.raises(ValueError, match="nonexistent version"):
+        storage.restore(path, 99)
+    assert storage.current_version(path) == 0  # no bad commit appended
+    storage.read_table(spark, path).count()  # still readable
+    with pytest.raises(ValueError, match="beyond latest"):
+        storage.table_changes(spark, path, from_version=1, to_version=5)
+
+
+def test_version_at_timestamp_parses_instants(spark, bars, tmp_path_factory):
+    """timestampAsOf resolution must compare instants, not strings:
+    sub-second and no-'Z' inputs after the commit time resolve to it."""
+    from delta_lake_stock_pipeline_spark.storage import table as tbl
+
+    path = str(tmp_path_factory.mktemp("stocks_ts") / "stocks")
+    storage.write_partitioned(bars, path)
+    committed = tbl._read_manifest(path)[0]["timestamp"]  # ...T..:..:..Z
+    sub_second = committed.replace("Z", ".500Z")
+    assert tbl.version_at_timestamp(path, sub_second) == 0
+    assert tbl.version_at_timestamp(path, committed.replace("Z", "")) == 0
+    with pytest.raises(ValueError, match="no version"):
+        tbl.version_at_timestamp(path, "1999-01-01T00:00:00Z")
