@@ -30,21 +30,61 @@ from .table import (
 )
 
 
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8):
+    """Morton (Z-curve) key for MULTI-column clustering: quantize each
+    column to ``bits`` buckets over its [min, max] range, then interleave
+    the bucket bits. Sorting by this key gives every run of consecutive
+    rows locality in ALL the columns at once -- per-file min/max stats stay
+    tight on every z-ordered column, which a single-column sort only
+    achieves for its first column.
+
+    The ranges come from ONE aggregate (2 values per column -- metadata
+    scale, like Delta reading column stats); the key itself is a pure
+    bitwise Catalyst expression, so the whole operation stays codegen'd.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    scale = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        q = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * scale)
+        quantized.append(
+            F.greatest(F.lit(0), F.least(F.lit(scale), q)).cast("long")
+        )
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * len(quantized) + j))
+    return key
+
+
 def optimize(
     spark: SparkSession,
     path: str,
     partition_cols: Sequence[str] = ("ticker", "trade_date"),
-    zorder_by: str | None = None,
-    files_per_partition: int = 1,
+    zorder_by: str | Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> int:
     """Compact the current version into a new one (M1).
 
     * Compaction: ``repartition(partition_cols)`` routes every row of a
-      partition to one task -> ``files_per_partition`` output files per
-      partition directory instead of one-per-input-task (the small-file
-      problem, ``DESIGN.md:16-24``).
-    * ``zorder_by``: additionally sort within tasks by the cluster column so
-      each output file covers a tight value range (file-skipping stats).
+      partition to one task -> few output files per partition directory
+      instead of one-per-input-task (the small-file problem,
+      ``DESIGN.md:16-24``); ``max_records_per_file`` bounds the other
+      direction.
+    * ``zorder_by``: sort within tasks by the cluster column(s) so each
+      output file covers a tight value range (file-skipping stats). A
+      single column sorts directly (the idiomatic
+      range-partition+sort emulation); MULTIPLE columns sort by the Morton
+      key from :func:`zorder_key` -- real multi-dimensional Z-ordering, so
+      files stay skippable on every listed column.
 
     Returns the new version; the old version remains readable until VACUUM
     (row-preservation is asserted by callers/tests, ``maintenance.py:204-207``).
@@ -54,13 +94,24 @@ def optimize(
     df = read_table(spark, path)
     parts = [F.col(c) for c in partition_cols]
     compacted = df.repartition(*parts)
-    if zorder_by:
-        compacted = compacted.sortWithinPartitions(*partition_cols, zorder_by)
+    zcols = (
+        [zorder_by] if isinstance(zorder_by, str) else list(zorder_by or ())
+    )
+    if len(zcols) == 1:
+        compacted = compacted.sortWithinPartitions(*partition_cols, zcols[0])
+    elif zcols:
+        compacted = (
+            compacted.withColumn("__z", zorder_key(df, zcols))
+            .sortWithinPartitions(*partition_cols, "__z")
+            .drop("__z")
+        )
     return write_partitioned(
         compacted,
         path,
         partition_cols=partition_cols,
-        operation="OPTIMIZE" + (f" ZORDER BY ({zorder_by})" if zorder_by else ""),
+        operation="OPTIMIZE"
+        + (f" ZORDER BY ({', '.join(zcols)})" if zcols else ""),
+        max_records_per_file=max_records_per_file,
     )
 
 

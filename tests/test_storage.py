@@ -550,3 +550,49 @@ def test_version_at_timestamp_parses_instants(spark, bars, tmp_path_factory):
     assert tbl.version_at_timestamp(path, committed.replace("Z", "")) == 0
     with pytest.raises(ValueError, match="no version"):
         tbl.version_at_timestamp(path, "1999-01-01T00:00:00Z")
+
+
+def test_multicolumn_zorder_tightens_second_column(spark, bars, tmp_path_factory):
+    """ZORDER BY (timestamp_ms, volume): with the Morton key, per-file
+    min/max stats stay tight on BOTH columns -- a plain timestamp sort
+    leaves each file spanning ~the full volume range, so volume predicates
+    can never skip files."""
+    import pyarrow.parquet as pq
+
+    def avg_span(table_path, version, col):
+        vdir = os.path.join(table_path, f"v{version:04d}")
+        spans = []
+        for dirpath, _dirs, files in os.walk(vdir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        c = md.row_group(rg).column(ci)
+                        if c.path_in_schema == col and c.statistics:
+                            lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                            hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+                if lo is not None:
+                    spans.append(hi - lo)
+        assert spans, f"no stats for {col} under {vdir}"
+        return sum(spans) / len(spans)
+
+    root = tmp_path_factory.mktemp("zorder_multi")
+    single, multi = str(root / "single"), str(root / "multi")
+    for p in (single, multi):
+        storage.write_partitioned(bars, p)
+    storage.optimize(spark, single, zorder_by="timestamp_ms", max_records_per_file=15)
+    storage.optimize(
+        spark, multi, zorder_by=["timestamp_ms", "volume"], max_records_per_file=15
+    )
+    assert storage.read_table(spark, multi).count() == bars.count()
+
+    vol_single = avg_span(single, 1, "volume")
+    vol_multi = avg_span(multi, 1, "volume")
+    assert vol_multi < 0.8 * vol_single, (vol_multi, vol_single)
+    # And the multi-col files still cluster time far tighter than a day.
+    assert avg_span(multi, 1, "timestamp_ms") < 12 * 60 * 60_000
+    ops = [r["operation"] for r in storage.history(spark, multi).collect()]
+    assert ops[-1] == "OPTIMIZE ZORDER BY (timestamp_ms, volume)"
