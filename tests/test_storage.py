@@ -596,3 +596,25 @@ def test_multicolumn_zorder_tightens_second_column(spark, bars, tmp_path_factory
     assert avg_span(multi, 1, "timestamp_ms") < 12 * 60 * 60_000
     ops = [r["operation"] for r in storage.history(spark, multi).collect()]
     assert ops[-1] == "OPTIMIZE ZORDER BY (timestamp_ms, volume)"
+
+
+def test_table_changes_scans_only_touched_partitions(spark, bars, tmp_path_factory):
+    """The CDF diff is partition-pruned from manifest metadata: a MERGE that
+    touched one (ticker, trade_date) partition must produce a changes scan
+    whose input files all live under that partition's directories -- never
+    a full-table read (the analogue of Delta reading one commit's files)."""
+    path = str(tmp_path_factory.mktemp("stocks_cdf_prune") / "stocks")
+    storage.write_partitioned(bars, path)
+    first = storage.read_table(spark, path).orderBy("ticker", "timestamp_ms").limit(1)
+    key = first.collect()[0]
+    storage.merge_into(
+        spark,
+        path,
+        first.withColumn("volume", (F.col("volume") + 7).cast("long")),
+        ["ticker", "timestamp_ms"],
+    )
+    ch = storage.table_changes(spark, path, from_version=1)
+    rel = f"ticker={key['ticker']}/trade_date={key['trade_date']}"
+    files = ch.inputFiles()
+    assert files, "changes scan read no files"
+    assert all(rel in f for f in files), [f for f in files if rel not in f][:3]
