@@ -17,6 +17,8 @@ the algorithm -- but *shape* the plan where the optimizer cannot know better:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -380,6 +382,28 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
 
 
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 ``JOIN LATERAL``): each customer's
+    top-2 orders by price -- the declarative top-N-per-group. Catalyst
+    decorrelates the per-row ORDER BY/LIMIT subquery into a windowed rank
+    over ONE shuffle of orders, not a subquery execution per customer --
+    which is why this form survives 100 TB while a driver loop would not.
+    Oracle: DuckDB runs the identical LATERAL SQL natively.
+    """
+    cust = os.path.join(sf_dir, "customer.parquet")
+    orders = os.path.join(sf_dir, "orders.parquet")
+    return spark.sql(f"""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM parquet.`{cust}` c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM parquet.`{orders}`
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """)
+
+
 QUERIES = {
     "j_broadcast": broadcast_join,
     "j_hint_shuffle_hash": shuffle_hash_join,
@@ -392,6 +416,7 @@ QUERIES = {
     "j_theta_binned": theta_join_binned,
     "j_asof": asof_join,
     "j_bloom_pruned": bloom_pruned_join,
+    "j_lateral_topn": lateral_topn,
 }
 
 ORACLES = {
@@ -475,5 +500,15 @@ ORACLES = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY month ORDER BY month
+    """,
+    "j_lateral_topn": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o ON TRUE
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
     """,
 }
