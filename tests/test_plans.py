@@ -176,6 +176,16 @@ def test_bloom_filter_injected_into_fact_scan_side(spark, sf_dir):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
 
 
+def test_lateral_join_decorrelates_to_window(spark, sf_dir):
+    """JOIN LATERAL with per-row ORDER BY/LIMIT must decorrelate into a
+    windowed rank (one shuffle of orders) -- executing the subquery per
+    customer row, or a nested-loop join, would not survive scale."""
+    text = plans.plan_string(_Q["j_lateral_topn"](spark, sf_dir))
+    assert "Window" in text, text
+    assert "BroadcastNestedLoop" not in text, text
+    assert "CartesianProduct" not in text
+
+
 def test_global_row_ids_stable_across_invocations(spark, sf_dir):
     """repartitionByRange samples to pick boundaries; the localCheckpoint
     inside global_row_ids must pin one placement so the counted rows are
