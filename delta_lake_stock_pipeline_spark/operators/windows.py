@@ -132,6 +132,29 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame (vs the ROWS frames above): per event type, the
+    trailing-2-DAY event count and value sum -- the frame is defined by the
+    ORDER-BY VALUE (epoch ms), so sparse and dense time regions get the
+    same wall-clock lookback, and equal-timestamp rows are peers (included
+    wholesale), making the result tiebreak-independent. Per-row decimal
+    cast inside the sliding SUM keeps the cents engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-2 * 86_400_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.count("*").over(w).alias("n_2d"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 2
+        ).alias("sum_2d"),
+    )
+
+
 QUERIES = {
     "w_rank": window_rank,
     "w_value_functions": window_value_functions,
@@ -139,9 +162,19 @@ QUERIES = {
     "w_moving_avg": window_moving_avg,
     "w_cumulative": window_cumulative,
     "w_ntile": window_ntile,
+    "w_range_interval": window_range_interval,
 }
 
 ORACLES = {
+    "w_range_interval": """
+        SELECT event_type, event_id,
+               COUNT(*) OVER w AS n_2d,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE),
+                     2) AS sum_2d
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts)
+                     RANGE BETWEEN 172800000 PRECEDING AND CURRENT ROW)
+    """,
     "w_value_functions": """
         SELECT * FROM (
             SELECT c_mktsegment, c_custkey, c_acctbal,
