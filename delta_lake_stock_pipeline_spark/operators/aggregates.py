@@ -332,6 +332,28 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counting via MERGEABLE Apache DataSketches HLL
+    (Spark 3.5+ ``hll_sketch_agg``/``hll_sketch_estimate``): unlike
+    ``approx_count_distinct``'s opaque one-shot sketch, these sketches are
+    storable columns -- a daily rollup table keeps one sketch per
+    (day, group) and ANY date-range distinct count is ``hll_union_agg`` +
+    estimate over the rollup, never a rescan of raw data. That rollup
+    algebra is the 100 TB reason this operator exists;
+    tests/test_sketches.py proves union-of-partial-sketches == sketch-of-
+    whole. Rows-only by contract (sketch estimates are engine-specific);
+    the exact anchors are x_count_distinct / x_bitmap_distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_users_est")
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "a0_flagship_daily_rollup": flagship_daily_rollup,
     "a1_group_count": group_count,
@@ -346,6 +368,7 @@ QUERIES = {
     "x_cube": cube_agg,
     "x_count_distinct": count_distinct_agg,
     "x_bitmap_distinct": bitmap_distinct,
+    "x_hll_sketch": hll_sketch_distinct,
     "x_approx_count_distinct": approx_count_distinct_agg,
     "x_percentile": percentile_agg,
     "x_percentile_approx": percentile_approx_agg,
