@@ -38,12 +38,29 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8):
     tight on every z-ordered column, which a single-column sort only
     achieves for its first column.
 
-    The ranges come from ONE aggregate (2 values per column -- metadata
-    scale, like Delta reading column stats); the key itself is a pure
-    bitwise Catalyst expression, so the whole operation stays codegen'd.
+    Numeric columns only (the bucket is a linear range quantization; string
+    Z-ordering needs an order-preserving byte encoding and is not emulated
+    here -- a clear ValueError beats a driver-side crash). The ranges come
+    from one column-pruned min/max aggregate over just the listed columns
+    (an extra pass at this scale; a 100 TB deployment reads the same two
+    values per column from parquet footer stats instead); the key itself
+    is a pure bitwise Catalyst expression, so the clustering write stays
+    codegen'd.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    if bits * len(cols) > 62:
+        # Bit 63 is the long sign bit: interleaving into it would sort
+        # those rows FIRST and silently destroy the clustering.
+        raise ValueError(
+            f"bits*cols = {bits * len(cols)} exceeds 62: lower bits= or cluster fewer columns"
+        )
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, T.NumericType):
+            raise ValueError(
+                f"zorder_key needs numeric columns; {c} is {df.schema[c].dataType.simpleString()}"
+            )
     stats = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
@@ -51,11 +68,18 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8):
     scale = (1 << bits) - 1
     quantized = []
     for c in cols:
-        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        mn_raw, mx_raw = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn_raw is None:  # empty table / all-NULL column: degenerate bucket
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        mn, mx = float(mn_raw), float(mx_raw)
         span = (mx - mn) or 1.0
         q = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * scale)
         quantized.append(
-            F.greatest(F.lit(0), F.least(F.lit(scale), q)).cast("long")
+            F.coalesce(
+                F.greatest(F.lit(0), F.least(F.lit(scale), q)).cast("long"),
+                F.lit(0).cast("long"),  # NULL values sort into bucket 0
+            )
         )
     key = F.lit(0).cast("long")
     for i in range(bits):
@@ -168,10 +192,12 @@ def compare_health(before: HealthReport, after: HealthReport) -> dict:
     }
 
 
-def file_timestamp_ranges(path: str, version: int | None = None) -> list[tuple]:
-    """Per-file (min, max) of ``timestamp_ms`` from parquet footer stats --
-    how a scan planner skips files; used to assert the Z-ORDER emulation
-    actually tightened per-file ranges."""
+def file_column_ranges(
+    path: str, column: str, version: int | None = None
+) -> list[tuple]:
+    """Per-file (min, max) of ``column`` from parquet footer stats -- how a
+    scan planner skips files; used to assert the Z-ORDER emulation actually
+    tightened per-file ranges (on every clustered column)."""
     import pyarrow.parquet as pq
 
     v = current_version(path) if version is None else version
@@ -184,9 +210,9 @@ def file_timestamp_ranges(path: str, version: int | None = None) -> list[tuple]:
                 continue
             md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
             schema_names = md.schema.to_arrow_schema().names
-            if "timestamp_ms" not in schema_names:
+            if column not in schema_names:
                 continue
-            idx = schema_names.index("timestamp_ms")
+            idx = schema_names.index(column)
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
@@ -196,3 +222,8 @@ def file_timestamp_ranges(path: str, version: int | None = None) -> list[tuple]:
             if mins:
                 out.append((min(mins), max(maxs)))
     return out
+
+
+def file_timestamp_ranges(path: str, version: int | None = None) -> list[tuple]:
+    """Backward-compatible alias: footer ranges of ``timestamp_ms``."""
+    return file_column_ranges(path, "timestamp_ms", version)

@@ -270,6 +270,21 @@ def restore(path: str, version: int) -> int:
         # bad restore would commit an unreadable table.
         raise ValueError(f"cannot restore {path} to nonexistent version {version}")
     target = snapshot_of(path, version)
+    # A manifest entry can outlive its data (VACUUM removes version dirs,
+    # not history): every directory the target snapshot references must
+    # still exist, or the restore would commit an unreadable table.
+    missing = [
+        d
+        for rel, sv in target.items()
+        if not os.path.isdir(
+            d := (os.path.join(_version_dir(path, sv), rel) if rel else _version_dir(path, sv))
+        )
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} to version {version}: "
+            f"{len(missing)} referenced dirs were vacuumed (e.g. {missing[0]})"
+        )
     new_version = cur + 1
     _append_manifest(
         path,
@@ -342,6 +357,12 @@ def table_changes(
     to_v = cur if to_version is None else to_version
     if to_v > cur:
         raise ValueError(f"to_version {to_v} is beyond latest version {cur}")
+    if from_version > to_v:
+        # A silent empty feed here would read as "no changes" to a consumer
+        # resuming from a stale bookmark -- fail loudly instead.
+        raise ValueError(
+            f"from_version {from_version} is beyond to_version {to_v}"
+        )
 
     def _align(df: DataFrame, other: DataFrame) -> DataFrame:
         """Add ``other``'s missing columns as typed NULLs (schema evolution

@@ -557,27 +557,14 @@ def test_multicolumn_zorder_tightens_second_column(spark, bars, tmp_path_factory
     min/max stats stay tight on BOTH columns -- a plain timestamp sort
     leaves each file spanning ~the full volume range, so volume predicates
     can never skip files."""
-    import pyarrow.parquet as pq
+    from delta_lake_stock_pipeline_spark.storage.maintenance import (
+        file_column_ranges,
+    )
 
     def avg_span(table_path, version, col):
-        vdir = os.path.join(table_path, f"v{version:04d}")
-        spans = []
-        for dirpath, _dirs, files in os.walk(vdir):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
-                lo = hi = None
-                for rg in range(md.num_row_groups):
-                    for ci in range(md.num_columns):
-                        c = md.row_group(rg).column(ci)
-                        if c.path_in_schema == col and c.statistics:
-                            lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
-                            hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
-                if lo is not None:
-                    spans.append(hi - lo)
-        assert spans, f"no stats for {col} under {vdir}"
-        return sum(spans) / len(spans)
+        ranges = file_column_ranges(table_path, col, version)
+        assert ranges, f"no stats for {col} in {table_path} v{version}"
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
 
     root = tmp_path_factory.mktemp("zorder_multi")
     single, multi = str(root / "single"), str(root / "multi")
@@ -618,3 +605,32 @@ def test_table_changes_scans_only_touched_partitions(spark, bars, tmp_path_facto
     files = ch.inputFiles()
     assert files, "changes scan read no files"
     assert all(rel in f for f in files), [f for f in files if rel not in f][:3]
+
+
+def test_restore_rejects_vacuumed_target(spark, bars, tmp_path_factory):
+    """A manifest entry can outlive its data: restoring to a version whose
+    directories VACUUM removed must raise, not commit an unreadable table."""
+    path = str(tmp_path_factory.mktemp("stocks_rvac") / "stocks")
+    storage.write_partitioned(bars, path)
+    storage.write_partitioned(
+        storage.read_table(spark, path), path, operation="WRITE"
+    )
+    storage.vacuum(path, retain_last=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        storage.restore(path, 0)
+    storage.read_table(spark, path).count()  # table still readable
+
+
+def test_zorder_key_guards(spark, bars, tmp_path_factory):
+    """zorder_key must reject non-numeric columns and sign-bit overflow
+    loudly instead of crashing or silently mis-sorting."""
+    from delta_lake_stock_pipeline_spark.storage.maintenance import zorder_key
+
+    with pytest.raises(ValueError, match="numeric"):
+        zorder_key(bars, ["ticker", "volume"])
+    with pytest.raises(ValueError, match="exceeds 62"):
+        zorder_key(bars, ["volume"] * 8, bits=8)
+    # All-NULL column degrades to a degenerate bucket, not a crash.
+    nulled = bars.withColumn("nullcol", F.lit(None).cast("double"))
+    key = zorder_key(nulled, ["volume", "nullcol"])
+    assert nulled.select(key.alias("z")).filter(F.col("z").isNull()).count() == 0
