@@ -231,6 +231,14 @@ def read_table(
     if v is None:
         raise FileNotFoundError(f"no versions at {path}")
     snap = snapshot_of(path, v)
+    if not snap:
+        # A DELETE can empty every partition: the table is legitimately
+        # zero-row, not unreadable. Synthesize the empty frame with the
+        # schema of the most recent non-empty snapshot.
+        for pv in range(v - 1, -1, -1):
+            if snapshot_of(path, pv):
+                return read_table(spark, path, version=pv).limit(0)
+        raise FileNotFoundError(f"no data in any version at {path}")
     by_ver: dict[int, list[str]] = {}
     for rel, sv in snap.items():
         by_ver.setdefault(sv, []).append(rel)

@@ -179,6 +179,15 @@ def test_table_changes_replays_any_commit_sequence(
                 spark, path, f"val % 4 = {arg}", partition_cols=["p"]
             )
 
+    if storage.current_version(path) == 0:
+        # No op produced a commit (e.g. every merge was empty): asking for
+        # changes beyond the head must raise, matching Delta CDF.
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="beyond"):
+            storage.table_changes(spark, path, from_version=1)
+        return
+
     ch = storage.table_changes(spark, path, from_version=1)
     data = ["k", "p", "val"]
     ins = ch.filter(F.col("_change_type") == "insert").select(*data)

@@ -634,3 +634,19 @@ def test_zorder_key_guards(spark, bars, tmp_path_factory):
     nulled = bars.withColumn("nullcol", F.lit(None).cast("double"))
     key = zorder_key(nulled, ["volume", "nullcol"])
     assert nulled.select(key.alias("z")).filter(F.col("z").isNull()).count() == 0
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, bars, tmp_path_factory):
+    """A DELETE matching every row empties every partition; the table must
+    read back as a zero-row frame with its schema intact (not crash), and
+    CDF must report every row as deleted."""
+    path = str(tmp_path_factory.mktemp("stocks_delall") / "stocks")
+    storage.write_partitioned(bars, path)
+    n0 = storage.read_table(spark, path).count()
+    storage.delete_where(spark, path, "volume >= 0")
+    emptied = storage.read_table(spark, path)
+    assert emptied.count() == 0
+    assert set(emptied.columns) == set(bars.columns)
+    ch = storage.table_changes(spark, path, from_version=1)
+    assert ch.filter(F.col("_change_type") == "delete").count() == n0
+    assert ch.filter(F.col("_change_type") == "insert").count() == 0
