@@ -69,7 +69,9 @@ def _orders_aggregate(df: DataFrame) -> DataFrame:
         df.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
             F.min("o_orderdate").alias("first_ts"),
             F.max("o_orderdate").alias("last_ts"),
             F.sum("o_orderkey").alias("sum_key"),
@@ -103,7 +105,7 @@ QUERIES = {
 _AGG_SQL = """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
            MIN(o_orderdate) AS first_ts,
            MAX(o_orderdate) AS last_ts,
            SUM(o_orderkey) AS sum_key,

@@ -118,7 +118,7 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("div").isNull().cast("long")).alias("n_div_null"),
-            F.sum(F.col("div").cast("decimal(18,6)")).alias("sum_div"),
+            F.sum(F.col("div").cast("decimal(18,6)")).cast("double").alias("sum_div"),
             F.count("prio_num").alias("n_prio_parsed"),
             F.count("status_num").alias("n_status_parsed"),
             F.count("status_ts").alias("n_ts_parsed"),
@@ -139,7 +139,7 @@ ORACLES = {
         SELECT grp,
                COUNT(*) AS n,
                SUM(CASE WHEN div IS NULL THEN 1 ELSE 0 END) AS n_div_null,
-               SUM(CAST(div AS DECIMAL(18,6))) AS sum_div,
+               CAST(SUM(CAST(div AS DECIMAL(18,6))) AS DOUBLE) AS sum_div,
                COUNT(prio_num) AS n_prio_parsed,
                COUNT(status_num) AS n_status_parsed,
                COUNT(status_ts) AS n_ts_parsed

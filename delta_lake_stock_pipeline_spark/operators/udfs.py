@@ -230,7 +230,9 @@ def map_in_arrow_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value2").cast("decimal(18,6)")).alias("sum_doubled"),
+            F.sum(F.col("value2").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_doubled"),
         )
         .orderBy("event_type")
     )
@@ -259,7 +261,7 @@ ORACLES = {
     "u_map_in_arrow": """
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(value * 2 AS DECIMAL(18,6))) AS sum_doubled
+               CAST(SUM(CAST(value * 2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_doubled
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "u_py_udf": """
