@@ -239,6 +239,22 @@ _BNLJ_OK = {"h_q11_important_stock", "h_q22_dormant_customers", "j_theta"}
 _PICKLE_OK = {"u_py_udf", "u_py_udtf"}
 
 
+def test_range_interval_window_partitions_by_time_bucket(spark, sf_dir):
+    """The time-RANGE frame must NOT window over bare event_type (a
+    handful of distinct values -> single-task partitions holding a type's
+    entire history). The round-3 re-plan windows the row-level data by
+    (event_type, bucket); the only event_type-alone window allowed is the
+    cumulative pass over the tiny per-bucket aggregate table."""
+    import re
+
+    text = plans.plan_string(_Q["w_range_interval"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\([^)]*", text)
+    row_level = [s for s in specs if "bucket" in s and "sk" in s]
+    assert row_level, f"no (event_type, bucket)-partitioned window found: {specs}"
+    for s in row_level:
+        assert "event_type" in s and "bucket" in s, s
+
+
 def test_no_query_regresses_to_cartesian_nested_loop_or_pickle(spark, sf_dir):
     """Blanket plan audit over EVERY registered query: no cartesian
     product anywhere; nested-loop joins and pickled Python only on the
