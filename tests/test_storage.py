@@ -396,15 +396,22 @@ def test_analyze_table_records_cbo_stats(spark, bars, tmp_path_factory):
     n = storage.read_table(spark, path).count()
     assert stats.get("rowCount") == n
     assert stats.get("sizeInBytes", 0) > 0
-    # The optimizer must now see the exact row count on the relation.
-    plan_stats = (
-        spark.table("stocks_stats_tbl")._jdf.queryExecution()
-        .optimizedPlan()
-        .stats()
-        .toString()
-    )
-    assert f"rowCount={n}" in plan_stats, plan_stats
-    spark.sql("DROP TABLE IF EXISTS stocks_stats_tbl")
+    # The optimizer exposes the recorded row count once CBO is on; the
+    # session default keeps it off (no catalog stats on the bare-parquet
+    # fixture reads), so enable it just for this assertion -- the
+    # analyze-then-enable flow the session docstring prescribes.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        plan_stats = (
+            spark.table("stocks_stats_tbl")._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+        assert f"rowCount={n}" in plan_stats, plan_stats
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS stocks_stats_tbl")
 
 
 def test_max_records_per_file_and_codec(spark, bars, tmp_path_factory):
