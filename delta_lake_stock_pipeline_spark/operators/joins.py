@@ -334,52 +334,42 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (the rule skips broadcast-able creation sides by design).
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved: dict[str, str | None] = {}
-    for k in scoped:
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+    # Child session: shares the SparkContext (and therefore executors and
+    # cache) but owns an INDEPENDENT SQL conf, so (a) the bloom confs never
+    # leak to concurrent queries on the caller's session, and (b) any later
+    # transformation of the returned frame re-plans under the SAME scoped
+    # confs instead of silently losing the bloom injection (round-2 advice,
+    # joins.py:312).
+    child = spark.newSession()
     for k, v in scoped.items():
-        spark.conf.set(k, v)
-    try:
-        lineitem = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
+        child.conf.set(k, v)
+    lineitem = load_table(child, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(child, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            # Per-row decimal cast before the sum: the product of two
+            # 2-decimal inputs is an exact 4-decimal value, so summing
+            # decimals is order-independent -- the double-sum form can
+            # flip the cent at a rounding boundary depending on
+            # partitioning.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
         )
-        orders = load_table(spark, sf_dir, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        df = (
-            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-            .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
-            .agg(
-                F.count("*").alias("n_items"),
-                # Per-row decimal cast before the sum: the product of two
-                # 2-decimal inputs is an exact 4-decimal value, so summing
-                # decimals is order-independent -- the double-sum form can
-                # flip the cent at a rounding boundary depending on
-                # partitioning.
-                F.round(
-                    F.sum(
-                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                            "decimal(18,6)"
-                        )
-                    ).cast("double"),
-                    2,
-                ).alias("revenue"),
-            )
-            .orderBy("month")
-        )
-        # Materialize the physical plan while the scoped confs are active so
-        # a later .collect() executes the bloom-injected plan.
-        df._jdf.queryExecution().executedPlan()
-        return df
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        .orderBy("month")
+    )
 
 
 def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,7 @@ assumes single-file inputs.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,8 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # because Spark has no TIMESTAMP(NANOS) type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Epoch-extracting functions (unix_millis etc.) depend on the session
-        # zone; pin UTC so results match DuckDB's naive-timestamp epoch on
-        # any session, not just ones built by session.py.
+        # zone; the engine REQUIRES UTC so results match DuckDB's
+        # naive-timestamp epoch (session.py pins it; the driver's vanilla
+        # session does not). The conf cannot be scoped to the read: Spark
+        # resolves the zone when DOWNSTREAM expressions are analyzed, so a
+        # save/restore here would silently change later date_trunc/hour
+        # results on this table. Make the mutation loud instead of silent
+        # when it actually changes an explicitly non-UTC session (r2 advice,
+        # fixtures.py:57).
+        current_tz = spark.conf.get("spark.sql.session.timeZone")
+        if current_tz not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            warnings.warn(
+                "load_table('events') pins spark.sql.session.timeZone=UTC "
+                f"for the rest of the session (was {current_tz!r}); the "
+                "engine's timestamp semantics are UTC-only",
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

@@ -439,7 +439,26 @@ def clone_table(src_path: str, dst_path: str) -> int:
     os.makedirs(dst_path, exist_ok=True)
     out = _version_dir(dst_path, 0)
     n_files = size = 0
-    for rel, sv in snapshot_of(src_path, src_cur).items():
+    snap = snapshot_of(src_path, src_cur)
+    if not snap:
+        # Cloning a fully-emptied table: its CURRENT snapshot references no
+        # files, but the clone must still read back as a ZERO-ROW frame with
+        # the source's schema (same contract read_table gives the source).
+        # Link the most recent non-empty snapshot as a schema-carrier v0,
+        # then commit the empty snapshot as v1 -- read_table's empty-snapshot
+        # fallback walks back to v0 for the schema, so the clone stays fully
+        # self-contained.
+        carrier = next(
+            (pv for pv in range(src_cur - 1, -1, -1) if snapshot_of(src_path, pv)),
+            None,
+        )
+        if carrier is None:
+            raise ValueError(
+                f"cannot clone {src_path}: no version ever held data, so the "
+                "clone would have no schema to read back"
+            )
+        snap = snapshot_of(src_path, carrier)
+    for rel, sv in snap.items():
         src_dir = os.path.join(_version_dir(src_path, sv), rel)
         dst_dir = os.path.join(out, rel)
         os.makedirs(dst_dir, exist_ok=True)
@@ -468,6 +487,25 @@ def clone_table(src_path: str, dst_path: str) -> int:
             "snapshot": {rel: 0 for rel in _partition_rel_dirs(out)},
         },
     )
+    if not snapshot_of(src_path, src_cur):
+        # Source's live state is empty: v0 above is only the schema carrier;
+        # the clone's LIVE version mirrors the source's emptiness.
+        _append_manifest(
+            dst_path,
+            {
+                "version": 1,
+                "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "operation": "CLONE",
+                "operationMetrics": {
+                    "sourceTable": src_path,
+                    "sourceVersion": src_cur,
+                    "numFiles": 0,
+                    "sizeBytes": 0,
+                },
+                "snapshot": {},
+            },
+        )
+        return 1
     return 0
 
 

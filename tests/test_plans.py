@@ -173,7 +173,12 @@ def test_bloom_filter_injected_into_fact_scan_side(spark, sf_dir):
     text = df._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter_agg" in text, text
     assert "might_contain" in text, text
+    # Caller-session confs untouched (the query plans in a child session).
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    # Transforming the returned frame RE-PLANS; the injection must survive
+    # because the frame is bound to the scoped child session (r2 advice).
+    retext = df.filter("n_items >= 0")._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in retext, retext
 
 
 def test_lateral_join_decorrelates_to_window(spark, sf_dir):

@@ -37,13 +37,12 @@ def test_hll_union_of_partials_equals_whole(spark):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
         .collect()
     }
-    # Below the HLL_4 sparse/exact regime the sketch is exact; above it
-    # (larger SF_DIR overrides) allow the documented ~2% estimation error.
+    # DataSketches HLL_4 happens to be exact in its sparse regime today, but
+    # that is an implementation detail -- assert only the documented ~2%
+    # relative error (with a small absolute slack so tiny cardinalities
+    # don't demand bit-exactness across Spark/DataSketches upgrades).
     for got, label in ((whole, "whole"), (merged, "merged")):
         for et, n_exact in exact.items():
-            if n_exact <= 1000:
-                assert got[et] == n_exact, (label, et, got[et], n_exact)
-            else:
-                assert abs(got[et] - n_exact) <= 0.02 * n_exact, (
-                    label, et, got[et], n_exact,
-                )
+            assert abs(got[et] - n_exact) <= max(2, 0.02 * n_exact), (
+                label, et, got[et], n_exact,
+            )

@@ -510,6 +510,48 @@ def test_clone_is_zero_copy_and_independent(spark, bars, tmp_path_factory):
     assert ops == ["CLONE", "DELETE"]
 
 
+def test_clone_of_fully_emptied_table_reads_as_zero_rows(
+    spark, bars, tmp_path_factory
+):
+    """Cloning a table whose live snapshot was emptied by DELETE must yield
+    a clone that reads back as a ZERO-ROW frame with the source schema
+    (round-2 advice: it used to raise FileNotFoundError because the clone's
+    own history had no non-empty snapshot to recover the schema from)."""
+    root = tmp_path_factory.mktemp("stocks_clone_empty")
+    src, dst = str(root / "src"), str(root / "dst")
+    storage.write_partitioned(bars, src)
+    storage.delete_where(spark, src, "true")
+    assert storage.read_table(spark, src).count() == 0
+
+    storage.clone_table(src, dst)
+    d = storage.read_table(spark, dst)
+    assert d.count() == 0
+    assert set(d.columns) == set(storage.read_table(spark, src).columns)
+    # Still a live, independently-versioning table: inserts work on top.
+    storage.merge_into(spark, dst, bars.limit(2), ["ticker", "timestamp_ms"])
+    assert storage.read_table(spark, dst).count() == 2
+    assert storage.read_table(spark, src).count() == 0
+
+
+def test_clone_of_never_populated_table_raises_clear_error(
+    bars, tmp_path_factory
+):
+    root = tmp_path_factory.mktemp("stocks_clone_never")
+    src = str(root / "src")
+    os.makedirs(src, exist_ok=True)
+    # Manifest exists but no version ever held data.
+    with open(os.path.join(src, "_manifest.jsonl"), "w") as f:
+        f.write(
+            json.dumps(
+                {"version": 0, "timestamp": "2026-01-01T00:00:00Z",
+                 "operation": "WRITE", "snapshot": {}}
+            )
+            + "\n"
+        )
+    with pytest.raises((ValueError, FileNotFoundError)):
+        storage.clone_table(src, str(root / "dst"))
+
+
 def test_table_changes_spans_schema_evolution(spark, bars, tmp_path_factory):
     """CDF across a MERGE that evolved the schema: the old snapshot is
     NULL-aligned to the new columns before diffing (instead of crashing on
