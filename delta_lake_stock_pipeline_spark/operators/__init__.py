@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import streaming
 from . import (
     aggregates,
+    curation,
     dedup,
     formats,
     functions_ext,
@@ -50,6 +51,7 @@ _MODULES = [
     windows,
     text,
     dedup,
+    curation,
     similarity,
     multimodal,
     udfs,

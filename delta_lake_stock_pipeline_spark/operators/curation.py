@@ -1,0 +1,234 @@
+"""Training-corpus curation operators beyond the per-document text family:
+benchmark-contamination detection, sequence packing, and domain mixing.
+
+None of these exist in the reference (single-table stock pipeline,
+SURVEY.md SS2.12); they are first-class here because every large-scale
+LLM data pipeline runs all three between "raw corpus" and "training
+batches":
+
+* **Contamination** -- published pretraining pipelines remove training
+  documents sharing long n-grams with evaluation benchmarks (the n-gram
+  overlap decontamination described in the GPT-3 and subsequent public
+  reports). The scale shape is a semi-join of the (huge) train n-gram
+  posting table against the (small, broadcastable) benchmark n-gram set.
+* **Sequence packing** -- concatenate-and-chunk: documents are laid out
+  end-to-end in a deterministic order and cut into fixed token-capacity
+  training sequences. Needs a GLOBAL running token offset, which is the
+  canonical single-partition-window trap; implemented with the same
+  two-phase range-partition + broadcast-offset decomposition as
+  ``scale.global_row_ids``.
+* **Domain mixing** -- per-source sampling rates (upweight wiki, downweight
+  web crawl). Membership must be reproducible across engines and reruns,
+  so rates apply to a content-independent md5 key bucket (shared
+  definition: ``reshape.hash_split_columns``), never a seeded RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .reshape import hash_split_columns
+
+_NGRAM = 4
+_SEQ_CAPACITY = 512
+_PACK_RANGE_PARTITIONS = 16
+
+
+def _gram_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, gh) pairs: xxhash64 of each whitespace word 4-gram, distinct
+    per doc. All-JVM (split/transform/xxhash64 inside codegen); hashing the
+    grams before the shuffle is what keeps the posting table narrow at
+    100 TB -- 8 bytes per gram instead of the gram text."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(text), ' '), x -> x <> '')"
+            ).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""case when size(toks) < {_NGRAM} then array()
+                        else transform(sequence(1, size(toks) - {_NGRAM - 1}),
+                                       i -> xxhash64(array_join(slice(toks, i, {_NGRAM}), ' ')))
+                        end"""
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share at least
+    one word 4-gram with the held-out evaluation set (docs with
+    ``doc_id % 10 == 0``), and how many distinct grams leak.
+
+    Scale shape: the eval side is a benchmark suite -- thousands of
+    documents, not billions -- so its distinct gram-hash set is explicitly
+    ``broadcast()`` and the train posting table (the 100 TB side) is
+    semi-joined map-side with NO shuffle of train grams. The exact-match
+    decision is gram-hash equality (collision probability ~n^2/2^64,
+    the same trade the dedup family documents)."""
+    grams = _gram_hashes(load_table(spark, sf_dir, "documents"))
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
+    train_grams = grams.filter(F.col("doc_id") % 10 != 0)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in doc_id order are laid
+    end-to-end and cut into 512-token training sequences; each document
+    reports the global token offset where it starts and the sequence ids it
+    spans.
+
+    The global running offset is ``SUM(n_tokens) OVER (ORDER BY doc_id)`` --
+    which as a single window collapses the corpus into ONE task. Scalable
+    decomposition (same as ``scale.global_row_ids``):
+
+    1. ``repartitionByRange(doc_id)`` + ``localCheckpoint`` to pin the
+       sampled range boundaries;
+    2. per-partition token totals -> cumulative offsets (partition-count
+       rows on the driver -- metadata, not data);
+    3. per-partition cumulative window + broadcast-joined partition offset.
+
+    Token convention matches ``t_token_count`` (whitespace split)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    ranged = docs.repartitionByRange(_PACK_RANGE_PARTITIONS, F.col("doc_id"))
+    with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
+    totals = sorted(
+        (r["pid"], r["tok"])
+        for r in with_pid.groupBy("pid").agg(F.sum("n_tokens").alias("tok")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tok in totals:
+        offsets.append((pid, acc))
+        acc += int(tok)
+    offs = spark.createDataFrame(offsets, "pid INT, off LONG")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = F.lit(_SEQ_CAPACITY).cast("bigint")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("off")).alias(
+        "start_token"
+    )
+    packed = with_pid.join(F.broadcast(offs), "pid").select(
+        "doc_id", "n_tokens", start
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_token",
+        F.floor(F.col("start_token") / cap).alias("first_seq"),
+        F.floor((F.col("start_token") + F.col("n_tokens") - 1) / cap).alias(
+            "last_seq"
+        ),
+        (
+            F.floor((F.col("start_token") + F.col("n_tokens") - 1) / cap)
+            - F.floor(F.col("start_token") / cap)
+            + 1
+        ).alias("n_seqs"),
+    ).orderBy("doc_id")
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sample: each source gets its own keep rate
+    (``100 - 4 * source_index`` percent -- src0 kept fully, src19 at 24%),
+    applied to the md5 key bucket shared with ``r_hash_split`` so
+    membership is exact, engine-portable, and stable across reruns --
+    resampling a domain never reshuffles the others.
+
+    Pure narrow predicate (no shuffle before the final per-source
+    aggregate); at 100 TB the same expression is a pushdown filter.
+    ``sum_doc_id`` pins per-row membership, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket, _split = hash_split_columns(F.col("doc_id"))
+    rate = 100 - 4 * F.substring("source", 4, 10).cast("int")
+    return (
+        docs.withColumn("rate_pct", rate)
+        .filter(bucket < F.col("rate_pct"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "c_contamination": contamination_check,
+    "c_seq_packing": sequence_packing,
+    "c_domain_mix": domain_mix,
+}
+
+ORACLES = {
+    # Gram membership by STRING on the oracle side vs xxhash64 on the engine
+    # side: equality modulo hash collisions, which the match itself verifies.
+    "c_contamination": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w) - 3, 0) + 1),
+                       i -> array_to_string(w[i:i+3], ' '))) AS g
+            FROM toks
+        )
+        SELECT t.doc_id, COUNT(*) AS n_shared_grams
+        FROM grams t
+        WHERE t.doc_id % 10 <> 0
+          AND t.g IN (SELECT g FROM grams e WHERE e.doc_id % 10 = 0)
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    "c_seq_packing": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start_token
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(start_token AS BIGINT) AS start_token,
+               CAST(start_token // 512 AS BIGINT) AS first_seq,
+               CAST((start_token + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+               CAST((start_token + n_tokens - 1) // 512
+                    - start_token // 512 + 1 AS BIGINT) AS n_seqs
+        FROM c ORDER BY doc_id
+    """,
+    "c_domain_mix": """
+        SELECT source,
+               CAST(100 - 4 * CAST(substr(source, 4) AS INTEGER) AS INTEGER)
+                   AS rate_pct,
+               COUNT(*) AS n_sampled,
+               SUM(doc_id) AS sum_doc_id
+        FROM (
+            SELECT doc_id, source,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS b
+            FROM documents
+        )
+        WHERE b < 100 - 4 * CAST(substr(source, 4) AS INTEGER)
+        GROUP BY source ORDER BY source
+    """,
+}

@@ -244,6 +244,31 @@ _BNLJ_OK = {"h_q11_important_stock", "h_q22_dormant_customers", "j_theta"}
 _PICKLE_OK = {"u_py_udf", "u_py_udtf"}
 
 
+def test_contamination_broadcasts_benchmark_gram_set(spark, sf_dir):
+    """c_contamination's scale contract: the (small) eval/benchmark n-gram
+    set is broadcast so the train posting table -- the 100 TB side -- is
+    pre-filtered map-side without shuffling its grams to a join."""
+    text = plans.plan_string(_Q["c_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in text, text
+
+
+def test_sequence_packing_has_no_single_partition_exchange(spark, sf_dir):
+    """c_seq_packing's global token offsets must come from the two-phase
+    range-partition decomposition -- a plan containing a SinglePartition
+    exchange (the ORDER-BY-without-PARTITION-BY window shape) would mean
+    the whole corpus collapsed into one task."""
+    text = plans.plan_string(_Q["c_seq_packing"](spark, sf_dir))
+    # The final .orderBy is a range exchange (fine); the WINDOW itself must
+    # be partitioned (by pid), never global.
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*", text)
+    assert specs, text
+    for s in specs:
+        assert "pid" in s, s
+    assert "Exchange SinglePartition" not in text, text
+
+
 def test_range_interval_window_partitions_by_time_bucket(spark, sf_dir):
     """The time-RANGE frame must NOT window over bare event_type (a
     handful of distinct values -> single-task partitions holding a type's
