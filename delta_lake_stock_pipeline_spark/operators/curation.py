@@ -169,10 +169,39 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST = ("slow", "big")
+_BLOCK_RE = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+
+def blocklist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scrubbing (the C4-style bad-word filter, applied here as
+    redaction): per document, count blocklisted-term occurrences and emit
+    the md5 of the redacted text -- the hash pins the EXACT redacted bytes,
+    so the oracle match proves the rewrite, not just the counts.
+
+    Pure JVM regex (``regexp_count``/``regexp_replace`` inside codegen),
+    narrow per-row work, no shuffle before the final sort -- a pushdown-
+    friendly scan at 100 TB, where this same expression runs as a
+    write-time transform on ingest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_BLOCK_RE)).cast("bigint").alias("n_hits"),
+            F.md5(F.regexp_replace("text", _BLOCK_RE, "[BLOCKED]")).alias(
+                "redacted_md5"
+            ),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "c_contamination": contamination_check,
     "c_seq_packing": sequence_packing,
     "c_domain_mix": domain_mix,
+    "c_blocklist_redaction": blocklist_redaction,
 }
 
 ORACLES = {
@@ -215,6 +244,16 @@ ORACLES = {
                CAST((start_token + n_tokens - 1) // 512
                     - start_token // 512 + 1 AS BIGINT) AS n_seqs
         FROM c ORDER BY doc_id
+    """,
+    "c_blocklist_redaction": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\b(slow|big)\b'))
+                    AS BIGINT) AS n_hits,
+               md5(regexp_replace(text, '\b(slow|big)\b', '[BLOCKED]', 'g'))
+                   AS redacted_md5
+        FROM documents
+        WHERE len(regexp_extract_all(text, '\b(slow|big)\b')) > 0
+        ORDER BY doc_id
     """,
     "c_domain_mix": """
         SELECT source,

@@ -345,6 +345,71 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantize_int8(col: F.Column) -> F.Column:
+    """Symmetric int8 quantization of a float embedding: per-vector scale
+    ``max|x| / 127``, elements rounded half-away-from-zero to [-127, 127].
+    All-JVM higher-order functions; the quantized array is exact integers,
+    so downstream dot products are partitioning-independent exact sums."""
+    absmax = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    return F.transform(col, lambda x: F.round(x.cast("double") / scale).cast("long"))
+
+
+def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-QUANTIZED embeddings (the memory-bound ANN
+    trick: 4x smaller vectors, integer dot products) side-by-side with the
+    exact float cosine, so quantization fidelity is observable per hit.
+
+    Scale shape matches ``v_cosine_topk``: scan + per-row expression +
+    TakeOrderedAndProject; nothing but k rows leaves the executors. At
+    100 TB the quantized column is what you MATERIALIZE (16x less scan IO
+    than float64); rank order is preserved within quantization error.
+    Integer accumulation makes the dot exact; only the final normalize is
+    float, with the same deterministic sequential form the oracle mirrors."""
+    qvec = _query_vector(spark, sf_dir, 0)
+    amax = max(abs(v) for v in qvec)
+    qscale = amax / 127.0
+    # Half-away-from-zero, matching Spark's round() and DuckDB's round()
+    # (Python's built-in round is banker's -- NOT the same).
+    import math
+
+    qq = [
+        int(math.floor(v / qscale + 0.5))
+        if v >= 0
+        else -int(math.floor(-v / qscale + 0.5))
+        for v in qvec
+    ]
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id", "label", "embedding", _quantize_int8(F.col("embedding")).alias("q")
+    )
+    zero = F.lit(0).cast("long")
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), qlit, lambda x, y: x * y), zero, lambda a, v: a + v
+    )
+    qn = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), zero, lambda a, v: a + v
+        ).cast("double")
+    )
+    return (
+        quant.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(qdot.cast("double") / (qn(F.col("q")) * qn(qlit)), 6).alias(
+                "cos_sim_q"
+            ),
+            F.round(
+                cosine(F.col("embedding"), _lit_vec(qvec)), 6
+            ).alias("cos_sim_exact"),
+        )
+        .orderBy(F.desc("cos_sim_q"), "vec_id")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "v_cosine_topk": cosine_topk,
     "v_pairwise_neardup": pairwise_neardup,
@@ -352,6 +417,7 @@ QUERIES = {
     "v_ann_lsh": ann_lsh_topk,
     "v_ann_ivf": ann_ivf_topk,
     "v_label_centroids": label_centroids,
+    "v_quantized_cosine": quantized_cosine_topk,
 }
 
 # DuckDB cosine with explicit double math mirroring functions/vector.py:
@@ -408,4 +474,34 @@ ORACLES = {
         ORDER BY query_id, rank
     """,
     # v_ann_lsh / v_ann_ivf: intentionally no oracle (approximate).
+    # Quantization recomputed from first principles: same per-vector
+    # max|x|/127 scale, same half-away-from-zero round, exact integer
+    # dot/norm sums, float only in the final normalize.
+    "v_quantized_cosine": f"""
+        WITH scaled AS (
+            SELECT vec_id, label, embedding,
+                   list_max(list_transform(embedding,
+                       w -> abs(CAST(w AS DOUBLE)))) / 127.0 AS s
+            FROM embeddings
+        ), quant AS (
+            SELECT vec_id, label, embedding,
+                   list_transform(embedding,
+                       v -> CAST(round(CAST(v AS DOUBLE) / s) AS BIGINT)) AS q
+            FROM scaled
+        )
+        SELECT e.vec_id, e.label,
+               ROUND(CAST(list_sum(list_transform(
+                         list_zip(e.q, (SELECT q FROM quant WHERE vec_id = 0)),
+                         x -> x[1] * x[2])) AS DOUBLE)
+                     / (sqrt(CAST(list_sum(list_transform(e.q, v -> v * v))
+                             AS DOUBLE))
+                        * sqrt(CAST(list_sum(list_transform(
+                              (SELECT q FROM quant WHERE vec_id = 0),
+                              v -> v * v)) AS DOUBLE))), 6) AS cos_sim_q,
+               ROUND({_q_cos}, 6) AS cos_sim_exact
+        FROM quant e
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim_q DESC, e.vec_id
+        LIMIT 10
+    """,
 }
