@@ -105,6 +105,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
+    return pack_sequences(spark, docs)
+
+
+def pack_sequences(
+    spark: SparkSession,
+    docs: DataFrame,
+    capacity: int = _SEQ_CAPACITY,
+) -> DataFrame:
+    """Core packing over any ``(doc_id, n_tokens)`` frame (see
+    ``sequence_packing`` for the algorithm and scale rationale); separated
+    so property tests can drive it with arbitrary synthetic corpora."""
     ranged = docs.repartitionByRange(_PACK_RANGE_PARTITIONS, F.col("doc_id"))
     with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
     totals = sorted(
@@ -121,7 +132,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cap = F.lit(_SEQ_CAPACITY).cast("bigint")
+    cap = F.lit(capacity).cast("bigint")
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("off")).alias(
         "start_token"
     )

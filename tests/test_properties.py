@@ -201,3 +201,47 @@ def test_table_changes_replays_any_commit_sequence(
     final = storage.read_table(spark, path).select(*data)
     assert replayed.exceptAll(final).count() == 0
     assert final.exceptAll(replayed).count() == 0
+
+
+# --- sequence packing: two-phase global offsets == serial prefix sum -------
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # doc_id (dupes dropped)
+        st.integers(min_value=1, max_value=40),  # n_tokens
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=_pack_rows, capacity=st.integers(min_value=1, max_value=16))
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_serial_prefix_sum(spark, rows, capacity):
+    """The distributed two-phase packing must equal the serial definition:
+    docs laid end-to-end in doc_id order, start = running sum, sequence ids
+    by integer division -- for ANY corpus shape (empty, single giant doc
+    spanning many sequences, all-tiny docs) and ANY capacity."""
+    from delta_lake_stock_pipeline_spark.operators.curation import pack_sequences
+
+    uniq = {}
+    for d, n in rows:
+        uniq.setdefault(d, n)
+    docs_rows = sorted(uniq.items())
+    docs = spark.createDataFrame(
+        [(d, n) for d, n in docs_rows] or [], "doc_id LONG, n_tokens LONG"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_token"], r["first_seq"], r["last_seq"],
+            r["n_seqs"],
+        )
+        for r in pack_sequences(spark, docs, capacity=capacity).collect()
+    }
+    acc = 0
+    want = {}
+    for d, n in docs_rows:
+        first, last = acc // capacity, (acc + n - 1) // capacity
+        want[d] = (n, acc, first, last, last - first + 1)
+        acc += n
+    assert got == want
