@@ -253,6 +253,53 @@ def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score (the CCNet-style language-model filter,
+    reduced to its unigram core): per document, the mean negative log
+    probability of its tokens under the corpus unigram distribution --
+    low = boilerplate-ish common tokens, high = rare/noisy tokens; real
+    pipelines bucket on exactly this signal.
+
+    Determinism design: per-WORD ``floor(ln(c/N) * 1e6)`` is computed once
+    in the (deterministic) unigram table, so the per-doc aggregate is a sum
+    of LONGS -- order-independent, partitioning-independent -- and the only
+    float steps (one division, one round) are identical single expressions
+    on both engines. A naive ``avg(ln(p))`` over doubles would depend on
+    accumulation order and could not be exactly oracled.
+
+    Scale shape: the unigram table is |vocab| rows (millions at 100 TB --
+    broadcastable) built with one explode + hash-agg over the corpus; the
+    per-doc pass is a broadcast join on the token, partial-aggregated
+    map-side. The corpus total N rides along as a 1-row broadcast cross
+    join, never a driver round-trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n_corpus"))
+    logq = counts.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("n_corpus")) * 1000000
+        ).cast("long").alias("q"),
+    )
+    return (
+        toks.join(F.broadcast(logq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.round(
+                -F.sum("q").cast("double") / (F.count("*") * F.lit(1000000.0)), 4
+            ).alias("nats_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "t_token_count": token_count,
     "t_repetition": repetition_stats,
@@ -263,6 +310,7 @@ QUERIES = {
     "t_lang_id": lang_id,
     "t_fingerprint": fingerprint,
     "t_bigram_frequency": bigram_frequency,
+    "t_unigram_logprob": unigram_logprob,
 }
 
 _MARKER_SQL = {
@@ -398,5 +446,31 @@ ORACLES = {
                SUBSTRING(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8)
                    AS fp8
         FROM documents
+    """,
+    # Per-word integer-scaled logs (floor(ln(c/N)*1e6)) make the per-doc
+    # aggregate an exact LONG sum; ln is correctly-rounded libm on both
+    # engines, and the single final divide+round is the identical
+    # expression -- see unigram_logprob's determinism note.
+    "t_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ), cnt AS (
+            SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+        ), lq AS (
+            SELECT w,
+                   CAST(floor(ln(CAST(c AS DOUBLE)
+                                 / (SELECT SUM(c) FROM cnt)) * 1000000)
+                        AS BIGINT) AS q
+            FROM cnt
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               ROUND(-CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 4)
+                   AS nats_per_token
+        FROM toks t JOIN lq USING (w)
+        GROUP BY t.doc_id ORDER BY t.doc_id
     """,
 }
