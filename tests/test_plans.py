@@ -238,7 +238,13 @@ def test_anti_join_is_nonempty(spark, sf_dir):
 # broadcasts (q11's global fraction, q22's avg balance -- a 1-row build side
 # is exactly what BNLJ is for) and the deliberate brute-force theta join,
 # whose scale twin j_theta_binned is gated to have none.
-_BNLJ_OK = {"h_q11_important_stock", "h_q22_dormant_customers", "j_theta"}
+_BNLJ_OK = {
+    "h_q11_important_stock",
+    "h_q22_dormant_customers",
+    "j_theta",
+    # Corpus-total N rides along as a 1-row broadcast cross join.
+    "t_unigram_logprob",
+}
 # Queries ALLOWED to cross into Python row-at-a-time (pickled): the two
 # deliberate slow-path demos.
 _PICKLE_OK = {"u_py_udf", "u_py_udtf"}
@@ -323,3 +329,4 @@ def test_dynamic_partition_pruning_on_versioned_table(spark, tmp_path):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
