@@ -31,6 +31,7 @@ from . import (
     reshape,
     scale,
     similarity,
+    storage_lifecycle,
     subqueries,
     text,
     tpch,
@@ -54,6 +55,7 @@ _MODULES = [
     curation,
     similarity,
     multimodal,
+    storage_lifecycle,
     udfs,
     streaming,
 ]

@@ -1,0 +1,135 @@
+"""Driver-checkable storage-lifecycle queries: the versioned table's
+WRITE -> DELETE -> MERGE -> read/time-travel path expressed as oracle-able
+query keys.
+
+The storage layer (``storage/table.py``: the Delta-class emulation the
+reference's physical layer implies -- ``maintenance.py:87-171``,
+``external_table.py:63-67``) is otherwise pinned only by pytest. These two
+keys run the full mutation lifecycle against a scratch copy of the
+``orders`` fixture and aggregate the outcome, while the DuckDB oracle
+RECONSTRUCTS the same final state relationally from the original parquet --
+so MERGE/DELETE/time-travel semantics get the driver's independent
+value-hash check, not just our own tests.
+
+Scale shape: every step is the partition-pruned copy-on-write path (only
+``o_orderpriority`` partitions containing affected rows are rewritten;
+untouched partitions carry by manifest reference), which is exactly how the
+same operations behave on a 100 TB table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from ..storage import delete_where, merge_into, read_table, write_partitioned
+
+_PART_COLS = ["o_orderpriority"]
+_DELETE_COND = "o_totalprice < 20000"
+_UPD_MOD = 97
+
+# (applicationId, sf_dir) -> mutated table path; the lifecycle writes once
+# per session+fixture and every call reads the committed versions.
+_tables: dict[tuple[str, str], str] = {}
+
+
+def clear_lifecycle_dirs() -> None:
+    """Delete every lifecycle scratch table this process wrote (conftest
+    calls this next to the other operator-cache clears)."""
+    for path in _tables.values():
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    _tables.clear()
+
+
+def _mutated_table(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _tables:
+        path = os.path.join(tempfile.mkdtemp(prefix="spark_lifecycle_"), "orders")
+        orders = load_table(spark, sf_dir, "orders")
+        # v0: full write partitioned by priority.
+        write_partitioned(orders, path, _PART_COLS)
+        # v1: DELETE (partition-pruned copy-on-write).
+        delete_where(spark, path, _DELETE_COND, _PART_COLS)
+        # v2: MERGE upsert -- keys drawn from the ORIGINAL fixture, so some
+        # update rows re-insert orders the DELETE removed (the interesting
+        # upsert case), price doubled to make updates visible.
+        upd = orders.filter(F.col("o_orderkey") % _UPD_MOD == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        merge_into(spark, path, upd, ["o_orderkey"], _PART_COLS)
+        _tables[key] = path
+    return _tables[key]
+
+
+def _rollup(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.min("o_orderdate").alias("first_ts"),
+            F.max("o_orderdate").alias("last_ts"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def lifecycle_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate of the table's LIVE state after WRITE -> DELETE -> MERGE.
+    The oracle rebuilds the identical final relation in SQL: rows surviving
+    the delete minus updated keys, plus the update set."""
+    return _rollup(read_table(spark, _mutated_table(spark, sf_dir)))
+
+
+def time_travel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same aggregate over ``versionAsOf 0`` AFTER the mutations --
+    proving time travel returns the pre-mutation table bit-for-bit (the
+    oracle is the plain aggregate over the original fixture)."""
+    return _rollup(read_table(spark, _mutated_table(spark, sf_dir), version=0))
+
+
+QUERIES = {
+    "st_lifecycle_rollup": lifecycle_rollup,
+    "st_time_travel_rollup": time_travel_rollup,
+}
+
+ORACLES = {
+    "st_lifecycle_rollup": f"""
+        WITH upd AS (
+            SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+            FROM orders WHERE o_orderkey % {_UPD_MOD} = 0
+        ), kept AS (
+            SELECT * FROM orders
+            WHERE NOT ({_DELETE_COND})
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        ), final AS (
+            SELECT * FROM kept UNION ALL SELECT * FROM upd
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_price,
+               SUM(o_orderkey) AS sum_key,
+               MIN(o_orderdate) AS first_ts,
+               MAX(o_orderdate) AS last_ts
+        FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "st_time_travel_rollup": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_price,
+               SUM(o_orderkey) AS sum_key,
+               MIN(o_orderdate) AS first_ts,
+               MAX(o_orderdate) AS last_ts
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+}

@@ -19,9 +19,13 @@ def spark():
     from delta_lake_stock_pipeline_spark.operators.formats import (
         clear_roundtrip_dirs,
     )
+    from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
+        clear_lifecycle_dirs,
+    )
 
     clear_posts_cache()
     clear_roundtrip_dirs()
+    clear_lifecycle_dirs()
     spark.stop()
 
 
