@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
-from ..storage import delete_where, merge_into, read_table, write_partitioned
+from ..storage import (
+    delete_where,
+    merge_into,
+    optimize,
+    read_table,
+    write_partitioned,
+)
 
 _PART_COLS = ["o_orderpriority"]
 _DELETE_COND = "o_totalprice < 20000"
@@ -62,6 +68,11 @@ def _mutated_table(spark: SparkSession, sf_dir: str) -> str:
             "o_totalprice", F.col("o_totalprice") * 2
         )
         merge_into(spark, path, upd, ["o_orderkey"], _PART_COLS)
+        # v3: OPTIMIZE + Z-order on o_custkey -- content-preserving by
+        # contract, and because the live read below goes through this
+        # version, the driver's value hash independently PROVES compaction
+        # changed no row.
+        optimize(spark, path, _PART_COLS, zorder_by="o_custkey")
         _tables[key] = path
     return _tables[key]
 
