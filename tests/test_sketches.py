@@ -46,3 +46,24 @@ def test_hll_union_of_partials_equals_whole(spark):
             assert abs(got[et] - n_exact) <= max(2, 0.02 * n_exact), (
                 label, et, got[et], n_exact,
             )
+
+
+def test_minhash_lsh_sound_and_recalls_high_jaccard_pairs(spark, sf_dir):
+    """MinHash+LSH anchor vs the exact inverted-index query: every verified
+    LSH pair must BE an exact near-dup pair (soundness -- candidates are
+    verified with the same exact Jaccard), and every exact pair with
+    J >= 0.8 must be captured (4 bands x 4 rows give ~0.99 capture there;
+    both queries are hash-deterministic so this is stable, not flaky)."""
+    from delta_lake_stock_pipeline_spark.operators import dedup
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert lsh <= set(exact), f"unsound LSH pairs: {lsh - set(exact)}"
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert high <= lsh, f"missed high-similarity pairs: {high - lsh}"
