@@ -78,8 +78,12 @@ def main() -> int:
         out["failures"] = failures
     print(json.dumps(out))
     from delta_lake_stock_pipeline_spark.operators.formats import clear_roundtrip_dirs
+    from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
+        clear_lifecycle_dirs,
+    )
 
     clear_roundtrip_dirs()
+    clear_lifecycle_dirs()
     spark.stop()
     return 1 if failures else 0
 
