@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
 from .reshape import hash_split_columns
+from .scale import ranged_with_offsets
 
 _NGRAM = 4
 _SEQ_CAPACITY = 512
@@ -115,18 +116,9 @@ def pack_sequences(
 ) -> DataFrame:
     """Core packing over any ``(doc_id, n_tokens)`` frame (see
     ``sequence_packing`` for the algorithm and scale rationale); separated
-    so property tests can drive it with arbitrary synthetic corpora."""
-    ranged = docs.repartitionByRange(_PACK_RANGE_PARTITIONS, F.col("doc_id"))
-    with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
-    totals = sorted(
-        (r["pid"], r["tok"])
-        for r in with_pid.groupBy("pid").agg(F.sum("n_tokens").alias("tok")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, tok in totals:
-        offsets.append((pid, acc))
-        acc += int(tok)
-    offs = spark.createDataFrame(offsets, "pid INT, off LONG")
+    so property tests can drive it with arbitrary synthetic corpora. The
+    global running offset comes from the shared two-phase decomposition
+    (``scale.ranged_with_offsets``)."""
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")
@@ -136,9 +128,9 @@ def pack_sequences(
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("off")).alias(
         "start_token"
     )
-    packed = with_pid.join(F.broadcast(offs), "pid").select(
-        "doc_id", "n_tokens", start
-    )
+    packed = ranged_with_offsets(
+        spark, docs, "doc_id", "n_tokens", _PACK_RANGE_PARTITIONS
+    ).select("doc_id", "n_tokens", start)
     return packed.select(
         "doc_id",
         "n_tokens",

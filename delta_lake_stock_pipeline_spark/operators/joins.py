@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
 
+# applicationId -> scoped child session for bloom_pruned_join (see there).
+_bloom_sessions: dict[str, SparkSession] = {}
+
 
 def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-hash equi join: fact side never shuffles; the bounded dims
@@ -339,10 +342,16 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leak to concurrent queries on the caller's session, and (b) any later
     # transformation of the returned frame re-plans under the SAME scoped
     # confs instead of silently losing the bloom injection (round-2 advice,
-    # joins.py:312).
-    child = spark.newSession()
-    for k, v in scoped.items():
-        child.conf.set(k, v)
+    # joins.py:312). Memoized per application so repeated calls (bench,
+    # plan gates, blanket audits) reuse ONE child SessionState instead of
+    # accumulating a new JVM session per call.
+    app_id = spark.sparkContext.applicationId
+    child = _bloom_sessions.get(app_id)
+    if child is None:
+        child = spark.newSession()
+        for k, v in scoped.items():
+            child.conf.set(k, v)
+        _bloom_sessions[app_id] = child
     lineitem = load_table(child, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )

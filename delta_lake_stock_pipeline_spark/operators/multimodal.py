@@ -93,25 +93,30 @@ def _pgm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.octet_length("body")
     width = (n % 64 + 1).alias("width")
     height = ((n / 64).cast("int") % 64 + 1).alias("height")
-    sized = docs.select("doc_id", "body", width, height).withColumn(
-        "n_pixels", (F.col("width") * F.col("height")).cast("bigint")
+    sized = (
+        docs.select("doc_id", "body", width, height)
+        .withColumn("n_pixels", (F.col("width") * F.col("height")).cast("bigint"))
+        .withColumn(
+            "pad_bytes",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("n_pixels") - F.octet_length("body"),
+            ),
+        )
     )
     header = F.encode(
         F.format_string("P5\n%d %d\n255\n", "width", "height"), "utf-8"
     )
-    pad = F.greatest(
-        F.lit(0).cast("bigint"), F.col("n_pixels") - F.octet_length("body")
-    )
     plane = F.concat(
         F.col("body").substr(F.lit(1), F.col("n_pixels").cast("int")),
-        F.encode(F.expr("repeat(' ', int(greatest(0, n_pixels - octet_length(body))))"), "utf-8"),
+        F.encode(F.expr("repeat(' ', int(pad_bytes))"), "utf-8"),
     )
     return sized.select(
         "doc_id",
         "width",
         "height",
         "n_pixels",
-        pad.alias("pad_bytes"),
+        "pad_bytes",
         F.concat(header, plane).alias("payload"),
     )
 
@@ -249,7 +254,12 @@ ORACLES = {
         ), px AS (
             SELECT doc_id, width, height, width * height AS npix,
                    GREATEST(0, width * height - n) AS pad,
-                   list_transform(string_split_regex(body, ''),
+                   -- filter '' before ord(): splitting an EMPTY body yields
+                   -- [''] and ord('') is -1, which would skew the sum by -1
+                   -- for zero-length documents (ASCII text never contains
+                   -- an empty "char", so this is a no-op otherwise).
+                   list_transform(list_filter(string_split_regex(body, ''),
+                                              x -> x <> ''),
                                   x -> ord(x)) AS bytes_list
             FROM geo
         )

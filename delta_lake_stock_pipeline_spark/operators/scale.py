@@ -58,17 +58,52 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ranged_with_offsets(
+    spark: SparkSession,
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    n_partitions: int = 16,
+) -> DataFrame:
+    """The two-phase global-prefix decomposition shared by
+    ``global_row_ids`` and ``curation.pack_sequences``: returns ``df`` with
+    a ``pid`` (range-partition id ordered by ``order_col``) and an ``off``
+    column holding the cumulative sum of ``weight_col`` over all EARLIER
+    partitions -- so ``off`` + a per-pid window gives any global running
+    aggregate without a single-partition window.
+
+    ``localCheckpoint`` pins the range partitioning: ``repartitionByRange``
+    picks boundaries by SAMPLING, so re-evaluating the plan (once for the
+    totals collect, once for the final join) could place rows differently
+    than they were counted, silently corrupting the offsets. Checkpointing
+    makes the counted rows the consumed rows. The per-partition totals are
+    the only driver-side data (partition-count rows -- metadata, like
+    Delta reading its log). At cluster scale use reliable
+    checkpoint/persist(DISK) for the same guarantee."""
+    ranged = df.repartitionByRange(n_partitions, F.col(order_col))
+    with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
+    totals = sorted(
+        (r["pid"], int(r["w"] or 0))
+        for r in with_pid.groupBy("pid").agg(F.sum(weight_col).alias("w")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, w in totals:
+        offsets.append((pid, acc))
+        acc += w
+    offs = spark.createDataFrame(offsets, "pid INT, off LONG")
+    return with_pid.join(F.broadcast(offs), "pid")
+
+
 def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDERED row ids without a single-partition window.
 
     ``ROW_NUMBER() OVER (ORDER BY k)`` with no PARTITION BY collapses the
     whole table into ONE task -- the canonical 100 TB anti-pattern. The
-    scalable decomposition:
+    scalable decomposition (``ranged_with_offsets``):
 
     1. ``repartitionByRange(k)`` -- range-shuffle so partition p holds keys
        entirely below partition p+1;
-    2. per-partition counts -> cumulative offsets (partition-count rows,
-       the only driver-side data -- metadata, like Delta reading its log);
+    2. per-partition counts -> cumulative offsets;
     3. per-partition ``row_number`` (parallel: each window partition is one
        range partition) + broadcast-joined offset.
 
@@ -78,26 +113,10 @@ def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    ranged = docs.select("doc_id").repartitionByRange(16, F.col("doc_id"))
-    # localCheckpoint pins the range partitioning: repartitionByRange picks
-    # boundaries by SAMPLING, so re-evaluating the plan (once for the counts
-    # collect, once for the final join) could place rows differently than
-    # they were counted, silently corrupting the ids. Checkpointing makes
-    # the counted rows the numbered rows. At cluster scale use
-    # reliable checkpoint/persist(DISK) for the same guarantee.
-    with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
-    counts = sorted(
-        (r["pid"], r["cnt"])
-        for r in with_pid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    offs = spark.createDataFrame(offsets, "pid INT, off LONG")
+    rows = docs.select("doc_id").withColumn("__w", F.lit(1).cast("long"))
     w = Window.partitionBy("pid").orderBy("doc_id")
     return (
-        with_pid.join(F.broadcast(offs), "pid")
+        ranged_with_offsets(spark, rows, "doc_id", "__w")
         .select(
             "doc_id",
             (F.row_number().over(w) + F.col("off")).alias("seq"),

@@ -368,6 +368,10 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float, with the same deterministic sequential form the oracle mirrors."""
     qvec = _query_vector(spark, sf_dir, 0)
     amax = max(abs(v) for v in qvec)
+    if amax == 0:
+        # Cosine against a zero vector is undefined; fail loudly instead of
+        # a bare ZeroDivisionError in the scale computation below.
+        raise ValueError("query vector (vec_id=0) is all zeros; cosine undefined")
     qscale = amax / 127.0
     # Half-away-from-zero, matching Spark's round() and DuckDB's round()
     # (Python's built-in round is banker's -- NOT the same).

@@ -24,6 +24,9 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_manifest.jsonl"
+# Non-version directory a CLONE of an emptied table uses to carry the
+# source schema (hard-linked files read limit(0) only; never table data).
+SCHEMA_CARRIER = "_schema"
 
 # Reference partition layout: stock_harvester.py:172,180.
 DEFAULT_PARTITION_COLS = ("ticker", "trade_date")
@@ -234,10 +237,15 @@ def read_table(
     if not snap:
         # A DELETE can empty every partition: the table is legitimately
         # zero-row, not unreadable. Synthesize the empty frame with the
-        # schema of the most recent non-empty snapshot.
+        # schema of the most recent non-empty snapshot; a clone born from an
+        # empty source has no such version and carries its schema in the
+        # non-version ``_schema/`` dir instead (see clone_table).
         for pv in range(v - 1, -1, -1):
             if snapshot_of(path, pv):
                 return read_table(spark, path, version=pv).limit(0)
+        carrier = os.path.join(path, SCHEMA_CARRIER)
+        if os.path.isdir(carrier):
+            return spark.read.option("basePath", carrier).parquet(carrier).limit(0)
         raise FileNotFoundError(f"no data in any version at {path}")
     by_ver: dict[int, list[str]] = {}
     for rel, sv in snap.items():
@@ -437,17 +445,19 @@ def clone_table(src_path: str, dst_path: str) -> int:
     if os.path.exists(_manifest_path(dst_path)):
         raise FileExistsError(f"{dst_path} is already a table")
     os.makedirs(dst_path, exist_ok=True)
-    out = _version_dir(dst_path, 0)
     n_files = size = 0
     snap = snapshot_of(src_path, src_cur)
-    if not snap:
+    src_empty = not snap
+    if src_empty:
         # Cloning a fully-emptied table: its CURRENT snapshot references no
         # files, but the clone must still read back as a ZERO-ROW frame with
         # the source's schema (same contract read_table gives the source).
-        # Link the most recent non-empty snapshot as a schema-carrier v0,
-        # then commit the empty snapshot as v1 -- read_table's empty-snapshot
-        # fallback walks back to v0 for the schema, so the clone stays fully
-        # self-contained.
+        # Link the most recent non-empty snapshot into the NON-version
+        # ``_schema/`` dir -- read_table's empty-snapshot fallback reads it
+        # limit(0) for the schema only, so v0 stays faithfully empty:
+        # time travel to v0 returns zero rows, the manifest reports zero
+        # files, and VACUUM (which touches only version dirs) leaves the
+        # carrier alone.
         carrier = next(
             (pv for pv in range(src_cur - 1, -1, -1) if snapshot_of(src_path, pv)),
             None,
@@ -458,6 +468,9 @@ def clone_table(src_path: str, dst_path: str) -> int:
                 "clone would have no schema to read back"
             )
         snap = snapshot_of(src_path, carrier)
+        out = os.path.join(dst_path, SCHEMA_CARRIER)
+    else:
+        out = _version_dir(dst_path, 0)
     for rel, sv in snap.items():
         src_dir = os.path.join(_version_dir(src_path, sv), rel)
         dst_dir = os.path.join(out, rel)
@@ -481,31 +494,16 @@ def clone_table(src_path: str, dst_path: str) -> int:
             "operationMetrics": {
                 "sourceTable": src_path,
                 "sourceVersion": src_cur,
-                "numFiles": n_files,
-                "sizeBytes": size,
+                # Metrics describe the cloned STATE: zero files for an
+                # empty source (the schema carrier is not table data).
+                "numFiles": 0 if src_empty else n_files,
+                "sizeBytes": 0 if src_empty else size,
             },
-            "snapshot": {rel: 0 for rel in _partition_rel_dirs(out)},
+            "snapshot": {}
+            if src_empty
+            else {rel: 0 for rel in _partition_rel_dirs(out)},
         },
     )
-    if not snapshot_of(src_path, src_cur):
-        # Source's live state is empty: v0 above is only the schema carrier;
-        # the clone's LIVE version mirrors the source's emptiness.
-        _append_manifest(
-            dst_path,
-            {
-                "version": 1,
-                "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                "operation": "CLONE",
-                "operationMetrics": {
-                    "sourceTable": src_path,
-                    "sourceVersion": src_cur,
-                    "numFiles": 0,
-                    "sizeBytes": 0,
-                },
-                "snapshot": {},
-            },
-        )
-        return 1
     return 0
 
 

@@ -527,6 +527,12 @@ def test_clone_of_fully_emptied_table_reads_as_zero_rows(
     d = storage.read_table(spark, dst)
     assert d.count() == 0
     assert set(d.columns) == set(storage.read_table(spark, src).columns)
+    # Faithful history: the clone's v0 IS the empty state that was cloned --
+    # time travel must NOT resurrect the source's pre-delete rows, and the
+    # CLONE commit must report zero files (the schema carrier is metadata).
+    assert storage.read_table(spark, dst, version=0).count() == 0
+    clone_row = storage.history(spark, dst).filter("operation = 'CLONE'").first()
+    assert json.loads(clone_row["operationMetrics"])["numFiles"] == 0
     # Still a live, independently-versioning table: inserts work on top.
     storage.merge_into(spark, dst, bars.limit(2), ["ticker", "timestamp_ms"])
     assert storage.read_table(spark, dst).count() == 2
