@@ -54,21 +54,84 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving aggregate with an explicit rows frame: trailing-3 average value
-    per event_type ordered by time."""
+_MA_K = 3
+_MA_PARTS = 16
+
+
+def trailing_mean_rows(
+    spark: SparkSession, df: DataFrame, k: int = _MA_K, n_partitions: int = _MA_PARTS
+) -> DataFrame:
+    """Exact trailing-``k`` ROWS mean of ``value`` per ``event_type`` in
+    (ts, event_id) order WITHOUT partitioning the window by the type -- the
+    carry-rows decomposition of a sliding ROWS frame (round-3 re-plan,
+    same motivation as ``window_range_interval``: event_type has a handful
+    of distinct values at ANY data size, so a type-partitioned window
+    lands each type's entire history in one task).
+
+    1. ``repartitionByRange(event_type, ts, event_id)`` -- pids are
+       contiguous in the total order (and pinned by ``localCheckpoint``);
+    2. duplicate the last ``k-1`` rows of each (pid, type) group into the
+       NEXT non-empty pid, flagged ``is_carry`` (a type's rows are
+       contiguous across pids because the range key LEADS with the type,
+       so the next non-empty pid is exactly where that type continues --
+       skipping genuinely empty ranges);
+    3. window over (pid, event_type): every native row's trailing frame is
+       complete (its ≤ k-1 predecessors are native or carried), carried
+       rows' own outputs are dropped.
+
+    Parallelism is n_partitions regardless of type cardinality, per-task
+    state is one frame of k rows, and the only driver-side data is the
+    ≤ n_partitions pid list."""
+    ranged = df.repartitionByRange(n_partitions, "event_type", "ts", "event_id")
+    with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
+    pids = sorted(r["pid"] for r in with_pid.select("pid").distinct().collect())
+    pairs = [(int(p), int(q)) for p, q in zip(pids, pids[1:])]
+    base = with_pid.withColumn("is_carry", F.lit(False))
+    if pairs:
+        w_desc = Window.partitionBy("pid", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        # pid -> next-non-empty-pid as a literal MAP expression (≤
+        # n_partitions entries of driver metadata): cheaper to plan and run
+        # than a broadcast join of the same 16 rows.
+        next_pid = F.create_map(
+            *[F.lit(x) for pair in pairs for x in pair]
+        )[F.col("pid")]
+        carry = (
+            with_pid.withColumn("__rnd", F.row_number().over(w_desc))
+            .filter(F.col("__rnd") < k)
+            .drop("__rnd")
+            .withColumn("pid", next_pid)
+            .filter(F.col("pid").isNotNull())  # last pid has no successor
+            .withColumn("is_carry", F.lit(True))
+        )
+        allr = base.unionByName(carry)
+    else:
+        allr = base
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("pid", "event_type")
         .orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
+        .rowsBetween(-(k - 1), Window.currentRow)
     )
     return (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            "event_id",
-            F.round(F.avg("value").over(w), 4).alias("ma3"),
-        )
+        allr.withColumn("ma", F.avg("value").over(w))
+        .filter(~F.col("is_carry"))
+        .select("event_type", "event_id", "ma")
+    )
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate with an explicit rows frame: trailing-3 average value
+    per event_type ordered by time -- via the carry-rows decomposition
+    (``trailing_mean_rows``), so the window never partitions by the
+    low-cardinality type. Identical results to the naive
+    ``Window.partitionBy(event_type)`` form, which the unchanged oracle
+    checks."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    return trailing_mean_rows(spark, ev).select(
+        "event_type", "event_id", F.round("ma", 4).alias("ma3")
     )
 
 

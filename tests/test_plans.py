@@ -275,6 +275,19 @@ def test_sequence_packing_has_no_single_partition_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in text, text
 
 
+def test_moving_avg_window_partitions_by_range_pid(spark, sf_dir):
+    """w_moving_avg's trailing-ROWS frame must use the carry-rows
+    decomposition: every window spec partitioned by the range pid, never by
+    bare event_type (3 distinct values -> single-task history per type)."""
+    import re
+
+    text = plans.plan_string(_Q["w_moving_avg"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\([^)]*", text)
+    assert specs, text
+    for s in specs:
+        assert "pid" in s, s
+
+
 def test_range_interval_window_partitions_by_time_bucket(spark, sf_dir):
     """The time-RANGE frame must NOT window over bare event_type (a
     handful of distinct values -> single-task partitions holding a type's

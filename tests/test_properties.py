@@ -245,3 +245,45 @@ def test_pack_sequences_matches_serial_prefix_sum(spark, rows, capacity):
         want[d] = (n, acc, first, last, last - first + 1)
         acc += n
     assert got == want
+
+
+# --- carry-rows trailing window == naive per-type window -------------------
+
+_ma_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # event_type (low cardinality)
+        st.integers(min_value=0, max_value=5),  # ts (forced collisions)
+        st.integers(min_value=-10, max_value=10),  # value
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(rows=_ma_rows, k=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_trailing_mean_carry_rows_matches_brute_force(spark, rows, k):
+    """The carry-rows decomposition (range pids + duplicated boundary rows)
+    must equal the serial trailing-k mean for ANY corpus: timestamp ties,
+    types spanning many partition boundaries, frames shorter than k at run
+    starts. n_partitions=5 on tiny inputs forces boundaries everywhere."""
+    from delta_lake_stock_pipeline_spark.operators.windows import trailing_mean_rows
+
+    data = [
+        (f"t{t}", i, ts, float(v)) for i, (t, ts, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data or [], "event_type STRING, event_id LONG, ts LONG, value DOUBLE"
+    )
+    got = {
+        r["event_id"]: round(r["ma"], 9)
+        for r in trailing_mean_rows(spark, df, k=k, n_partitions=5).collect()
+    }
+    want = {}
+    by_type: dict[str, list] = {}
+    for t, i, ts, v in sorted(data, key=lambda x: (x[0], x[2], x[1])):
+        hist = by_type.setdefault(t, [])
+        hist.append((i, v))
+        frame = [v2 for _, v2 in hist[-k:]]
+        want[i] = round(sum(frame) / len(frame), 9)
+    assert got == want
