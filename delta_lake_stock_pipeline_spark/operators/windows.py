@@ -7,6 +7,18 @@ group key) -- one shuffle, then per-partition sorted evaluation. Unbounded
 ORDER BY over the whole table (a single-partition window) is deliberately
 avoided; that is the known 100 TB anti-pattern.
 
+Partition-key cardinality: sliding FRAMES over inherently low-cardinality
+keys are decomposed so no task holds a key's whole history --
+``window_range_interval`` (bucketed two-pass prefix sum) and
+``window_moving_avg`` (carry-rows range pids, ``trailing_mean_rows``).
+The rank-family demos (``w_rank``/``w_ntile``/``w_value_functions``)
+window by bounded demo keys (5 market segments, 25 brands); per-task
+state there is one partition's SORT, and when such a key is genuinely
+low-cardinality at scale the same two-phase decomposition applies
+(per-pid ``row_number`` + broadcast offsets per (pid, key) -- the
+``scale.ranged_with_offsets`` pattern; ranks are order-determined, so
+offsets shift them exactly).
+
 Determinism: window ORDER BY always ends with a unique tiebreak column
 (event_id / orderkey) so ranks and frames are stable across engines.
 """
