@@ -56,6 +56,8 @@ def _roundtrip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         writer = load_table(spark, sf_dir, "orders").write
         if fmt == "csv":
             writer.option("header", "true").csv(path)
+        elif fmt == "orc":
+            writer.orc(path)
         else:
             writer.json(path)
         _written[key] = path
@@ -97,9 +99,18 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_aggregate(df)
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> ORC sink -> ORC source -> aggregate. The third columnar
+    format next to parquet: typed, splittable, predicate-pushdown-capable;
+    schema travels IN the file so no explicit DDL on read."""
+    path = _roundtrip_path(spark, sf_dir, "orc")
+    return _orders_aggregate(spark.read.orc(path))
+
+
 QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
+    "src_orc_roundtrip": orc_roundtrip,
 }
 
 _AGG_SQL = """
@@ -116,4 +127,5 @@ _AGG_SQL = """
 ORACLES = {
     "src_csv_roundtrip": _AGG_SQL,
     "src_json_roundtrip": _AGG_SQL,
+    "src_orc_roundtrip": _AGG_SQL,
 }
