@@ -77,6 +77,7 @@ def main() -> int:
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
+    from delta_lake_stock_pipeline_spark.operators.curation import clear_grams_cache
     from delta_lake_stock_pipeline_spark.operators.formats import clear_roundtrip_dirs
     from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
         clear_lifecycle_dirs,
@@ -84,6 +85,7 @@ def main() -> int:
 
     clear_roundtrip_dirs()
     clear_lifecycle_dirs()
+    clear_grams_cache()
     spark.stop()
     return 1 if failures else 0
 

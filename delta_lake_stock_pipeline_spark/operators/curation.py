@@ -36,6 +36,24 @@ _NGRAM = 4
 _SEQ_CAPACITY = 512
 _PACK_RANGE_PARTITIONS = 16
 
+# (applicationId, sf_dir) -> persisted distinct (doc_id, gh) posting table;
+# both contamination branches (eval set + train side) read it, so one scan
+# materializes it -- the same once-per-session materialization the dedup
+# family's _posts_cache does, and the same thing a 100 TB pipeline does by
+# writing the posting table once.
+_grams_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_grams_cache() -> None:
+    """Unpersist and drop the cached gram postings (conftest/bench call this
+    next to the other operator-cache clears)."""
+    for df in _grams_cache.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks are gone with it
+    _grams_cache.clear()
+
 
 def _gram_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, gh) pairs: xxhash64 of each whitespace word 4-gram, distinct
@@ -75,7 +93,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joined map-side with NO shuffle of train grams. The exact-match
     decision is gram-hash equality (collision probability ~n^2/2^64,
     the same trade the dedup family documents)."""
-    grams = _gram_hashes(load_table(spark, sf_dir, "documents"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _grams_cache:
+        _grams_cache[key] = _gram_hashes(
+            load_table(spark, sf_dir, "documents")
+        ).persist()
+    grams = _grams_cache[key]
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
     train_grams = grams.filter(F.col("doc_id") % 10 != 0)
     return (
