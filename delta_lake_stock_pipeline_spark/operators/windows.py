@@ -71,79 +71,108 @@ _MA_PARTS = 16
 
 
 def trailing_mean_rows(
-    spark: SparkSession, df: DataFrame, k: int = _MA_K, n_partitions: int = _MA_PARTS
+    df: DataFrame, k: int = _MA_K, n_partitions: int = _MA_PARTS
 ) -> DataFrame:
-    """Exact trailing-``k`` ROWS mean of ``value`` per ``event_type`` in
-    (ts, event_id) order WITHOUT partitioning the window by the type -- the
-    carry-rows decomposition of a sliding ROWS frame (round-3 re-plan,
-    same motivation as ``window_range_interval``: event_type has a handful
-    of distinct values at ANY data size, so a type-partitioned window
-    lands each type's entire history in one task).
+    """Exact trailing-``k`` ROWS mean of ``micros`` (integer units) per
+    ``event_type`` in (ts, event_id) order WITHOUT partitioning the window
+    by the type -- the scatter-to-frames decomposition of a sliding ROWS
+    frame (round-3 re-plan, same motivation as ``window_range_interval``:
+    event_type has a handful of distinct values at ANY data size, so a
+    type-partitioned window lands each type's entire history in one task).
 
-    1. ``repartitionByRange(event_type, ts, event_id)`` -- pids are
-       contiguous in the total order (and pinned by ``localCheckpoint``);
-    2. duplicate the last ``k-1`` rows of each (pid, type) group into the
-       NEXT non-empty pid, flagged ``is_carry`` (a type's rows are
-       contiguous across pids because the range key LEADS with the type,
-       so the next non-empty pid is exactly where that type continues --
-       skipping genuinely empty ranges);
-    3. window over (pid, event_type): every native row's trailing frame is
-       complete (its ≤ k-1 predecessors are native or carried), carried
-       rows' own outputs are dropped.
+    1. Global per-type row index ``rn``: ``repartitionByRange(event_type,
+       ts, event_id)`` (pids contiguous in the total order, pinned by
+       ``localCheckpoint``), per-(pid, type) ``row_number`` plus a literal
+       per-(pid, type) offset map -- because a type's rows are contiguous
+       across the range order, there are at most n_partitions + n_types
+       (pid, type) groups, so the offset table is driver metadata.
+    2. Scatter: each row contributes to the frames of rows ``rn .. rn+k-1``
+       of its type (``explode`` of k target indices -- a map-side k-times
+       row multiplier, no driver involvement).
+    3. One hash aggregate on the HIGH-cardinality key (type, target_rn):
+       exact integer sum + frame count; the anchor row's id rides along
+       tagged on its j=0 contribution. Targets past a type's last row have
+       no anchor and drop out.
 
-    Parallelism is n_partitions regardless of type cardinality, per-task
-    state is one frame of k rows, and the only driver-side data is the
-    ≤ n_partitions pid list."""
+    Exact for every partition layout (no carry chaining across thin range
+    partitions -- the defect the first version of this re-plan had), and
+    order-independent because the frame aggregate is a LONG sum. Returns
+    (event_type, event_id, ma) with ``ma = sum/count`` in double."""
     ranged = df.repartitionByRange(n_partitions, "event_type", "ts", "event_id")
     with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
-    pids = sorted(r["pid"] for r in with_pid.select("pid").distinct().collect())
-    pairs = [(int(p), int(q)) for p, q in zip(pids, pids[1:])]
-    base = with_pid.withColumn("is_carry", F.lit(False))
-    if pairs:
-        w_desc = Window.partitionBy("pid", "event_type").orderBy(
-            F.desc("ts"), F.desc("event_id")
+    groups = sorted(
+        (int(r["pid"]), r["event_type"], int(r["c"]))
+        for r in with_pid.groupBy("pid", "event_type")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    if not groups:
+        return with_pid.select(
+            "event_type", "event_id", F.lit(None).cast("double").alias("ma")
         )
-        # pid -> next-non-empty-pid as a literal MAP expression (≤
-        # n_partitions entries of driver metadata): cheaper to plan and run
-        # than a broadcast join of the same 16 rows.
-        next_pid = F.create_map(
-            *[F.lit(x) for pair in pairs for x in pair]
-        )[F.col("pid")]
-        carry = (
-            with_pid.withColumn("__rnd", F.row_number().over(w_desc))
-            .filter(F.col("__rnd") < k)
-            .drop("__rnd")
-            .withColumn("pid", next_pid)
-            .filter(F.col("pid").isNotNull())  # last pid has no successor
-            .withColumn("is_carry", F.lit(True))
-        )
-        allr = base.unionByName(carry)
-    else:
-        allr = base
-    w = (
-        Window.partitionBy("pid", "event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(k - 1), Window.currentRow)
+    offsets: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for pid, etype, c in groups:
+        offsets[(pid, etype)] = running.get(etype, 0)
+        running[etype] = running.get(etype, 0) + c
+    off_map = F.create_map(
+        *[
+            F.lit(x)
+            for (pid, etype), off in offsets.items()
+            for x in (f"{pid}|{etype}", off)
+        ]
+    )
+    w_rn = Window.partitionBy("pid", "event_type").orderBy("ts", "event_id")
+    off_key = F.concat_ws("|", F.col("pid").cast("string"), F.col("event_type"))
+    indexed = with_pid.select(
+        "event_type",
+        "event_id",
+        "micros",
+        (F.row_number().over(w_rn) + off_map[off_key]).alias("rn"),
+    )
+    scattered = indexed.select(
+        "event_type",
+        "micros",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        (F.col("rn") + F.col("j")).alias("t_rn"),
+        F.when(F.col("j") == 0, F.col("event_id")).alias("anchor"),
     )
     return (
-        allr.withColumn("ma", F.avg("value").over(w))
-        .filter(~F.col("is_carry"))
-        .select("event_type", "event_id", "ma")
+        scattered.groupBy("event_type", "t_rn")
+        .agg(
+            F.sum("micros").alias("s"),
+            F.count("*").alias("c"),
+            F.max("anchor").alias("event_id"),
+        )
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            (F.col("s").cast("double") / F.col("c")).alias("ma"),
+        )
     )
 
 
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving aggregate with an explicit rows frame: trailing-3 average value
-    per event_type ordered by time -- via the carry-rows decomposition
-    (``trailing_mean_rows``), so the window never partitions by the
-    low-cardinality type. Identical results to the naive
-    ``Window.partitionBy(event_type)`` form, which the unchanged oracle
-    checks."""
+    per event_type ordered by time -- via the scatter-to-frames
+    decomposition (``trailing_mean_rows``), so the window never partitions
+    by the low-cardinality type. ``value`` goes through the same
+    decimal(18,6) -> integer-micros conversion as ``window_range_interval``
+    so frame sums are exact longs; the oracle applies the identical
+    conversion."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "ts", "value"
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").alias(
+            "micros"
+        ),
     )
-    return trailing_mean_rows(spark, ev).select(
-        "event_type", "event_id", F.round("ma", 4).alias("ma3")
+    return trailing_mean_rows(ev).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("ma") / 1000000.0, 4).alias("ma3"),
     )
 
 
@@ -396,9 +425,14 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
+    # Same integer-micros frame math as the engine ((sum/count)/1e6 in the
+    # identical expression order), so the comparison is exact rather than
+    # depending on double-AVG accumulation order.
     "w_moving_avg": """
         SELECT event_type, event_id,
-               ROUND(AVG(value) OVER w, 4) AS ma3
+               ROUND((CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                    AS BIGINT)) OVER w AS DOUBLE)
+                      / COUNT(*) OVER w) / 1000000.0, 4) AS ma3
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

@@ -276,7 +276,7 @@ def test_sequence_packing_has_no_single_partition_exchange(spark, sf_dir):
 
 
 def test_moving_avg_window_partitions_by_range_pid(spark, sf_dir):
-    """w_moving_avg's trailing-ROWS frame must use the carry-rows
+    """w_moving_avg's trailing-ROWS frame must use the scatter-to-frames
     decomposition: every window spec partitioned by the range pid, never by
     bare event_type (3 distinct values -> single-task history per type)."""
     import re

@@ -247,43 +247,66 @@ def test_pack_sequences_matches_serial_prefix_sum(spark, rows, capacity):
     assert got == want
 
 
-# --- carry-rows trailing window == naive per-type window -------------------
+# --- scatter-to-frames trailing window == naive per-type window ----------
 
 _ma_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),  # event_type (low cardinality)
         st.integers(min_value=0, max_value=5),  # ts (forced collisions)
-        st.integers(min_value=-10, max_value=10),  # value
+        st.integers(min_value=-10, max_value=10),  # micros (integer units)
     ),
     min_size=0,
     max_size=24,
 )
 
 
-@given(rows=_ma_rows, k=st.integers(min_value=1, max_value=4))
-@settings(**_SETTINGS)
-def test_trailing_mean_carry_rows_matches_brute_force(spark, rows, k):
-    """The carry-rows decomposition (range pids + duplicated boundary rows)
-    must equal the serial trailing-k mean for ANY corpus: timestamp ties,
-    types spanning many partition boundaries, frames shorter than k at run
-    starts. n_partitions=5 on tiny inputs forces boundaries everywhere."""
-    from delta_lake_stock_pipeline_spark.operators.windows import trailing_mean_rows
-
-    data = [
-        (f"t{t}", i, ts, float(v)) for i, (t, ts, v) in enumerate(rows)
-    ]
-    df = spark.createDataFrame(
-        data or [], "event_type STRING, event_id LONG, ts LONG, value DOUBLE"
-    )
-    got = {
-        r["event_id"]: round(r["ma"], 9)
-        for r in trailing_mean_rows(spark, df, k=k, n_partitions=5).collect()
-    }
-    want = {}
-    by_type: dict[str, list] = {}
+def _brute_trailing_mean(data, k):
+    want, by_type = {}, {}
     for t, i, ts, v in sorted(data, key=lambda x: (x[0], x[2], x[1])):
         hist = by_type.setdefault(t, [])
-        hist.append((i, v))
-        frame = [v2 for _, v2 in hist[-k:]]
-        want[i] = round(sum(frame) / len(frame), 9)
-    assert got == want
+        hist.append(v)
+        frame = hist[-k:]
+        want[i] = sum(frame) / len(frame)
+    return want
+
+
+@given(rows=_ma_rows, k=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_trailing_mean_scatter_matches_brute_force(spark, rows, k):
+    """The scatter-to-frames decomposition must equal the serial trailing-k
+    mean for ANY corpus: timestamp ties, types spanning many partition
+    boundaries, frames shorter than k at run starts, and -- the case that
+    broke the earlier carry-rows formulation -- interior range partitions
+    holding fewer than k-1 rows of a continuing type. n_partitions=5 on
+    tiny inputs forces exactly those layouts. Integer sums + one double
+    division make equality EXACT, not approximate."""
+    from delta_lake_stock_pipeline_spark.operators.windows import trailing_mean_rows
+
+    data = [(f"t{t}", i, ts, v) for i, (t, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data or [], "event_type STRING, event_id LONG, ts LONG, micros LONG"
+    )
+    got = {
+        r["event_id"]: r["ma"]
+        for r in trailing_mean_rows(df, k=k, n_partitions=5).collect()
+    }
+    assert got == _brute_trailing_mean(data, k)
+
+
+def test_trailing_mean_thin_interior_partition_regression(spark):
+    """Deterministic pin of the carry-rows defect: 6 same-type rows over 5
+    range partitions produce interior 1-row partitions; the frame of row 3
+    must average rows 1..3 (value 2.0), not just the rows that survived a
+    single-hop carry (the buggy 2.5)."""
+    from delta_lake_stock_pipeline_spark.operators.windows import trailing_mean_rows
+
+    data = [("t0", i, i, i) for i in range(6)]
+    df = spark.createDataFrame(
+        data, "event_type STRING, event_id LONG, ts LONG, micros LONG"
+    )
+    got = {
+        r["event_id"]: r["ma"]
+        for r in trailing_mean_rows(df, k=3, n_partitions=5).collect()
+    }
+    assert got == _brute_trailing_mean(data, 3)
+    assert got[3] == 2.0
