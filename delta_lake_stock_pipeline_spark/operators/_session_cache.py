@@ -1,0 +1,52 @@
+"""Shared once-per-session DataFrame materialization cache.
+
+Several operator families materialize a derived relation once per
+(session, fixture) and reuse it across queries -- dedup's shingle posting
+table, its verified near-dup pair list, curation's contamination gram
+posting. This is the ONE implementation of that idiom (round-3 review:
+three verbatim copies had grown).
+
+Keys include ``applicationId`` because it is stable for a session's
+lifetime and never reused the way ``id(spark)`` can be after GC -- a dead
+session's entries can't be returned for a new session. ``clear()`` is
+wired into tests/conftest.py and bench.py teardown so persisted blocks
+don't outlive their usefulness in long-lived sessions (a stopped session
+releases them regardless).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DataFrameSessionCache:
+    """(applicationId, sf_dir) -> materialized DataFrame."""
+
+    def __init__(self) -> None:
+        self._cache: dict[tuple[str, str], DataFrame] = {}
+
+    def get_or_create(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        build: Callable[[], DataFrame],
+        persist: bool = True,
+    ) -> DataFrame:
+        """``build()`` runs once per session+fixture; ``persist=True`` caches
+        the blocks (builder results that are already ``localCheckpoint``-ed
+        pass ``persist=False``)."""
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in self._cache:
+            df = build()
+            self._cache[key] = df.persist() if persist else df
+        return self._cache[key]
+
+    def clear(self) -> None:
+        for df in self._cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped; blocks are gone with it
+        self._cache.clear()

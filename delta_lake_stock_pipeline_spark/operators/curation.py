@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
+from ._session_cache import DataFrameSessionCache
 from .reshape import hash_split_columns
 from .scale import ranged_with_offsets
 
@@ -36,22 +37,17 @@ _NGRAM = 4
 _SEQ_CAPACITY = 512
 _PACK_RANGE_PARTITIONS = 16
 
-# (applicationId, sf_dir) -> persisted distinct (doc_id, gh) posting table;
-# both contamination branches (eval set + train side) read it, so one scan
-# materializes it -- the same once-per-session materialization the dedup
-# family's _posts_cache does, and the same thing a 100 TB pipeline does by
-# writing the posting table once.
-_grams_cache: dict[tuple[str, str], DataFrame] = {}
+# Persisted distinct (doc_id, gh) posting table; both contamination
+# branches (eval set + train side) read it, so one scan materializes it --
+# the same once-per-session materialization the dedup family does for its
+# shingle postings, and the same thing a 100 TB pipeline does by writing
+# the posting table once.
+_grams_cache = DataFrameSessionCache()
 
 
 def clear_grams_cache() -> None:
-    """Unpersist and drop the cached gram postings (conftest/bench call this
-    next to the other operator-cache clears)."""
-    for df in _grams_cache.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; blocks are gone with it
+    """Drop the cached gram postings (conftest/bench call this next to the
+    other operator-cache clears)."""
     _grams_cache.clear()
 
 
@@ -93,12 +89,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joined map-side with NO shuffle of train grams. The exact-match
     decision is gram-hash equality (collision probability ~n^2/2^64,
     the same trade the dedup family documents)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _grams_cache:
-        _grams_cache[key] = _gram_hashes(
-            load_table(spark, sf_dir, "documents")
-        ).persist()
-    grams = _grams_cache[key]
+    grams = _grams_cache.get_or_create(
+        spark, sf_dir, lambda: _gram_hashes(load_table(spark, sf_dir, "documents"))
+    )
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
     train_grams = grams.filter(F.col("doc_id") % 10 != 0)
     return (

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
+from ._session_cache import DataFrameSessionCache
 
 # Near-dup parameters: 3-token shingles, Jaccard threshold tuned to the
 # fixture's engineered near-dups (prefix-copied docs).
@@ -30,23 +31,17 @@ _MINHASH_K = 16
 _LSH_BANDS = 4
 
 
-_posts_cache: dict[tuple[str, str], DataFrame] = {}
+_posts_cache = DataFrameSessionCache()
 
-
-# (applicationId, sf_dir) -> checkpointed near-dup pair table; shared by the
-# two clustering forms so the shingle self-join runs once per session+scale.
-_pairs_cache: dict[tuple[str, str], DataFrame] = {}
+# Checkpointed near-dup pair table; shared by the two clustering forms so
+# the shingle self-join runs once per session+scale.
+_pairs_cache = DataFrameSessionCache()
 
 
 def clear_posts_cache() -> None:
-    """Unpersist and drop every cached posting table. Call when done with a
-    session (tests/conftest does) -- otherwise the persisted blocks live
+    """Drop every cached posting/pair table. Call when done with a session
+    (tests/conftest and bench do) -- otherwise the persisted blocks live
     until the owning session stops."""
-    for df in _posts_cache.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped; blocks are gone with it
     _posts_cache.clear()
     _pairs_cache.clear()  # checkpoint blocks die with the session
 
@@ -55,14 +50,14 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified near-dup pair list, materialized ONCE per session+scale
     (localCheckpoint truncates the shingle-pipeline lineage so neither
     consumer re-derives it)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _pairs_cache:
-        _pairs_cache[key] = (
-            ngram_jaccard_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
-    return _pairs_cache[key]
+    return _pairs_cache.get_or_create(
+        spark,
+        sf_dir,
+        lambda: ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(),
+        persist=False,
+    )
 
 
 def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,11 +78,7 @@ def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each branch (measured 45 s -> dominated d_minhash_lsh at sf0.1).
     At 100 TB the equivalent is materializing the posting table once.
     """
-    # applicationId is stable for a session's lifetime and never reused the
-    # way id(spark) can be after GC -- a dead session's entries can't be
-    # returned for a new session.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _posts_cache:
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         shingles = F.expr(
             f"transform(sequence(0, size(toks) - {_SHINGLE_N}),"
@@ -97,7 +88,7 @@ def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as a single partition, and the explode + distinct's map-side
         # partial would otherwise run in one task. Shuffling 1 row/doc is
         # cheap; shuffling post-explode rows would not be.
-        _posts_cache[key] = (
+        return (
             docs.repartition(32, "doc_id")
             .select(
                 "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
@@ -111,9 +102,9 @@ def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # negligible at any per-doc shingle count).
             .select("doc_id", "source", F.xxhash64("shingle").alias("h"))
             .distinct()
-            .persist()
         )
-    return _posts_cache[key]
+
+    return _posts_cache.get_or_create(spark, sf_dir, build)
 
 
 def _pair_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
