@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
-from ._session_cache import DataFrameSessionCache
 from .reshape import hash_split_columns
 from .scale import ranged_with_offsets
 
@@ -37,18 +36,12 @@ _NGRAM = 4
 _SEQ_CAPACITY = 512
 _PACK_RANGE_PARTITIONS = 16
 
-# Persisted distinct (doc_id, gh) posting table; both contamination
-# branches (eval set + train side) read it, so one scan materializes it --
-# the same once-per-session materialization the dedup family does for its
-# shingle postings, and the same thing a 100 TB pipeline does by writing
-# the posting table once.
-_grams_cache = DataFrameSessionCache()
-
-
-def clear_grams_cache() -> None:
-    """Drop the cached gram postings (conftest/bench call this next to the
-    other operator-cache clears)."""
-    _grams_cache.clear()
+def clear_grams_cache() -> None:  # kept for conftest/bench wiring stability
+    """No-op since the gram posting is no longer session-cached: unlike the
+    dedup family's posting table (shared by 6+ query keys, where the
+    once-per-session persist pays for itself), the contamination grams have
+    ONE consumer -- measured at sf0.1, persisting them cost more inside the
+    single timed call (4.0 s) than the second scan it saved (2.7 s)."""
 
 
 def _gram_hashes(docs: DataFrame) -> DataFrame:
@@ -89,9 +82,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joined map-side with NO shuffle of train grams. The exact-match
     decision is gram-hash equality (collision probability ~n^2/2^64,
     the same trade the dedup family documents)."""
-    grams = _grams_cache.get_or_create(
-        spark, sf_dir, lambda: _gram_hashes(load_table(spark, sf_dir, "documents"))
-    )
+    grams = _gram_hashes(load_table(spark, sf_dir, "documents"))
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
     train_grams = grams.filter(F.col("doc_id") % 10 != 0)
     return (
