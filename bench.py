@@ -77,7 +77,6 @@ def main() -> int:
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
-    from delta_lake_stock_pipeline_spark.operators.curation import clear_grams_cache
     from delta_lake_stock_pipeline_spark.operators.dedup import clear_posts_cache
     from delta_lake_stock_pipeline_spark.operators.formats import clear_roundtrip_dirs
     from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
@@ -86,7 +85,6 @@ def main() -> int:
 
     clear_roundtrip_dirs()
     clear_lifecycle_dirs()
-    clear_grams_cache()
     clear_posts_cache()
     spark.stop()
     return 1 if failures else 0

@@ -1,17 +1,20 @@
 """Shared once-per-session DataFrame materialization cache.
 
-Several operator families materialize a derived relation once per
-(session, fixture) and reuse it across queries -- dedup's shingle posting
-table, its verified near-dup pair list, curation's contamination gram
-posting. This is the ONE implementation of that idiom (round-3 review:
-three verbatim copies had grown).
+An operator family materializes a derived relation once per (session,
+fixture) and reuses it across MULTIPLE query keys -- dedup's shingle
+posting table (6+ consumers) and its verified near-dup pair list (both
+clustering forms). This is the ONE implementation of that idiom (round-3
+review: verbatim copies had grown). Caching only pays off with several
+consumers: a single-consumer relation is cheaper recomputed (measured for
+the contamination gram posting, which deliberately does NOT use this).
 
 Keys include ``applicationId`` because it is stable for a session's
 lifetime and never reused the way ``id(spark)`` can be after GC -- a dead
-session's entries can't be returned for a new session. ``clear()`` is
-wired into tests/conftest.py and bench.py teardown so persisted blocks
-don't outlive their usefulness in long-lived sessions (a stopped session
-releases them regardless).
+session's entries can't be returned for a new session. Each cache
+instance holds ONE relation kind, enforced by the instance ``name`` in
+the key. ``clear()`` is wired into tests/conftest.py and bench.py
+teardown so persisted blocks don't outlive their usefulness in long-lived
+sessions (a stopped session releases them regardless).
 """
 
 from __future__ import annotations
@@ -22,10 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class DataFrameSessionCache:
-    """(applicationId, sf_dir) -> materialized DataFrame."""
+    """(name, applicationId, sf_dir) -> materialized DataFrame."""
 
-    def __init__(self) -> None:
-        self._cache: dict[tuple[str, str], DataFrame] = {}
+    def __init__(self, name: str) -> None:
+        self._name = name
+        self._cache: dict[tuple[str, str, str], DataFrame] = {}
 
     def get_or_create(
         self,
@@ -37,7 +41,7 @@ class DataFrameSessionCache:
         """``build()`` runs once per session+fixture; ``persist=True`` caches
         the blocks (builder results that are already ``localCheckpoint``-ed
         pass ``persist=False``)."""
-        key = (spark.sparkContext.applicationId, sf_dir)
+        key = (self._name, spark.sparkContext.applicationId, sf_dir)
         if key not in self._cache:
             df = build()
             self._cache[key] = df.persist() if persist else df

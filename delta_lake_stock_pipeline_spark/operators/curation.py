@@ -36,13 +36,6 @@ _NGRAM = 4
 _SEQ_CAPACITY = 512
 _PACK_RANGE_PARTITIONS = 16
 
-def clear_grams_cache() -> None:  # kept for conftest/bench wiring stability
-    """No-op since the gram posting is no longer session-cached: unlike the
-    dedup family's posting table (shared by 6+ query keys, where the
-    once-per-session persist pays for itself), the contamination grams have
-    ONE consumer -- measured at sf0.1, persisting them cost more inside the
-    single timed call (4.0 s) than the second scan it saved (2.7 s)."""
-
 
 def _gram_hashes(docs: DataFrame) -> DataFrame:
     """(doc_id, gh) pairs: xxhash64 of each whitespace word 4-gram, distinct
@@ -82,6 +75,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joined map-side with NO shuffle of train grams. The exact-match
     decision is gram-hash equality (collision probability ~n^2/2^64,
     the same trade the dedup family documents)."""
+    # NOT session-cached: unlike the dedup posting table (6+ consumer keys)
+    # this relation has exactly one consumer, and persisting it cost more
+    # inside the single timed call (4.0 s) than the second scan it saved
+    # (2.7 s, measured at sf0.1).
     grams = _gram_hashes(load_table(spark, sf_dir, "documents"))
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
     train_grams = grams.filter(F.col("doc_id") % 10 != 0)

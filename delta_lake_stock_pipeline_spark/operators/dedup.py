@@ -31,11 +31,11 @@ _MINHASH_K = 16
 _LSH_BANDS = 4
 
 
-_posts_cache = DataFrameSessionCache()
+_posts_cache = DataFrameSessionCache("shingle_posts")
 
 # Checkpointed near-dup pair table; shared by the two clustering forms so
 # the shingle self-join runs once per session+scale.
-_pairs_cache = DataFrameSessionCache()
+_pairs_cache = DataFrameSessionCache("dup_pairs")
 
 
 def clear_posts_cache() -> None:

@@ -19,7 +19,6 @@ def spark():
     from delta_lake_stock_pipeline_spark.operators.formats import (
         clear_roundtrip_dirs,
     )
-    from delta_lake_stock_pipeline_spark.operators.curation import clear_grams_cache
     from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
         clear_lifecycle_dirs,
     )
@@ -27,7 +26,6 @@ def spark():
     clear_posts_cache()
     clear_roundtrip_dirs()
     clear_lifecycle_dirs()
-    clear_grams_cache()
     spark.stop()
 
 
