@@ -11,13 +11,15 @@ Partition-key cardinality: sliding FRAMES over inherently low-cardinality
 keys are decomposed so no task holds a key's whole history --
 ``window_range_interval`` (bucketed two-pass prefix sum) and
 ``window_moving_avg`` (carry-rows range pids, ``trailing_mean_rows``).
-The rank-family demos (``w_rank``/``w_ntile``/``w_value_functions``)
-window by bounded demo keys (5 market segments, 25 brands); per-task
-state there is one partition's SORT, and when such a key is genuinely
-low-cardinality at scale the same two-phase decomposition applies
-(per-pid ``row_number`` + broadcast offsets per (pid, key) -- the
-``scale.ranged_with_offsets`` pattern; ranks are order-determined, so
-offsets shift them exactly).
+``w_rank`` (top-k-per-group) is already scale-safe on its low-cardinality
+key: the rank filter triggers Catalyst's ``WindowGroupLimit`` pushdown
+(map-side partial top-k before the shuffle; plan-gated). The unfiltered
+demos (``w_ntile``/``w_value_functions``) emit every row per bounded demo
+key (5 market segments, 25 brands); when such a key is genuinely
+low-cardinality at scale AND the full output is needed, the two-phase
+decomposition applies (per-pid ``row_number`` + offsets per (pid, key) --
+the ``trailing_mean_rows``/``scale.ranged_with_offsets`` pattern; ranks
+are order-determined, so offsets shift them exactly).
 
 Determinism: window ORDER BY always ends with a unique tiebreak column
 (event_id / orderkey) so ranks and frames are stable across engines.
@@ -33,7 +35,15 @@ from ..sources.fixtures import load_table
 
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / rank / dense_rank per market segment by account balance;
-    keep the top 3 per segment (classic top-k-per-group)."""
+    keep the top 3 per segment (classic top-k-per-group).
+
+    Scale shape: the ``rn <= 3`` filter triggers Catalyst's
+    ``WindowGroupLimit`` pushdown (plan-gated) -- each MAP task keeps only
+    its local top-3 per segment before the shuffle, so the exchange
+    carries ≤ 3 x segments x tasks rows and the final window sorts a tiny
+    relation. The low cardinality of the partition key is therefore
+    harmless here, unlike an unfiltered sliding frame (see
+    ``trailing_mean_rows`` for that case)."""
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("c_acctbal"), F.col("c_custkey")
     )

@@ -275,6 +275,15 @@ def test_sequence_packing_has_no_single_partition_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in text, text
 
 
+def test_rank_topk_gets_window_group_limit_pushdown(spark, sf_dir):
+    """w_rank's `rn <= 3` must trigger Catalyst's WindowGroupLimit: each map
+    task keeps only its local top-3 per segment BEFORE the shuffle, which
+    is what makes top-k-per-group safe on a low-cardinality partition key
+    at scale."""
+    text = plans.plan_string(_Q["w_rank"](spark, sf_dir))
+    assert "WindowGroupLimit" in text, text
+
+
 def test_moving_avg_window_partitions_by_range_pid(spark, sf_dir):
     """w_moving_avg's trailing-ROWS frame must use the scatter-to-frames
     decomposition: every window spec partitioned by the range pid, never by
