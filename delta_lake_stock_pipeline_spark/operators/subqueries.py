@@ -29,10 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
+from .tpch import _revenue
 
 
-def _revenue() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue_dec() -> F.Column:
+    """Per-term decimal(18,6) cast of the revenue expression: summing it is
+    exact and order-independent, so rounded aggregates can never flip a
+    cent across engines (the q9 fix, applied to every revenue sum here)."""
+    return _revenue().cast("decimal(18,6)")
 
 
 _LATE = "l_shipdate > o_orderdate + INTERVAL 60 DAYS"
@@ -112,7 +116,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2.n_name").alias("cust_nation"),
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(
+            F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue")
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -129,7 +135,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = load_table(spark, sf_dir, "nation").alias("n1")
     n2 = load_table(spark, sf_dir, "nation").alias("n2")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = _revenue()
+    vol = _revenue_dec()
+    zero = F.lit(0).cast("decimal(18,6)")
     return (
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -141,8 +148,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("n1.n_name") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(F.when(F.col("n1.n_name") == "NATION_3", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -259,14 +267,16 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-09-01"))
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
     )
-    vol = _revenue()
+    vol = _revenue_dec()
+    zero = F.lit(0).cast("decimal(18,6)")
     return lineitem.join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     ).agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-            / F.sum(vol),
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
+            .cast("double")
+            / F.sum(vol).cast("double"),
             2,
         ).alias("promo_revenue_pct")
     )
@@ -303,8 +313,19 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture quantity uniformity."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    per_part_avg = lineitem.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    # Semi-join the fact to the FILTERED part keys before the per-part
+    # aggregate: only Brand#3 parts are ever consulted, so aggregating the
+    # whole part domain would waste a full-table aggregation and inflate
+    # the broadcast to all-parts cardinality (round-3 review). Identical
+    # per-partkey averages on the surviving keys -- oracle unchanged.
+    per_part_avg = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((0.5 * F.avg("l_quantity")).alias("qty_threshold"))
     )
     return (
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -343,7 +364,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.filter(cond).agg(
-        F.round(F.sum(_revenue()), 2).alias("revenue"),
+        F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -495,8 +516,14 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
+    # avg as exact-decimal sum / count: a double AVG's accumulation order
+    # differs across engines, which could flip membership of a customer
+    # whose balance sits within an ulp of the mean.
     avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
     )
     return (
         customer.join(F.broadcast(avg_bal))
@@ -505,7 +532,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -555,7 +584,7 @@ ORACLES = {
     "h_q7_volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(year FROM l_shipdate) AS l_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN orders ON l_orderkey = o_orderkey
@@ -571,10 +600,11 @@ ORACLES = {
     """,
     "h_q8_market_share": """
         SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-               ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+               ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END)
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS mkt_share
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -642,10 +672,11 @@ ORACLES = {
         ORDER BY s_suppkey
     """,
     "h_q14_promo_effect": """
-        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue_pct
+        SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                           ELSE CAST(0 AS DECIMAL(18,6)) END)
+                                  AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS promo_revenue_pct
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -675,7 +706,7 @@ ORACLES = {
           )
     """,
     "h_q19_disjunctive_revenue": """
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -746,10 +777,13 @@ ORACLES = {
     """,
     "h_q22_dormant_customers": """
         SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
-               ROUND(SUM(c_acctbal), 2) AS totacctbal
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS totacctbal
         FROM customer c
         WHERE c_acctbal > (
-            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0
         )
         AND NOT EXISTS (
             SELECT 1 FROM orders

@@ -19,11 +19,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import uuid
 from collections.abc import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -235,6 +236,7 @@ def stream_upsert_to_table(
     key_cols: list[str],
     partition_cols: list[str],
     checkpoint_dir: str,
+    order_col: str = "ts",
 ) -> None:
     """CDC apply: land a stream into the versioned table as one MERGE per
     micro-batch (``foreachBatch`` -> ``storage.merge_into``) -- the
@@ -243,16 +245,25 @@ def stream_upsert_to_table(
 
     Each batch's merge is a partition-pruned copy-on-write commit, so an
     incremental trickle only ever rewrites the partitions it touches.
-    Within a batch, later duplicates of a key are collapsed first
-    (``dropDuplicates``) since a single MERGE source must be key-unique.
-    The manifest records the batch id per commit; on at-least-once replay
-    after a checkpoint recovery, re-merging the same batch is value-
-    idempotent (same keys -> same rows), mirroring Delta's txn-id
-    idempotent writes."""
+    Within a batch, duplicates of a key are collapsed LATEST-WINS by
+    ``order_col`` (with a content-hash tiebreak) since a single MERGE
+    source must be key-unique -- ``dropDuplicates`` would keep a
+    partition-order-dependent row, making replay NON-idempotent (round-3
+    review). The manifest records the batch id per commit; on
+    at-least-once replay after a checkpoint recovery, re-merging the same
+    batch is value-idempotent (same keys -> same rows deterministically),
+    mirroring Delta's txn-id idempotent writes."""
     from ..storage import current_version, merge_into, write_partitioned
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(key_cols)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(order_col), F.desc(F.xxhash64(*batch_df.columns))
+        )
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         if current_version(path) is None:
             write_partitioned(
                 batch, path, partition_cols, operation=f"STREAM WRITE b{batch_id}"
@@ -272,7 +283,10 @@ def stream_upsert_to_table(
 
 
 def materialize_daily_rollup(
-    stream: DataFrame, path: str, checkpoint_dir: str
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    delay: str = WATERMARK_DELAY,
 ) -> None:
     """Incremental materialized view: the reference's daily rollup
     (``external_table.py:105-122``) maintained CONTINUOUSLY -- a watermarked
@@ -287,12 +301,27 @@ def materialize_daily_rollup(
     equivalence the test asserts). This is the incremental-ETL shape that
     replaces the reference's full-table overwrite per run: cost scales with
     arriving data, not table size."""
+    # Group on window(ts, '1 day'), NOT to_date(ts): only the event-time
+    # window column carries the watermark metadata, so this is what lets
+    # the state store EVICT closed days -- grouping on a to_date alias
+    # keeps the aggregate running but the watermark inert, and state then
+    # grows with (days x types) forever (round-3 review). Under the UTC
+    # session zone the 1-day window start IS the calendar date.
+    # ``delay`` is the lateness horizon: rows later than it are DROPPED and
+    # their day's state evicted, so a deployment sets it to the source's
+    # max expected disorder; state is then bounded by (horizon x types).
     agg = (
-        stream.withWatermark("ts", WATERMARK_DELAY)
-        .groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.to_date("win.start").alias("event_date"),
+            "event_type",
+            "n_events",
+            "total_value",
         )
     )
     from ..storage import current_version, merge_into, write_partitioned
@@ -353,7 +382,9 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    try:
-        return spark.read.parquet(out_dir)
-    except Exception:  # no batch emitted anything -> empty result
+    # Only a stream that emitted NOTHING leaves no output dir; any other
+    # read failure (corrupt part-file, permissions) must surface, not be
+    # masked as an empty result (round-3 review).
+    if not os.path.isdir(out_dir):
         return spark.createDataFrame([], result.schema)
+    return spark.read.parquet(out_dir)

@@ -289,8 +289,14 @@ def test_materialized_rollup_equals_batch(spark, tmp_path):
     tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
 
     def run():
+        # The fixture halves are unordered across the table's whole time
+        # span, so the lateness horizon must cover it for the streamed
+        # rollup to equal the batch rollup -- exactly how a deployment
+        # sizes the watermark to its source's max disorder. (The default
+        # 2-day horizon's DROP behavior is asserted by
+        # test_watermark_drops_late_data.)
         runtime.materialize_daily_rollup(
-            runtime.events_stream(spark, src), tbl, ckpt
+            runtime.events_stream(spark, src), tbl, ckpt, delay="90 days"
         )
 
     run()
