@@ -43,8 +43,17 @@ def flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.min("value"), 2).alias("day_low"),
             F.round(F.max("value"), 2).alias("day_high"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            # exact decimal sum: total_value is the ORDER BY key of the
+            # LIMIT below, so a cross-engine accumulation-order cent flip
+            # would change the selected row SET, not just a value.
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value"),
+                2,
+            ).alias("avg_value"),
         )
         .orderBy(F.desc("total_value"), "event_type", "event_date")
         .limit(5)
@@ -57,8 +66,10 @@ SELECT event_type,
        COUNT(*) AS n_events,
        ROUND(MIN(value), 2) AS day_low,
        ROUND(MAX(value), 2) AS day_high,
-       ROUND(SUM(value), 2) AS total_value,
-       ROUND(AVG(value), 2) AS avg_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(value), 2) AS avg_value
 FROM events
 GROUP BY event_type, CAST(ts AS DATE)
 ORDER BY total_value DESC, event_type, event_date
@@ -148,8 +159,14 @@ def volume_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("l_discount"),
+                4,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -204,7 +221,9 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
         )
@@ -233,7 +252,8 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
                COUNT(*) AS n_rows,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_price
         FROM parquet.`{path}`
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag, l_linestatus
@@ -405,8 +425,10 @@ ORACLES = {
     "a7_volume_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(l_discount), 4) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
@@ -416,7 +438,8 @@ ORACLES = {
                GROUPING(l_returnflag)::INT AS g_flag,
                GROUPING(l_linestatus)::INT AS g_status,
                COUNT(*) AS n_rows,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag, l_linestatus
@@ -431,7 +454,8 @@ ORACLES = {
         SELECT CAST(ts AS DATE) AS day,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS total_value,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value,
                ROUND(MIN(value), 2) AS min_value,
                ROUND(MAX(value), 2) AS max_value
         FROM events

@@ -40,7 +40,9 @@ def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
         )
         .orderBy("r_name")
     )
@@ -56,12 +58,21 @@ def sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    # decimal-exact per-term revenue: the rounded sum must not depend on
+    # partial-aggregation order across engines (same fix as j_bloom below).
+    revenue = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev")
+    )
     return (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select("o_orderpriority", revenue)
         .groupBy("o_orderpriority")
-        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
         .orderBy("o_orderpriority")
     )
 
@@ -75,12 +86,19 @@ def shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hence the hint surface (plan gate: ShuffledHashJoin in test_plans)."""
     part = load_table(spark, sf_dir, "part").hint("SHUFFLE_HASH")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    revenue = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev")
+    )
     return (
         lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_brand", revenue)
         .groupBy("p_brand")
-        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
         .orderBy("p_brand")
     )
 
@@ -144,7 +162,10 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem,
             (orders.o_orderkey == lineitem.l_orderkey)
             & (lineitem.l_shipdate >= orders.o_orderdate)
-            & (lineitem.l_shipdate <= F.date_add(orders.o_orderdate, 90)),
+            # INTERVAL arithmetic, not date_add: date_add would TRUNCATE
+            # the timestamp to a date, silently shifting the bound to
+            # midnight while the oracle's + INTERVAL keeps time-of-day.
+            & (lineitem.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_shipped_90d"))
@@ -263,7 +284,14 @@ def asof_union_window(
     tag = lambda df, idc, side: df.select(  # noqa: E731
         F.col(idc).alias("__id"), F.col(key).alias(key), F.col(ts).alias(ts)
     ).withColumn("__side", F.lit(side))
-    tagged = tag(left, left_id, 0).unionByName(tag(right, right_id, 1))
+    # A NULL-ts right row can never satisfy "right.ts <= left.ts" (DuckDB's
+    # ASOF evaluates the comparison as NULL -> no match), but it would sort
+    # FIRST in the window below and LOCF would carry its struct; drop it up
+    # front so the generic helper matches the documented contract for any
+    # input, not just NULL-free fixtures.
+    tagged = tag(left, left_id, 0).unionByName(
+        tag(right, right_id, 1).filter(F.col(ts).isNotNull())
+    )
     # At equal ts the right row sorts first (__side desc) so ties count as
     # "at-or-before", matching DuckDB ASOF JOIN's >= semantics.
     w = (
@@ -346,12 +374,18 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan gates, blanket audits) reuse ONE child SessionState instead of
     # accumulating a new JVM session per call.
     app_id = spark.sparkContext.applicationId
+    # Evict entries from dead contexts (a process that restarts its
+    # SparkSession gets a new applicationId; stale children would pin dead
+    # JVM SessionState forever), then memoize race-tolerantly: concurrent
+    # first calls may both build a child, setdefault keeps exactly one.
+    for stale in [k for k in _bloom_sessions if k != app_id]:
+        _bloom_sessions.pop(stale, None)
     child = _bloom_sessions.get(app_id)
     if child is None:
-        child = spark.newSession()
+        candidate = spark.newSession()
         for k, v in scoped.items():
-            child.conf.set(k, v)
-        _bloom_sessions[app_id] = child
+            candidate.conf.set(k, v)
+        child = _bloom_sessions.setdefault(app_id, candidate)
     lineitem = load_table(child, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -421,7 +455,8 @@ QUERIES = {
 ORACLES = {
     "j_broadcast": """
         SELECT r_name, COUNT(*) AS n_customers,
-               ROUND(SUM(c_acctbal), 2) AS total_acctbal
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -429,14 +464,16 @@ ORACLES = {
     """,
     "j_hint_shuffle_hash": """
         SELECT p_brand,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand
     """,
     "j_sortmerge": """
         SELECT o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority

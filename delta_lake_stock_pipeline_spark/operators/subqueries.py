@@ -29,14 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
-from .tpch import _revenue
-
-
-def _revenue_dec() -> F.Column:
-    """Per-term decimal(18,6) cast of the revenue expression: summing it is
-    exact and order-independent, so rounded aggregates can never flip a
-    cent across engines (the q9 fix, applied to every revenue sum here)."""
-    return _revenue().cast("decimal(18,6)")
+from .tpch import _revenue, _revenue_dec
 
 
 _LATE = "l_shipdate > o_orderdate + INTERVAL 60 DAYS"

@@ -120,15 +120,24 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def content_fingerprint(col: str = "text") -> F.Column:
+    """THE engine definition of a document's content hash: MD5 of
+    whitespace-normalized lowercase text. Shared by ``t_fingerprint`` and
+    the curation pipeline's exact-dedup keeper so the two can never
+    silently diverge (same single-definition rule as
+    ``reshape.hash_split_columns``)."""
+    return F.md5(F.regexp_replace(F.lower(F.col(col)), "\\s+", " "))
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: MD5 of whitespace-normalized
     lowercase text (content hash for exact dedup) + its 8-hex-char prefix
     (bucketable short fingerprint)."""
-    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    fp = content_fingerprint()
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.md5(norm).alias("content_md5"),
-        F.substring(F.md5(norm), 1, 8).alias("fp8"),
+        fp.alias("content_md5"),
+        F.substring(fp, 1, 8).alias("fp8"),
     )
 
 
@@ -205,7 +214,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     n = F.size(toks)
     uniq_ratio = F.size(F.array_distinct(toks)) / n
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    fp = content_fingerprint()
     _bucket, split = hash_split_columns(F.col("doc_id"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
@@ -243,7 +252,7 @@ def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  p -> p.a <> '' AND p.b <> '')"
     )
     return (
-        docs.select(F.split(F.lower(F.col("text")), " ").alias("toks"))
+        docs.select(_tokens().alias("toks"))
         .select(F.explode(pairs).alias("p"))
         .select(F.concat_ws(" ", "p.a", "p.b").alias("bigram"))
         .groupBy("bigram")
@@ -342,8 +351,8 @@ ORACLES = {
                     WHEN b < 90 THEN 'validation'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS sum_chars,
-               SUM(doc_id) AS sum_doc_id
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
         FROM kept WHERE rn = 1
         GROUP BY 1, 2 ORDER BY 1, 2
     """,

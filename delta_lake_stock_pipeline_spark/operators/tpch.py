@@ -32,6 +32,19 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _revenue_dec() -> F.Column:
+    """Per-term decimal(18,6) cast of the revenue expression: summing it is
+    exact and order-independent, so a rounded aggregate can never flip a
+    cent between Spark's partial-aggregation order and DuckDB's serial sum
+    (critical where the rounded value is also the ORDER BY key of a LIMIT,
+    as in q3/q10)."""
+    return _revenue().cast("decimal(18,6)")
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,6)")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: scan-heavy grouped aggregate with arithmetic between columns.
     One wide pass over lineitem; partial aggregation map-side, 6 groups out."""
@@ -40,13 +53,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integer-valued -> double sums exact; money and
+            # revenue terms go through exact decimal(18,6) sums (and avgs as
+            # exact-sum / count) so no rounded value depends on
+            # accumulation order across engines.
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(_dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(_revenue_dec()), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum((_revenue() * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.count("l_extendedprice"),
+                2,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count("l_discount"), 4
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -69,7 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("orderdate"))
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
         .limit(10)
     )
@@ -99,7 +128,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -116,9 +145,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -141,7 +177,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -190,12 +226,17 @@ ORACLES = {
     "h_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_charge,
                ROUND(AVG(l_quantity), 2) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 2) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(l_extendedprice), 2) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(l_discount), 4) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -205,7 +246,7 @@ ORACLES = {
     "h_q3_shipping_priority": """
         SELECT l_orderkey,
                CAST(o_orderdate AS DATE) AS orderdate,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -218,7 +259,7 @@ ORACLES = {
     """,
     "h_q5_local_supplier_volume": """
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -232,7 +273,8 @@ ORACLES = {
         ORDER BY revenue DESC, n_name
     """,
     "h_q6_forecast_revenue": """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -242,7 +284,7 @@ ORACLES = {
     """,
     "h_q10_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
