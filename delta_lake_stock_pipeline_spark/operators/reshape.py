@@ -53,7 +53,13 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("metric")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("val"), 4).alias("avg_val"),
+            # exact-decimal sum / count: money avgs must not depend on
+            # accumulation order across engines.
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                / F.count("val"),
+                4,
+            ).alias("avg_val"),
             F.round(F.min("val"), 4).alias("min_val"),
             F.round(F.max("val"), 4).alias("max_val"),
         )
@@ -71,7 +77,9 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_sampled"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -184,14 +192,16 @@ ORACLES = {
             SELECT p_partkey, 'p_size_d' AS metric, p_size::DOUBLE AS val FROM part
         )
         SELECT metric, COUNT(*) AS n,
-               ROUND(AVG(val), 4) AS avg_val,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(val), 4) AS avg_val,
                ROUND(MIN(val), 4) AS min_val,
                ROUND(MAX(val), 4) AS max_val
         FROM long GROUP BY metric ORDER BY metric
     """,
     "r_sample_systematic": """
         SELECT l_returnflag, COUNT(*) AS n_sampled,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_price
         FROM lineitem WHERE l_orderkey % 7 = 0
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,

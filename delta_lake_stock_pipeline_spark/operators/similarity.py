@@ -340,7 +340,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)")).cast(
+                    "double"
+                )
+                / F.count("v"),
+                6,
+            ).alias("c")
+        )
         .orderBy("label", "dim")
     )
 
@@ -441,7 +449,9 @@ _knn_cos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
 
 ORACLES = {
     "v_label_centroids": """
-        SELECT label, pos - 1 AS dim, ROUND(AVG(v), 6) AS c
+        SELECT label, pos - 1 AS dim,
+               ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+                          AS DOUBLE) / COUNT(v), 6) AS c
         FROM (SELECT label,
                      CAST(unnest(embedding) AS DOUBLE) AS v,
                      generate_subscripts(embedding, 1) AS pos

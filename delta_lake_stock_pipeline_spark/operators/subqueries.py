@@ -327,7 +327,15 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") == F.col("ap_partkey"),
         )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -689,7 +697,8 @@ ORACLES = {
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     "h_q17_small_quantity": """
-        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE) / 7.0, 2) AS avg_yearly
         FROM lineitem l
         JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#3'

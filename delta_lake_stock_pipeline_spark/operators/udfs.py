@@ -74,7 +74,11 @@ def pandas_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             net_revenue("l_extendedprice", "l_discount", "l_tax").alias("net"),
         )
         .groupBy("l_returnflag")
-        .agg(F.round(F.sum("net"), 2).alias("net_revenue"))
+        .agg(
+            F.round(F.sum(F.col("net").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("net_revenue")
+        )
         .orderBy("l_returnflag")
     )
 
@@ -273,7 +277,8 @@ ORACLES = {
     """,
     "u_pandas_udf": """
         SELECT l_returnflag,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE)
                    AS net_revenue
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,

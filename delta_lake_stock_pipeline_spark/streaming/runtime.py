@@ -63,7 +63,7 @@ def tumbling_counts(stream: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -315,7 +315,7 @@ def materialize_daily_rollup(
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
         )
         .select(
             F.to_date("win.start").alias("event_date"),

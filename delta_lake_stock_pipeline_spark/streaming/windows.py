@@ -34,7 +34,7 @@ def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -55,7 +55,7 @@ def sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value"), 2).alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
         .orderBy("window_start")
@@ -73,7 +73,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
         )
         .select(
             "user_id",
@@ -137,7 +137,7 @@ ORACLES = {
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
@@ -150,7 +150,7 @@ ORACLES = {
         )
         SELECT window_start,
                COUNT(*) AS n_events,
-               ROUND(AVG(value), 2) AS avg_value
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 2) AS avg_value
         FROM member
         GROUP BY 1
         ORDER BY 1
@@ -173,7 +173,7 @@ ORACLES = {
         SELECT user_id,
                MIN(ts) AS session_start,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         FROM sessions
         GROUP BY user_id, session_id
         ORDER BY user_id, session_start
