@@ -39,7 +39,10 @@ def py_udf_priority_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf("string")
     def priority_code(p):
-        return p.split("-", 1)[1].strip() if p and "-" in p else None
+        # Second dash-separated segment ONLY -- the oracle indexes
+        # string_split(p, '-')[2], so keeping "the rest" after the first
+        # dash would diverge on a two-dash priority like '2-HIGH-PRIO'.
+        return p.split("-")[1].strip() if p and "-" in p else None
 
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -98,13 +101,22 @@ def apply_in_pandas_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         mean, sd = v.mean(), v.std(ddof=1)
+        # NULL (not NaN) for a single-row group's sample sd and for a
+        # zero-variance group's z -- matching DuckDB, whose STDDEV_SAMP of
+        # one row and 0/0 division both yield NULL while pandas yields NaN
+        # (and the oracle hash distinguishes the two).
+        sd_out = None if pd.isna(sd) else round(sd, 4)
+        if pd.isna(sd) or sd == 0:
+            z_out = None
+        else:
+            z_out = round(((v - mean).abs() / sd).max(), 4)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n": [len(v)],
                 "mean_value": [round(mean, 4)],
-                "sd_value": [round(sd, 4)],
-                "max_abs_z": [round(((v - mean).abs() / sd).max(), 4)],
+                "sd_value": [sd_out],
+                "max_abs_z": [z_out],
             }
         )
 
@@ -126,11 +138,21 @@ def map_in_pandas_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
 
+        def safe_k(s):
+            # Dirty data yields NULL like the oracle's json_extract, never
+            # a task-killing exception.
+            if not isinstance(s, str):
+                return None
+            try:
+                obj = json.loads(s)
+            except ValueError:
+                return None
+            return obj.get("k") if isinstance(obj, dict) else None
+
         for pdf in batches:
-            ks = pdf["props"].map(
-                lambda s: json.loads(s).get("k") if isinstance(s, str) else None
+            yield pd.DataFrame(
+                {"event_type": pdf["event_type"], "k": pdf["props"].map(safe_k)}
             )
-            yield pd.DataFrame({"event_type": pdf["event_type"], "k": ks})
 
     events = load_table(spark, sf_dir, "events")
     parsed = events.select("event_type", "props").mapInPandas(
@@ -155,7 +177,9 @@ class _WordSplit:
     arbitrary Python per-row fan-out logic)."""
 
     def eval(self, text: str):  # noqa: D102 - contract fixed by Spark
-        if text:
+        # NULL -> no rows; EMPTY STRING -> one ('', 1) row, matching the
+        # oracle's string_split('', ' ') = [''].
+        if text is not None:
             for i, w in enumerate(text.split(" ")):
                 yield w, i + 1
 

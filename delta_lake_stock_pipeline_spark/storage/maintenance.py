@@ -74,12 +74,15 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8):
             continue
         mn, mx = float(mn_raw), float(mx_raw)
         span = (mx - mn) or 1.0
-        q = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * scale)
+        # NULLs must land in bucket 0 BEFORE the clamp: Spark's
+        # least/greatest SKIP nulls, so clamping a NULL would return the
+        # other operand (the TOP bucket) and NULL rows would interleave
+        # with max-value rows, giving every file they touch a full-width
+        # min/max range on this column.
+        val = F.coalesce(F.col(c).cast("double"), F.lit(mn))
+        q = F.floor((val - F.lit(mn)) / F.lit(span) * scale)
         quantized.append(
-            F.coalesce(
-                F.greatest(F.lit(0), F.least(F.lit(scale), q)).cast("long"),
-                F.lit(0).cast("long"),  # NULL values sort into bucket 0
-            )
+            F.greatest(F.lit(0), F.least(F.lit(scale), q)).cast("long")
         )
     key = F.lit(0).cast("long")
     for i in range(bits):
@@ -124,10 +127,13 @@ def optimize(
     if len(zcols) == 1:
         compacted = compacted.sortWithinPartitions(*partition_cols, zcols[0])
     elif zcols:
+        zname = "__z"
+        while zname in df.columns:  # collision-proof: never clobber data
+            zname += "_"
         compacted = (
-            compacted.withColumn("__z", zorder_key(df, zcols))
-            .sortWithinPartitions(*partition_cols, "__z")
-            .drop("__z")
+            compacted.withColumn(zname, zorder_key(df, zcols))
+            .sortWithinPartitions(*partition_cols, zname)
+            .drop(zname)
         )
     return write_partitioned(
         compacted,
@@ -144,6 +150,10 @@ def vacuum(path: str, retain_last: int = 1) -> list[int]:
     (M2; the reference's RETAIN-hours knob maps to retained versions in a
     manifest-versioned layout -- local runs use 0h/aggressive retention,
     ``maintenance.py:167-171``). Returns removed versions."""
+    if retain_last < 1:
+        # retain_last=0 would delete the CURRENT version's directory while
+        # the manifest still references it, bricking the table.
+        raise ValueError(f"retain_last must be >= 1, got {retain_last}")
     cur = current_version(path)
     if cur is None:
         return []
@@ -166,6 +176,8 @@ def health_check(
     spark: SparkSession, path: str, key_col: str = "ticker"
 ) -> HealthReport:
     v = current_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versions at {path}")
     n_files, size = 0, 0
     for d in snapshot_dirs(path, v):  # snapshot may span version dirs
         nf, sz = _dir_file_stats(d)
@@ -201,6 +213,8 @@ def file_column_ranges(
     import pyarrow.parquet as pq
 
     v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versions at {path}")
     out = []
     for dirpath, _dirs, files in (
         w for root in snapshot_dirs(path, v) for w in os.walk(root)

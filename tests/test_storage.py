@@ -705,3 +705,28 @@ def test_delete_all_rows_leaves_readable_empty_table(spark, bars, tmp_path_facto
     ch = storage.table_changes(spark, path, from_version=1)
     assert ch.filter(F.col("_change_type") == "delete").count() == n0
     assert ch.filter(F.col("_change_type") == "insert").count() == 0
+
+
+def test_zorder_key_sends_nulls_to_bottom_bucket(spark):
+    """NULL z-order values must land in bucket 0 (with the column minimum),
+    never the TOP bucket -- Spark's least/greatest skip NULLs, so a naive
+    clamp would interleave NULL rows with max-value rows and give every
+    file they touch a full-width stats range (round-3 review)."""
+    from delta_lake_stock_pipeline_spark.storage.maintenance import zorder_key
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (0, 1.0), (100, 1.0)], "x INT, y DOUBLE"
+    )
+    keys = {
+        r["x"]: r["k"]
+        for r in df.withColumn("k", zorder_key(df, ["x", "y"])).collect()
+    }
+    assert keys[None] == keys[0], "NULL must share bucket 0 with the minimum"
+    assert keys[None] < keys[100]
+
+
+def test_vacuum_rejects_retention_that_would_delete_current(bars, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stocks_vacuum_guard") / "t")
+    storage.write_partitioned(bars, path)
+    with pytest.raises(ValueError, match="retain_last"):
+        storage.vacuum(path, retain_last=0)
