@@ -25,8 +25,11 @@ from ._session_cache import DataFrameSessionCache
 _SHINGLE_N = 3
 _JACCARD_THRESHOLD = 0.2
 
-# MinHash: 16 permutations in 4 bands of 4 rows -> candidate-capture
-# probability ~1 for J >= 0.5, high for J >= 0.2 within-source.
+# MinHash: 16 permutations in 4 bands of 4 rows. Candidate-capture
+# probability is 1-(1-J^4)^4: ~0.88 at J=0.8, ~0.23 at J=0.5, ~0.006 at
+# J=0.2 -- a deliberately loose sketch whose misses the EXACT
+# d_ngram_jaccard anchor exposes (the fixture's engineered near-dup pairs
+# are J>=0.8 and deterministically captured; see tests/test_sketches.py).
 _MINHASH_K = 16
 _LSH_BANDS = 4
 
@@ -37,13 +40,17 @@ _posts_cache = DataFrameSessionCache("shingle_posts")
 # the shingle self-join runs once per session+scale.
 _pairs_cache = DataFrameSessionCache("dup_pairs")
 
+# MinHash signature table (|docs| x 16 longs), reused across calls.
+_sig_cache = DataFrameSessionCache("minhash_sigs")
+
 
 def clear_posts_cache() -> None:
-    """Drop every cached posting/pair table. Call when done with a session
-    (tests/conftest and bench do) -- otherwise the persisted blocks live
-    until the owning session stops."""
+    """Drop every cached posting/pair/signature table. Call when done with a
+    session (tests/conftest and bench do) -- otherwise the persisted blocks
+    live until the owning session stops."""
     _posts_cache.clear()
     _pairs_cache.clear()  # checkpoint blocks die with the session
+    _sig_cache.clear()
 
 
 def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,9 +87,10 @@ def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
+        parts = ", ".join(f"toks[i+{j}]" for j in range(_SHINGLE_N))
         shingles = F.expr(
             f"transform(sequence(0, size(toks) - {_SHINGLE_N}),"
-            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            f" i -> concat_ws(' ', {parts}))"
         )
         # Spread the doc rows BEFORE exploding: the one-file fixture scans
         # as a single partition, and the explode + distinct's map-side
@@ -200,12 +208,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 50k-row signature table instead of re-running the posting aggregation.
     # Cheap (|docs| x 16 longs) and the difference between one and three
     # full passes over the posting rows -- measured 78 s -> 15 s at sf0.1.
-    sig = posts.groupBy("doc_id", "source").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
-            for i in range(_MINHASH_K)
-        ]
-    ).persist()
+    # Session-cached (not a bare .persist()) so repeated calls in one
+    # session reuse ONE materialization and clear_posts_cache frees it --
+    # a per-call persist leaked storage blocks until session stop.
+    sig = _sig_cache.get_or_create(
+        spark,
+        sf_dir,
+        lambda: posts.groupBy("doc_id", "source").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+                for i in range(_MINHASH_K)
+            ]
+        ),
+    )
     bands = sig.select(
         "doc_id",
         "source",
@@ -486,14 +501,20 @@ QUERIES = {
     "d_keep_latest": keep_latest_per_key,
 }
 
+# Shingle concat derived from _SHINGLE_N exactly like the engine's lambda,
+# so changing the constant changes BOTH sides (a hardcoded 3-lookup concat
+# next to an interpolated bound was a silent-divergence trap).
+_SHINGLE_SQL_CONCAT = " || ' ' || ".join(
+    f"string_split(lower(text), ' ')[i+{j}]" for j in range(_SHINGLE_N)
+).replace("[i+0]", "[i]")
+
 _NGRAM_SQL = f"""
     WITH sh AS (
         SELECT doc_id, source,
                list_distinct(list_transform(
-                   range(1, len(string_split(lower(text), ' ')) - 1),
-                   i -> string_split(lower(text), ' ')[i] || ' ' ||
-                        string_split(lower(text), ' ')[i+1] || ' ' ||
-                        string_split(lower(text), ' ')[i+2])) AS s
+                   range(1, len(string_split(lower(text), ' '))
+                            - {_SHINGLE_N - 2}),
+                   i -> {_SHINGLE_SQL_CONCAT})) AS s
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -501,9 +522,13 @@ _NGRAM_SQL = f"""
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
                AS jaccard
     FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    WHERE ROUND(len(list_intersect(a.s, b.s))
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
           >= {_JACCARD_THRESHOLD}
+    -- threshold applied to the ROUNDED value, matching the engine's
+    -- filter(round(jac,4) >= t): the raw division of exact integer counts
+    -- is bit-identical on both engines, so the rounded values agree and a
+    -- boundary pair can never be kept by one side only
 """
 
 ORACLES = {

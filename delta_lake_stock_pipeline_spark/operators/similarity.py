@@ -259,7 +259,14 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]
                 emb.withColumn("cluster", _assign_expr(centroids))
                 .select("cluster", F.posexplode("embedding").alias("pos", "val"))
                 .groupBy("cluster", "pos")
-                .agg(F.avg("val").alias("m"))
+                .agg(
+                    (
+                        F.sum(
+                            F.col("val").cast("double").cast("decimal(28,12)")
+                        ).cast("double")
+                        / F.count("val")
+                    ).alias("m")
+                )
                 .collect()
             )
             new = [list(c) for c in centroids]  # empty clusters keep centroid
@@ -470,7 +477,10 @@ ORACLES = {
                ROUND({_pair_cos}, 6) AS cos_sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_pair_cos} > {_PAIR_SIM_THRESHOLD}
+        WHERE ROUND({_pair_cos}, 6) > {_PAIR_SIM_THRESHOLD}
+        -- rounded-value threshold matches the engine's filter(round(cos,6) > t);
+        -- the raw cosine is bit-identical on both engines (sequential
+        -- double arithmetic), so the rounded values agree exactly
         ORDER BY vec_a, vec_b
     """,
     "v_knn_per_query": f"""

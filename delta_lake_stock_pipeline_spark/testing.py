@@ -11,6 +11,7 @@ import datetime
 import decimal
 import math
 import os
+import time
 from dataclasses import dataclass
 
 import duckdb
@@ -19,6 +20,18 @@ from .sources.fixtures import TABLES
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    # The comparison needs the PROCESS timezone pinned to UTC: PySpark's
+    # collect() renders TimestampType as naive datetimes in the OS-local
+    # zone, while DuckDB returns naive UTC wall-clock -- on a non-UTC host
+    # every timestamp row would "mismatch" despite identical instants.
+    # (spark.sql.session.timeZone governs SQL semantics, not collect().)
+    if os.environ.get("TZ") not in (None, "UTC", "Etc/UTC"):
+        raise RuntimeError(
+            f"oracle comparison requires TZ=UTC, got TZ={os.environ['TZ']!r}"
+        )
+    os.environ.setdefault("TZ", "UTC")
+    if hasattr(time, "tzset"):
+        time.tzset()
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -37,6 +50,11 @@ def _norm_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            # Negative zero: DuckDB's round(double) preserves the sign bit
+            # while Spark's BigDecimal round returns +0.0 -- numerically
+            # equal values must not stringify as '-0' vs '0'.
+            return "0"
         # 12 significant digits: collapses float-repr noise while still
         # catching real numeric divergence (queries round their outputs).
         return f"{v:.12g}"
