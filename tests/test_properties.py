@@ -43,6 +43,8 @@ def _brute_force_asof(left_rows, right_rows):
     for lid, (lk, lts) in enumerate(left_rows):
         best = None  # (ts, rid)
         for rid, (rk, rts) in enumerate(right_rows):
+            if rts is None:
+                continue  # NULL ts never satisfies right.ts <= left.ts
             if rk == lk and rts <= lts and (best is None or (rts, rid) > best):
                 best = (rts, rid)
         if best is not None:
@@ -50,7 +52,20 @@ def _brute_force_asof(left_rows, right_rows):
     return sorted(out)
 
 
-@given(left=_rows, right=_rows)
+# Right-side ts may be NULL: a NULL timestamp can never satisfy
+# "right.ts <= left.ts" (ASOF comparison is NULL -> no match), which the
+# engine implements by dropping such rows up front (round-3 review fix).
+_right_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=_rows, right=_right_rows)
 @settings(**_SETTINGS)
 def test_asof_union_window_matches_brute_force(spark, left, right):
     ldf = spark.createDataFrame(
