@@ -267,7 +267,7 @@ ORACLES = {
                CAST(100 - 4 * CAST(substr(source, 4) AS INTEGER) AS INTEGER)
                    AS rate_pct,
                COUNT(*) AS n_sampled,
-               SUM(doc_id) AS sum_doc_id
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
         FROM (
             SELECT doc_id, source,
                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

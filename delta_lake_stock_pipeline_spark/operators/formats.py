@@ -119,8 +119,8 @@ _AGG_SQL = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
            MIN(o_orderdate) AS first_ts,
            MAX(o_orderdate) AS last_ts,
-           SUM(o_orderkey) AS sum_key,
-           SUM(length(o_orderstatus)) AS sum_status_len
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(length(o_orderstatus)) AS BIGINT) AS sum_status_len
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 

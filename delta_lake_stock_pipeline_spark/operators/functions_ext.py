@@ -138,7 +138,8 @@ ORACLES = {
     "fn_try_funcs": """
         SELECT grp,
                COUNT(*) AS n,
-               SUM(CASE WHEN div IS NULL THEN 1 ELSE 0 END) AS n_div_null,
+               CAST(SUM(CASE WHEN div IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_div_null,
                CAST(SUM(CAST(div AS DECIMAL(18,6))) AS DOUBLE) AS sum_div,
                COUNT(prio_num) AS n_prio_parsed,
                COUNT(status_num) AS n_status_parsed,

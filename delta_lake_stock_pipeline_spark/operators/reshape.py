@@ -167,8 +167,8 @@ ORACLES = {
                     WHEN b < 90 THEN 'validation'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
-               SUM(doc_id) AS sum_doc_id,
-               SUM(length(text)) AS sum_len
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_len
         FROM (
             SELECT doc_id, text,
                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -128,7 +128,7 @@ ORACLES = {
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                    AS total_price,
-               SUM(o_orderkey) AS sum_key,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
                MIN(o_orderdate) AS first_ts,
                MAX(o_orderdate) AS last_ts
         FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -138,7 +138,7 @@ ORACLES = {
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                    AS total_price,
-               SUM(o_orderkey) AS sum_key,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
                MIN(o_orderdate) AS first_ts,
                MAX(o_orderdate) AS last_ts
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority

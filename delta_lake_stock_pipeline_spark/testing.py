@@ -71,6 +71,26 @@ def _norm_value(v) -> str:
     return str(v)
 
 
+# Every DuckDB type that stringifies identically to its Spark counterpart
+# under _norm_value. Anything else (HUGEINT, DECIMAL, UBIGINT, intervals,
+# nested types...) is representation-divergence risk at the driver.
+_PORTABLE_DUCKDB_TYPES = frozenset(
+    {
+        "BIGINT",
+        "INTEGER",
+        "SMALLINT",
+        "TINYINT",
+        "DOUBLE",
+        "FLOAT",
+        "VARCHAR",
+        "DATE",
+        "TIMESTAMP",
+        "TIMESTAMP_NS",
+        "BOOLEAN",
+    }
+)
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -106,6 +126,27 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
     ]
 
     rel = con.sql(sql)
+    # Mirror of the Spark-side DecimalType fail-fast, on the ORACLE's result
+    # types: DuckDB silently widens SUM(BIGINT) / SUM(CASE...) to HUGEINT
+    # (int128) and SUM(DECIMAL) to DECIMAL(38,s); the driver's value hash is
+    # representation-sensitive, so such columns hash-mismatch even when
+    # values are identical (round-2 decimal bug, round-3 HUGEINT bug). Only
+    # engine-portable types may reach an oracle's final schema -- wrap
+    # integer SUMs in CAST(... AS BIGINT) and decimal SUMs in
+    # CAST(... AS DOUBLE).
+    bad_types = [
+        (c, t)
+        for c, t in zip(rel.columns, (str(t) for t in rel.types))
+        if t.split("(")[0].upper() not in _PORTABLE_DUCKDB_TYPES
+    ]
+    if bad_types:
+        return CompareResult(
+            name,
+            False,
+            f"oracle result has non-portable DuckDB types {bad_types}; the "
+            "driver's value hash is representation-sensitive -- CAST integer "
+            "SUMs to BIGINT and decimal SUMs to DOUBLE in the oracle SQL",
+        )
     d_cols_raw = list(rel.columns)
     d_cols = sorted(d_cols_raw)
     idx = [d_cols_raw.index(c) for c in d_cols]
