@@ -364,10 +364,19 @@ def _quantize_int8(col: F.Column) -> F.Column:
     """Symmetric int8 quantization of a float embedding: per-vector scale
     ``max|x| / 127``, elements rounded half-away-from-zero to [-127, 127].
     All-JVM higher-order functions; the quantized array is exact integers,
-    so downstream dot products are partitioning-independent exact sums."""
+    so downstream dot products are partitioning-independent exact sums.
+
+    An all-zero vector has scale 0; without the guard Spark evaluates
+    0.0/0.0 -> NaN and round(NaN) casts to long 0 SILENTLY, while DuckDB's
+    CAST(round(NaN) AS BIGINT) errors -- emit an explicit all-zero array
+    instead (the oracle mirrors this with a CASE on s = 0)."""
     absmax = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
     scale = absmax / F.lit(127.0)
-    return F.transform(col, lambda x: F.round(x.cast("double") / scale).cast("long"))
+    return F.when(
+        absmax == 0, F.transform(col, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(col, lambda x: F.round(x.cast("double") / scale).cast("long"))
+    )
 
 
 def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,14 +421,20 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(c, lambda x: x * x), zero, lambda a, v: a + v
         ).cast("double")
     )
+    # Zero-norm data vectors (all-zero q after the _quantize_int8 guard)
+    # must yield NULL, not Spark's 0/0 -> NaN: NaN sorts FIRST under desc
+    # while NULL sorts last on both engines, and the oracle's CASE emits
+    # NULL for the same rows.
     return (
         quant.filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
             "label",
-            F.round(qdot.cast("double") / (qn(F.col("q")) * qn(qlit)), 6).alias(
-                "cos_sim_q"
-            ),
+            F.when(qn(F.col("q")) == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(qdot.cast("double") / (qn(F.col("q")) * qn(qlit)), 6)
+            )
+            .alias("cos_sim_q"),
             F.round(
                 cosine(F.col("embedding"), _lit_vec(qvec)), 6
             ).alias("cos_sim_exact"),
@@ -509,11 +524,17 @@ ORACLES = {
             FROM embeddings
         ), quant AS (
             SELECT vec_id, label, embedding,
-                   list_transform(embedding,
-                       v -> CAST(round(CAST(v AS DOUBLE) / s) AS BIGINT)) AS q
+                   CASE WHEN s = 0
+                        THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                            v -> CAST(round(CAST(v AS DOUBLE) / s) AS BIGINT))
+                   END AS q
             FROM scaled
         )
         SELECT e.vec_id, e.label,
+               CASE WHEN list_sum(list_transform(e.q, v -> v * v)) = 0
+                    THEN NULL
+                    ELSE
                ROUND(CAST(list_sum(list_transform(
                          list_zip(e.q, (SELECT q FROM quant WHERE vec_id = 0)),
                          x -> x[1] * x[2])) AS DOUBLE)
@@ -521,7 +542,8 @@ ORACLES = {
                              AS DOUBLE))
                         * sqrt(CAST(list_sum(list_transform(
                               (SELECT q FROM quant WHERE vec_id = 0),
-                              v -> v * v)) AS DOUBLE))), 6) AS cos_sim_q,
+                              v -> v * v)) AS DOUBLE))), 6)
+               END AS cos_sim_q,
                ROUND({_q_cos}, 6) AS cos_sim_exact
         FROM quant e
         WHERE e.vec_id <> 0

@@ -91,30 +91,63 @@ _GROUP_STATS_SCHEMA = (
 )
 
 
+def _round4(x: float) -> float:
+    """Half-away-from-zero to 4 decimals -- Spark's and DuckDB's ROUND mode.
+    Python's built-in round() is banker's rounding and diverges on exact
+    .00005 boundaries, so operators must never use it for oracle-bound
+    values."""
+    import math
+
+    return (
+        math.floor(x * 1e4 + 0.5) / 1e4
+        if x >= 0
+        else -math.floor(-x * 1e4 + 0.5) / 1e4
+    )
+
+
 def apply_in_pandas_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per event_type, z-score the values inside
     pandas and report (n, mean, sample sd, max |z|). One shuffle on the
     group key; each group materializes as a single pandas frame -- viable
     while the largest group fits an executor (here: 5 event types; at scale
-    use a salted pre-agg instead)."""
+    use a salted pre-agg instead).
+
+    Exactness discipline: values have <= 6 decimals, so everything up to
+    the final sqrt/divide is EXACT integer arithmetic on micros (m_i), with
+    the same float operation sequence on both engine and oracle sides:
+
+        mean = double(M) / n / 1e6                    M = sum(m_i)
+        sd   = sqrt(double(SS) / (n-1)) / (n * 1e6)   SS = sum((m_i*n - M)^2)
+        maxz = double(maxdev) / (n * 1e6 * sd)        maxdev = max|m_i*n - M|
+
+    A pandas float mean (pairwise summation) against DuckDB's AVG
+    (sequential) is accumulation-order-dependent and flakes at rounding
+    boundaries; the integer form is partitioning- and order-independent."""
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        mean, sd = v.mean(), v.std(ddof=1)
-        # NULL (not NaN) for a single-row group's sample sd and for a
-        # zero-variance group's z -- matching DuckDB, whose STDDEV_SAMP of
-        # one row and 0/0 division both yield NULL while pandas yields NaN
-        # (and the oracle hash distinguishes the two).
-        sd_out = None if pd.isna(sd) else round(sd, 4)
-        if pd.isna(sd) or sd == 0:
-            z_out = None
+        n = len(pdf)
+        # Python ints from here: m_i*n - M squared overflows int64 (~1e28).
+        micros = [int(m) for m in (pdf["value"] * 1e6).round()]
+        total = sum(micros)
+        mean_out = _round4(float(total) / n / 1e6)
+        if n < 2:
+            # NULL (not NaN) for a single-row group's sample sd, matching
+            # DuckDB's STDDEV_SAMP of one row.
+            sd_out, z_out = None, None
         else:
-            z_out = round(((v - mean).abs() / sd).max(), 4)
+            devs = [m * n - total for m in micros]
+            ss = sum(d * d for d in devs)
+            sd = (float(ss) / (n - 1)) ** 0.5 / (n * 1e6)
+            sd_out = _round4(sd)
+            if sd == 0:
+                z_out = None
+            else:
+                z_out = _round4(float(max(abs(d) for d in devs)) / (n * 1e6 * sd))
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "n": [len(v)],
-                "mean_value": [round(mean, 4)],
+                "n": [n],
+                "mean_value": [mean_out],
                 "sd_value": [sd_out],
                 "max_abs_z": [z_out],
             }
@@ -306,22 +339,44 @@ ORACLES = {
                    AS net_revenue
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    # Mirrors the engine's exact-integer micros decomposition (see
+    # apply_in_pandas_group_zscores): every sum is exact integer arithmetic
+    # (HUGEINT intermediates never reach the final schema), and the float
+    # op sequence (double-cast, divide, sqrt) is identical on both sides,
+    # so results are accumulation-order-independent.
     "u_apply_in_pandas": """
-        WITH s AS (
+        WITH m AS (
             SELECT event_type,
-                   COUNT(*) AS n,
-                   AVG(value) AS mean_raw,
-                   STDDEV_SAMP(value) AS sd_raw
-            FROM events GROUP BY event_type
+                   CAST(round(value * 1000000) AS BIGINT) AS mu
+            FROM events
+        ), agg AS (
+            SELECT event_type, COUNT(*) AS n, SUM(mu) AS total
+            FROM m GROUP BY event_type
+        ), dev AS (
+            SELECT m.event_type, a.n, a.total,
+                   SUM((CAST(m.mu AS HUGEINT) * a.n - a.total)
+                       * (CAST(m.mu AS HUGEINT) * a.n - a.total)) AS ss,
+                   MAX(ABS(CAST(m.mu AS HUGEINT) * a.n - a.total)) AS maxdev
+            FROM m JOIN agg a USING (event_type)
+            GROUP BY m.event_type, a.n, a.total
+        ), stats AS (
+            SELECT event_type, n, total, maxdev,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE sqrt(CAST(ss AS DOUBLE) / (n - 1))
+                             / (n * 1000000.0)
+                   END AS sd_raw
+            FROM dev
         )
-        SELECT e.event_type,
-               s.n,
-               ROUND(s.mean_raw, 4) AS mean_value,
-               ROUND(s.sd_raw, 4) AS sd_value,
-               ROUND(MAX(ABS(e.value - s.mean_raw) / s.sd_raw), 4) AS max_abs_z
-        FROM events e JOIN s ON e.event_type = s.event_type
-        GROUP BY e.event_type, s.n, s.mean_raw, s.sd_raw
-        ORDER BY e.event_type
+        SELECT event_type,
+               n,
+               ROUND(CAST(total AS DOUBLE) / n / 1000000.0, 4) AS mean_value,
+               ROUND(sd_raw, 4) AS sd_value,
+               CASE WHEN sd_raw IS NULL OR sd_raw = 0 THEN NULL
+                    ELSE ROUND(CAST(maxdev AS DOUBLE)
+                               / (n * 1000000.0 * sd_raw), 4)
+               END AS max_abs_z
+        FROM stats
+        ORDER BY event_type
     """,
     "u_map_in_pandas": """
         SELECT event_type,

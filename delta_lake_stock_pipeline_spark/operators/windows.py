@@ -125,20 +125,37 @@ def trailing_mean_rows(
     for pid, etype, c in groups:
         offsets[(pid, etype)] = running.get(etype, 0)
         running[etype] = running.get(etype, 0) + c
+    # Nested literal map pid -> (event_type -> offset): collision-proof,
+    # unlike a concat_ws('|', pid, etype) string key, which would conflate
+    # two distinct (pid, type) pairs whenever a type value contains '|'
+    # (the helper is generic and property-tested with arbitrary frames).
+    nested: dict[int, dict[str, int]] = {}
+    for (pid, etype), off in offsets.items():
+        nested.setdefault(pid, {})[etype] = off
     off_map = F.create_map(
         *[
-            F.lit(x)
-            for (pid, etype), off in offsets.items()
-            for x in (f"{pid}|{etype}", off)
+            part
+            for pid, by_type in nested.items()
+            for part in (
+                F.lit(pid),
+                F.create_map(
+                    *[
+                        y
+                        for etype, off in by_type.items()
+                        for y in (F.lit(etype), F.lit(off))
+                    ]
+                ),
+            )
         ]
     )
     w_rn = Window.partitionBy("pid", "event_type").orderBy("ts", "event_id")
-    off_key = F.concat_ws("|", F.col("pid").cast("string"), F.col("event_type"))
     indexed = with_pid.select(
         "event_type",
         "event_id",
         "micros",
-        (F.row_number().over(w_rn) + off_map[off_key]).alias("rn"),
+        (
+            F.row_number().over(w_rn) + off_map[F.col("pid")][F.col("event_type")]
+        ).alias("rn"),
     )
     scattered = indexed.select(
         "event_type",

@@ -325,3 +325,63 @@ def test_trailing_mean_thin_interior_partition_regression(spark):
     }
     assert got == _brute_trailing_mean(data, 3)
     assert got[3] == 2.0
+
+
+def test_trailing_mean_event_type_with_pipe(spark):
+    """The per-(pid, type) offset lookup must not conflate distinct groups
+    when a type value contains '|' (round-4 advice): the offsets ride a
+    nested pid -> (type -> offset) literal map, not a concat_ws string key."""
+    from delta_lake_stock_pipeline_spark.operators.windows import trailing_mean_rows
+
+    data = [
+        (t, i, ts, v)
+        for i, (t, ts, v) in enumerate(
+            [("a|b", 0, 10), ("a", 1, 20), ("a|b", 2, 30), ("a", 3, 40),
+             ("b", 4, 50), ("a|b", 5, 60)]
+        )
+    ]
+    df = spark.createDataFrame(
+        data, "event_type STRING, event_id LONG, ts LONG, micros LONG"
+    )
+    got = {
+        r["event_id"]: r["ma"]
+        for r in trailing_mean_rows(df, k=2, n_partitions=5).collect()
+    }
+    assert got == _brute_trailing_mean(data, 2)
+
+
+def test_quantize_int8_zero_vector_guard(spark):
+    """An all-zero embedding has quantization scale 0; the guard must emit
+    an explicit all-zero q array (not 0.0/0.0 -> NaN silently cast to 0)
+    and the downstream cosine must be NULL, which sorts LAST under desc on
+    both engines (Spark NaN would sort FIRST)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_stock_pipeline_spark.operators.similarity import _quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rows = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", _quantize_int8(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert rows[1] == [0, 0, 0]
+    assert rows[2] == [64, -127, 32]
+
+
+def test_fixture_has_no_zero_norm_embeddings(spark, sf_dir):
+    """Invariant the exact-cosine oracles rely on: no all-zero embedding in
+    the fixture (cosine would be undefined / NULL-ranked)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_stock_pipeline_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_zero = emb.filter(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))) == 0
+    ).count()
+    assert n_zero == 0
