@@ -79,9 +79,24 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MA_K = 3
 _MA_PARTS = 16
 
+# Hybrid cutover (tools/ma_scaling_bench.py, 32 cores, 3 types): the plain
+# type-partitioned window beats scatter-to-frames ~2x at EVERY tested size
+# (1M/4M/16M rows -- both forms are linear, so the ratio is
+# core-count-dependent, not data-dependent; scatter's k-times multiplier +
+# second shuffle only pays once cluster cores per distinct key exceed
+# ~20). The threshold below bounds the worst-case SINGLE-TASK work of the
+# window path: up to 8M rows per key, one task sorts/scans in a few
+# seconds within executor memory; past it, the per-key cap dominates any
+# constant-factor advantage and scatter is the only shape that survives
+# unbounded per-key growth.
+_SCATTER_MIN_ROWS_PER_KEY = 8_000_000
+
 
 def trailing_mean_rows(
-    df: DataFrame, k: int = _MA_K, n_partitions: int = _MA_PARTS
+    df: DataFrame,
+    k: int = _MA_K,
+    n_partitions: int = _MA_PARTS,
+    scatter_min_rows_per_key: int = _SCATTER_MIN_ROWS_PER_KEY,
 ) -> DataFrame:
     """Exact trailing-``k`` ROWS mean of ``micros`` (integer units) per
     ``event_type`` in (ts, event_id) order WITHOUT partitioning the window
@@ -107,7 +122,13 @@ def trailing_mean_rows(
     Exact for every partition layout (no carry chaining across thin range
     partitions -- the defect the first version of this re-plan had), and
     order-independent because the frame aggregate is a LONG sum. Returns
-    (event_type, event_id, ma) with ``ma = sum/count`` in double."""
+    (event_type, event_id, ma) with ``ma = sum/count`` in double.
+
+    HYBRID: when every key's history fits the single-task budget
+    (``scatter_min_rows_per_key``), the function takes the plain
+    type-partitioned window instead -- identical semantics, measured ~2x
+    faster at every size on 32 cores (tools/ma_scaling_bench.py; the
+    scatter form only pays once cluster cores per key exceed ~20)."""
     ranged = df.repartitionByRange(n_partitions, "event_type", "ts", "event_id")
     with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
     groups = sorted(
@@ -119,6 +140,28 @@ def trailing_mean_rows(
     if not groups:
         return with_pid.select(
             "event_type", "event_id", F.lit(None).cast("double").alias("ma")
+        )
+    # HYBRID small path: when no single key's history exceeds the per-task
+    # budget, the plain partitioned window is exact, does 1/k-th the rows
+    # and one fewer shuffle, and measured ~2x faster (see
+    # _SCATTER_MIN_ROWS_PER_KEY). The per-key totals are already in hand
+    # from the offsets metadata collect.
+    per_key: dict[str, int] = {}
+    for _pid, etype, c in groups:
+        per_key[etype] = per_key.get(etype, 0) + c
+    if max(per_key.values()) <= scatter_min_rows_per_key:
+        w_small = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(k - 1), 0)
+        )
+        return with_pid.select(
+            "event_type",
+            "event_id",
+            (
+                F.sum("micros").over(w_small).cast("double")
+                / F.count("*").over(w_small)
+            ).alias("ma"),
         )
     offsets: dict[tuple[int, str], int] = {}
     running: dict[str, int] = {}

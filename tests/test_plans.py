@@ -284,13 +284,41 @@ def test_rank_topk_gets_window_group_limit_pushdown(spark, sf_dir):
     assert "WindowGroupLimit" in text, text
 
 
-def test_moving_avg_window_partitions_by_range_pid(spark, sf_dir):
-    """w_moving_avg's trailing-ROWS frame must use the scatter-to-frames
-    decomposition: every window spec partitioned by the range pid, never by
-    bare event_type (3 distinct values -> single-task history per type)."""
+def test_moving_avg_hybrid_small_path_is_plain_window(spark, sf_dir):
+    """At fixture scale every type's history is far below the per-task
+    budget, so the round-4 hybrid must take the plain type-partitioned
+    window (1/k-th the rows, one fewer shuffle; measured ~2x faster at
+    every single-node size -- tools/ma_scaling_bench.py)."""
     import re
 
     text = plans.plan_string(_Q["w_moving_avg"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\([^)]*", text)
+    assert specs, text
+    for s in specs:
+        assert "event_type" in s and "pid" not in s, s
+
+
+def test_moving_avg_scatter_path_partitions_by_range_pid(spark, sf_dir):
+    """Forcing the scatter path (per-key budget 0): every window spec must
+    be partitioned by the range pid, never by bare event_type (3 distinct
+    values -> single-task history per type at scale)."""
+    import re
+
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        trailing_mean_rows,
+    )
+    from delta_lake_stock_pipeline_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").alias(
+            "micros"
+        ),
+    )
+    out = trailing_mean_rows(ev, scatter_min_rows_per_key=0)
+    text = plans.plan_string(out)
     specs = re.findall(r"windowspecdefinition\([^)]*", text)
     assert specs, text
     for s in specs:

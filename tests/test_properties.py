@@ -301,11 +301,22 @@ def test_trailing_mean_scatter_matches_brute_force(spark, rows, k):
     df = spark.createDataFrame(
         data or [], "event_type STRING, event_id LONG, ts LONG, micros LONG"
     )
-    got = {
+    want = _brute_trailing_mean(data, k)
+    # scatter_min_rows_per_key=0 forces the scatter decomposition (the
+    # round-4 hybrid would otherwise take the plain-window path on inputs
+    # this small); the default call covers the hybrid small path too.
+    got_scatter = {
+        r["event_id"]: r["ma"]
+        for r in trailing_mean_rows(
+            df, k=k, n_partitions=5, scatter_min_rows_per_key=0
+        ).collect()
+    }
+    assert got_scatter == want
+    got_window = {
         r["event_id"]: r["ma"]
         for r in trailing_mean_rows(df, k=k, n_partitions=5).collect()
     }
-    assert got == _brute_trailing_mean(data, k)
+    assert got_window == want
 
 
 def test_trailing_mean_thin_interior_partition_regression(spark):
@@ -321,7 +332,9 @@ def test_trailing_mean_thin_interior_partition_regression(spark):
     )
     got = {
         r["event_id"]: r["ma"]
-        for r in trailing_mean_rows(df, k=3, n_partitions=5).collect()
+        for r in trailing_mean_rows(
+            df, k=3, n_partitions=5, scatter_min_rows_per_key=0
+        ).collect()
     }
     assert got == _brute_trailing_mean(data, 3)
     assert got[3] == 2.0
@@ -345,7 +358,9 @@ def test_trailing_mean_event_type_with_pipe(spark):
     )
     got = {
         r["event_id"]: r["ma"]
-        for r in trailing_mean_rows(df, k=2, n_partitions=5).collect()
+        for r in trailing_mean_rows(
+            df, k=2, n_partitions=5, scatter_min_rows_per_key=0
+        ).collect()
     }
     assert got == _brute_trailing_mean(data, 2)
 
