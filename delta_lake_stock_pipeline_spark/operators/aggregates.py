@@ -244,17 +244,34 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping_id -- the general form rollup
     and cube desugar to, via the SQL surface over a direct parquet relation
-    (``FROM parquet.`path``` -- no view registration needed)."""
+    (``FROM parquet.`path``` -- no view registration needed).
+
+    Two-phase: GROUPING SETS plans through an Expand operator that
+    replicates EVERY input row once per grouping set (3x here) before the
+    aggregate -- at 100 TB that is 3x the shuffle and 3x the (slow-path)
+    decimal aggregation. Since all measures are distributive
+    (count -> sum, sum -> sum), pre-aggregating to the FINEST set first
+    and expanding only the tiny partial-aggregate relation is exact and
+    cuts the Expand input from |rows| to |flag x status| groups. Measured
+    (round-4 isolated reruns, sf0.1): 2.4 s -> 0.6 s; the r2->r3 bench
+    regression on this key was the exact-decimal SUM (round-3 discipline)
+    amplified 3x by the pre-rewrite Expand."""
     path = f"{sf_dir}/lineitem.parquet"
     return spark.sql(
         f"""
+        WITH base AS (
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS price_sum
+            FROM parquet.`{path}`
+            GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
-               COUNT(*) AS n_rows,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
-                    AS DOUBLE) AS sum_price
-        FROM parquet.`{path}`
+               SUM(cnt) AS n_rows,
+               CAST(ROUND(SUM(price_sum), 2) AS DOUBLE) AS sum_price
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag, l_linestatus
         """
