@@ -72,10 +72,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # are DuckDB-oracled (no rows-only keys spent on the window). Rotation
 # history: ROUND4_NOTES.md.
 _DRIVER_WINDOW_ROTATION = [
-    # 9 HUGEINT-fixed keys first
+    # 9 HUGEINT-fixed keys first (src_json_roundtrip shares csv/orc's
+    # oracle verbatim, so its slot goes to the round-4 LSH anchor instead)
     "src_csv_roundtrip",
-    "src_json_roundtrip",
     "src_orc_roundtrip",
+    "d_minhash_lsh_anchor",
     "fn_try_funcs",
     "h_q12_priority_shipping",
     "r_hash_split",

@@ -263,6 +263,61 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(common, sizes)
 
 
+# The banded-LSH capture guarantee asserted by the anchor: every exact
+# pair at or above this Jaccard must appear in the verified LSH output
+# (1-(1-J^4)^4 ~ 0.88 per pair at J=0.8; the fixture's engineered
+# near-dups sit well above it and xxhash64 is deterministic, so the count
+# is stable, not probabilistic-flaky).
+_LSH_HIGH_J = 0.8
+
+
+def minhash_lsh_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row witness of the MinHash+LSH guarantees against the EXACT
+    inverted-index twin, as an ORACLED query -- so the external driver (not
+    just pytest) sees red if the sketch breaks:
+
+    * ``n_exact_pairs``  -- exact shingle-Jaccard pairs >= threshold
+      (SQL-expressible; the oracle recomputes it from first principles);
+    * ``n_lsh_unsound``  -- verified LSH pairs that are NOT exact pairs.
+      Invariant 0: candidates are verified with the same exact Jaccard,
+      so any nonzero means the verification join or threshold broke;
+    * ``n_missed_high``  -- exact pairs with J >= ``_LSH_HIGH_J`` absent
+      from the LSH output. Invariant 0 on the fixtures (deterministic
+      banding); any nonzero means the signature/banding math broke.
+
+    The oracle pins the two invariants as literal zeros and recomputes the
+    exact-pair count -- previously this guarantee lived only in
+    tests/test_sketches.py and the driver's d_minhash_lsh row was a
+    vacuous rows-only check.
+
+    Scale shape: both pair relations are bucket/block-bounded (see
+    ``ngram_jaccard_pairs``/``minhash_lsh_pairs``); the anchor adds one
+    full-outer join on pair keys plus a scalar aggregate."""
+    exact = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard", F.lit(1).alias("in_exact")
+    )
+    lsh = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_exact_pairs"),
+        F.sum(
+            F.when(F.col("in_exact").isNull() & F.col("in_lsh").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_lsh_unsound"),
+        F.sum(
+            F.when(
+                (F.col("jaccard") >= _LSH_HIGH_J) & F.col("in_lsh").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missed_high"),
+    )
+
+
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (token-hash bit-majority), plus its
     16-bit prefix band for bucketing. Deterministic given xxhash64 ->
@@ -494,6 +549,7 @@ QUERIES = {
     "d_exact_keys": exact_dedup_keys,
     "d_ngram_jaccard": ngram_jaccard_pairs,
     "d_minhash_lsh": minhash_lsh_pairs,
+    "d_minhash_lsh_anchor": minhash_lsh_anchor,
     "d_simhash": simhash_buckets,
     "d_dup_clusters": duplicate_clusters,
     "d_dup_clusters_sql": duplicate_clusters_sql,
@@ -585,6 +641,16 @@ ORACLES = {
         ORDER BY user_id
     """,
     # d_minhash_lsh, d_simhash: intentionally no oracle (xxhash64-based).
+    # d_minhash_lsh_anchor: the exact-pair count is recomputed from first
+    # principles; the soundness and high-J recall counters are pinned
+    # invariants (see minhash_lsh_anchor) -- a sketch bug flips them
+    # nonzero on the ENGINE side and the driver row goes red.
+    "d_minhash_lsh_anchor": f"""
+        SELECT COUNT(*) AS n_exact_pairs,
+               CAST(0 AS BIGINT) AS n_lsh_unsound,
+               CAST(0 AS BIGINT) AS n_missed_high
+        FROM ({_NGRAM_SQL})
+    """,
 }
 
 # The SQL twin computes the same deterministic fixpoint as the loop form.
