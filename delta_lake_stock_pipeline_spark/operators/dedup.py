@@ -263,6 +263,56 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(common, sizes)
 
 
+# Non-overlapping span width (words) for line-level dedup. The fixture
+# text has no newlines, so fixed word-chunks stand in for C4/CCNet's
+# lines/paragraphs; the pipeline shape is identical.
+_SPAN_W = 8
+
+
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (span-level) dedup statistics -- the C4/CCNet boilerplate
+    pass: segments appearing in MULTIPLE documents across the corpus are
+    boilerplate to drop; per document, report how many of its
+    non-overlapping ``_SPAN_W``-word spans are corpus-shared vs kept.
+
+    Scale shape (the inverted-index form, like the shingle family):
+    explode spans -> hash each span to 8 bytes BEFORE the shuffle ->
+    groupBy(span-hash) with a distinct-doc count (map-side partial) ->
+    join the counts back to the per-doc span rows -> per-doc aggregate.
+    Work is linear in total span count; nothing is pairwise. The oracle
+    groups by span TEXT -- hash-vs-text equivalence is the same
+    xxhash64-collision trade the dedup family documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = F.expr(
+        f"""case when size(toks) = 0 then array()
+            else transform(
+                sequence(0, cast(ceil(size(toks) / {_SPAN_W}.0) as int) - 1),
+                i -> array_join(slice(toks, i * {_SPAN_W} + 1, {_SPAN_W}), ' '))
+            end"""
+    )
+    sp = (
+        docs.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("toks"),
+        )
+        .select("doc_id", F.explode(spans).alias("span"))
+        .select("doc_id", F.xxhash64("span").alias("h"))
+    )
+    counts = sp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = (F.col("nd") >= 2).cast("int")
+    return (
+        sp.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            F.sum(1 - shared).cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The banded-LSH capture guarantee asserted by the anchor: every exact
 # pair at or above this Jaccard must appear in the verified LSH output
 # (1-(1-J^4)^4 ~ 0.88 per pair at J=0.8; the fixture's engineered
@@ -550,6 +600,7 @@ QUERIES = {
     "d_ngram_jaccard": ngram_jaccard_pairs,
     "d_minhash_lsh": minhash_lsh_pairs,
     "d_minhash_lsh_anchor": minhash_lsh_anchor,
+    "d_span_dedup": span_dedup_stats,
     "d_simhash": simhash_buckets,
     "d_dup_clusters": duplicate_clusters,
     "d_dup_clusters_sql": duplicate_clusters_sql,
@@ -650,6 +701,35 @@ ORACLES = {
                CAST(0 AS BIGINT) AS n_lsh_unsound,
                CAST(0 AS BIGINT) AS n_missed_high
         FROM ({_NGRAM_SQL})
+    """,
+    # Spans grouped by TEXT (the engine hashes first; same collision trade
+    # as the shingle oracles). list_slice end-clamps like Spark's
+    # slice(start, length) for the ragged tail.
+    "d_span_dedup": f"""
+        WITH sp AS (
+            SELECT doc_id, u.s AS span
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            UNNEST(list_transform(
+                range(0, CAST(ceil(len(toks) / {_SPAN_W}.0) AS INTEGER)),
+                i -> array_to_string(
+                    list_slice(toks, i * {_SPAN_W} + 1, i * {_SPAN_W} + {_SPAN_W}),
+                    ' '))) AS u(s)
+        ), cnt AS (
+            SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY span
+        )
+        SELECT sp.doc_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(SUM(CASE WHEN cnt.nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM sp JOIN cnt ON sp.span = cnt.span
+        GROUP BY sp.doc_id ORDER BY sp.doc_id
     """,
 }
 

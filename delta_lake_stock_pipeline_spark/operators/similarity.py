@@ -95,6 +95,39 @@ def pairwise_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication summary: within each label
+    block (the cluster proxy -- the published method k-means-clusters
+    embeddings first, exactly what ``v_ann_ivf`` materializes), a vector is
+    DOMINATED when some lower-id same-label vector has cosine similarity
+    above the pair threshold; keepers are the undominated rest. Returns
+    per-label (n_vectors, n_dominated, n_keepers).
+
+    Scale shape: reuses the label-blocked pairwise join
+    (``pairwise_neardup`` -- never an unblocked cross join), then two
+    scalar-only aggregates; the dominated-set dedup shuffles (label,
+    vec_id) pairs only, never embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    dominated = (
+        pairwise_neardup(spark, sf_dir)
+        .select("label", F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    totals = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    doms = dominated.groupBy("label").agg(F.count("*").alias("n_dominated"))
+    n_dom = F.coalesce(F.col("n_dominated"), F.lit(0)).cast("long")
+    return (
+        totals.join(doms, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            n_dom.alias("n_dominated"),
+            (F.col("n_vectors") - n_dom).cast("long").alias("n_keepers"),
+        )
+        .orderBy("label")
+    )
+
+
 def knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN (k=3) for each query vector (vec_id < 5) over same-label
     candidates: blocked join + per-query top-k window."""
@@ -447,6 +480,7 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "v_cosine_topk": cosine_topk,
     "v_pairwise_neardup": pairwise_neardup,
+    "v_semantic_dedup": semantic_dedup,
     "v_knn_per_query": knn_per_query,
     "v_ann_lsh": ann_lsh_topk,
     "v_ann_ivf": ann_ivf_topk,
@@ -497,6 +531,25 @@ ORACLES = {
         -- the raw cosine is bit-identical on both engines (sequential
         -- double arithmetic), so the rounded values agree exactly
         ORDER BY vec_a, vec_b
+    """,
+    "v_semantic_dedup": f"""
+        WITH pairs AS (
+            SELECT a.label AS label, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ROUND({_pair_cos}, 6) > {_PAIR_SIM_THRESHOLD}
+        ), dom AS (
+            SELECT label, vec_b FROM pairs GROUP BY label, vec_b
+        )
+        SELECT e.label,
+               COUNT(*) AS n_vectors,
+               CAST(SUM(CASE WHEN d.vec_b IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dominated,
+               CAST(SUM(CASE WHEN d.vec_b IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keepers
+        FROM embeddings e
+        LEFT JOIN dom d ON e.label = d.label AND e.vec_id = d.vec_b
+        GROUP BY e.label ORDER BY e.label
     """,
     "v_knn_per_query": f"""
         SELECT * FROM (
