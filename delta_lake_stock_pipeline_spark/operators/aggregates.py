@@ -260,7 +260,13 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts the Expand input from |rows| to |flag x status| groups. Measured
     (round-4 isolated reruns, sf0.1): 2.4 s -> 0.6 s; the r2->r3 bench
     regression on this key was the exact-decimal SUM (round-3 discipline)
-    amplified 3x by the pre-rewrite Expand."""
+    amplified 3x by the pre-rewrite Expand.
+
+    Empty-input edge (checked, unreachable on fixtures): Spark emits ZERO
+    rows for GROUPING SETS over empty input in BOTH the single-phase and
+    two-phase forms, while DuckDB emits the () row with count 0 -- an
+    engine-level difference predating this rewrite, not introduced by
+    it."""
     path = f"{sf_dir}/lineitem.parquet"
     return spark.sql(
         f"""

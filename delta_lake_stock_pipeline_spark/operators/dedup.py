@@ -350,21 +350,30 @@ def minhash_lsh_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
     joined = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    # coalesce(sum, 0): when BOTH pair relations are empty the join has no
+    # rows and every SUM is NULL, but the oracle's pinned literals are 0 --
+    # an empty corpus must compare as (0, 0, 0), not (NULL, NULL, NULL).
+    zero = F.lit(0).cast("long")
     return joined.agg(
-        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_exact_pairs"),
-        F.sum(
-            F.when(F.col("in_exact").isNull() & F.col("in_lsh").isNotNull(), 1)
-            .otherwise(0)
-        )
-        .cast("long")
-        .alias("n_lsh_unsound"),
-        F.sum(
-            F.when(
-                (F.col("jaccard") >= _LSH_HIGH_J) & F.col("in_lsh").isNull(), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_missed_high"),
+        F.coalesce(F.sum(F.coalesce("in_exact", F.lit(0))).cast("long"), zero).alias(
+            "n_exact_pairs"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_exact").isNull() & F.col("in_lsh").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long"),
+            zero,
+        ).alias("n_lsh_unsound"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("jaccard") >= _LSH_HIGH_J) & F.col("in_lsh").isNull(), 1
+                ).otherwise(0)
+            ).cast("long"),
+            zero,
+        ).alias("n_missed_high"),
     )
 
 

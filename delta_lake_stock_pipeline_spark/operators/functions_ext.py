@@ -161,7 +161,10 @@ ORACLES = {
             SELECT CAST(o_custkey % 3 AS INTEGER) AS grp,
                    o_totalprice / NULLIF(CAST(o_custkey % 3 AS INTEGER), 0) AS div,
                    TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
-                   TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+                   CASE WHEN regexp_matches(o_orderstatus,
+                                            '^\\s*[+-]?[0-9]+\\s*$')
+                        THEN CAST(trim(o_orderstatus) AS BIGINT)
+                   END AS status_num,
                    TRY_CAST(o_orderstatus AS TIMESTAMP) AS status_ts
             FROM orders
         )

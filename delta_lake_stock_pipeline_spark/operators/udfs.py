@@ -126,8 +126,12 @@ def apply_in_pandas_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        # NULL values: mirror the oracle exactly -- n counts every row
+        # (COUNT(*)), but sums/devs/max skip NULL terms (DuckDB SUM/MAX
+        # semantics). int(NaN) would crash the worker otherwise.
+        v = pdf["value"].dropna()
         # Python ints from here: m_i*n - M squared overflows int64 (~1e28).
-        micros = [int(m) for m in (pdf["value"] * 1e6).round()]
+        micros = [int(m) for m in (v * 1e6).round()]
         total = sum(micros)
         mean_out = _round4(float(total) / n / 1e6)
         if n < 2:

@@ -128,7 +128,32 @@ def trailing_mean_rows(
     (``scatter_min_rows_per_key``), the function takes the plain
     type-partitioned window instead -- identical semantics, measured ~2x
     faster at every size on 32 cores (tools/ma_scaling_bench.py; the
-    scatter form only pays once cluster cores per key exceed ~20)."""
+    scatter form only pays once cluster cores per key exceed ~20). The
+    decision runs BEFORE the scatter path's range-shuffle + checkpoint
+    scaffolding (one cheap per-key count aggregate -- |types| result
+    rows), so the small path is genuinely just scan -> window."""
+    per_key: dict[str, int] = {
+        r["event_type"]: int(r["c"])
+        for r in df.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    if not per_key:
+        return df.select(
+            "event_type", "event_id", F.lit(None).cast("double").alias("ma")
+        )
+    if max(per_key.values()) <= scatter_min_rows_per_key:
+        w_small = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(k - 1), 0)
+        )
+        return df.select(
+            "event_type",
+            "event_id",
+            (
+                F.sum("micros").over(w_small).cast("double")
+                / F.count("*").over(w_small)
+            ).alias("ma"),
+        )
     ranged = df.repartitionByRange(n_partitions, "event_type", "ts", "event_id")
     with_pid = ranged.withColumn("pid", F.spark_partition_id()).localCheckpoint()
     groups = sorted(
@@ -137,32 +162,6 @@ def trailing_mean_rows(
         .agg(F.count("*").alias("c"))
         .collect()
     )
-    if not groups:
-        return with_pid.select(
-            "event_type", "event_id", F.lit(None).cast("double").alias("ma")
-        )
-    # HYBRID small path: when no single key's history exceeds the per-task
-    # budget, the plain partitioned window is exact, does 1/k-th the rows
-    # and one fewer shuffle, and measured ~2x faster (see
-    # _SCATTER_MIN_ROWS_PER_KEY). The per-key totals are already in hand
-    # from the offsets metadata collect.
-    per_key: dict[str, int] = {}
-    for _pid, etype, c in groups:
-        per_key[etype] = per_key.get(etype, 0) + c
-    if max(per_key.values()) <= scatter_min_rows_per_key:
-        w_small = (
-            Window.partitionBy("event_type")
-            .orderBy("ts", "event_id")
-            .rowsBetween(-(k - 1), 0)
-        )
-        return with_pid.select(
-            "event_type",
-            "event_id",
-            (
-                F.sum("micros").over(w_small).cast("double")
-                / F.count("*").over(w_small)
-            ).alias("ma"),
-        )
     offsets: dict[tuple[int, str], int] = {}
     running: dict[str, int] = {}
     for pid, etype, c in groups:

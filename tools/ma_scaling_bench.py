@@ -61,7 +61,10 @@ def run_partitioned_window(df) -> int:
 
 
 def run_scatter(df) -> int:
-    out = trailing_mean_rows(df, k=K, n_partitions=32)
+    # scatter_min_rows_per_key=0 forces the scatter decomposition -- the
+    # hybrid would otherwise take the plain-window path at these sizes and
+    # the A/B would compare window vs window.
+    out = trailing_mean_rows(df, k=K, n_partitions=32, scatter_min_rows_per_key=0)
     return out.select(F.count("*"), F.sum(F.hash("event_id", "ma"))).collect()[0][0]
 
 
