@@ -310,6 +310,56 @@ def approx_count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed HLL guarantee (the d_minhash_lsh_anchor pattern):
+    per event_type, the EXACT distinct-user count (oracle recomputes it)
+    plus a boolean pinning the DataSketches HLL estimate inside its
+    documented ~2% relative error (with the same small absolute slack the
+    sketch tests use). The oracle emits literal TRUE -- if the sketch
+    drifts out of tolerance, the engine-side boolean flips and the driver
+    row goes red, instead of the guarantee living only in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+    )
+    tol = F.greatest(F.lit(2.0), F.lit(0.02) * F.col("n_users_exact"))
+    return per_type.select(
+        "event_type",
+        "n_users_exact",
+        (F.abs(F.col("est") - F.col("n_users_exact")) <= tol).alias(
+            "est_within_tol"
+        ),
+    ).orderBy("event_type")
+
+
+def percentile_approx_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed sketch-percentile guarantee: per return flag, the
+    EXACT interpolated p50/p90 (oracled via quantile_cont) plus booleans
+    pinning the ``percentile_approx`` (KLL-style, accuracy 10000) estimate
+    within 1 quantity unit of the exact value -- generous against the
+    sketch's ~1e-4 rank error on this integral column, but tight enough
+    that a broken sketch (wrong merge, wrong rank math) flips it. Oracle
+    emits literal TRUEs."""
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_exact"),
+            F.expr("percentile_approx(l_quantity, 0.5, 10000)").alias("p50a"),
+            F.expr("percentile_approx(l_quantity, 0.9, 10000)").alias("p90a"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("p50_exact").alias("p50_qty"),
+        F.col("p90_exact").alias("p90_qty"),
+        (F.abs(F.col("p50a") - F.col("p50_exact")) <= 1.0).alias("p50_within_tol"),
+        (F.abs(F.col("p90a") - F.col("p90_exact")) <= 1.0).alias("p90_within_tol"),
+    ).orderBy("l_returnflag")
+
+
 def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (SQL ``percentile``), matching DuckDB
     ``quantile_cont``. ``percentile_approx`` exists too but is sketch-based;
@@ -420,6 +470,8 @@ QUERIES = {
     "x_approx_count_distinct": approx_count_distinct_agg,
     "x_percentile": percentile_agg,
     "x_percentile_approx": percentile_approx_agg,
+    "x_hll_anchor": hll_anchor,
+    "x_percentile_approx_anchor": percentile_approx_anchor,
     "x_stats_moments": stats_moments,
 }
 
@@ -507,6 +559,24 @@ ORACLES = {
         SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS p50_qty,
                quantile_cont(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # Sketch anchors: the exact columns are recomputed from first
+    # principles; the tolerance booleans are pinned literal TRUE (the
+    # d_minhash_lsh_anchor pattern -- a broken sketch flips the
+    # engine-side boolean and the driver row goes red).
+    "x_hll_anchor": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users_exact,
+               TRUE AS est_within_tol
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "x_percentile_approx_anchor": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty,
+               TRUE AS p50_within_tol,
+               TRUE AS p90_within_tol
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "x_stats_moments": """
