@@ -95,6 +95,31 @@ def pairwise_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed IVF guarantee (the d_minhash_lsh_anchor pattern):
+    one row with the exact top-10 cardinality and minimum cosine (both
+    recomputed from first principles by the oracle) plus a boolean pinning
+    IVF recall@10 >= 8 -- the invariant tests/test_plans.py gates, now
+    visible to the external comparison. IVF training is deterministic, so
+    the boolean is stable, not probabilistic-flaky. Measured overlap:
+    9/10 at sf0.001 and sf0.01, 10/10 at sf0.1.
+
+    v_ann_lsh stays rows-only WITHOUT an anchor: random-hyperplane
+    bucketing at these fixture sizes recalls 0-1 of the exact top-10
+    (measured) -- there is no honest invariant to pin; the IVF path is
+    the engine's recommended ANN scale path."""
+    exact = cosine_topk(spark, sf_dir).select("vec_id", "cos_sim")
+    ivf_hits = ann_ivf_topk(spark, sf_dir).select("vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(ivf_hits, "vec_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_exact_topk"),
+            F.min("cos_sim").alias("min_topk_cos"),
+            (F.coalesce(F.sum("hit"), F.lit(0)) >= 8).alias("ivf_recall10_ge8"),
+        )
+    )
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication summary: within each label
     block (the cluster proxy -- the published method k-means-clusters
@@ -481,6 +506,7 @@ QUERIES = {
     "v_cosine_topk": cosine_topk,
     "v_pairwise_neardup": pairwise_neardup,
     "v_semantic_dedup": semantic_dedup,
+    "v_ann_ivf_anchor": ann_ivf_anchor,
     "v_knn_per_query": knn_per_query,
     "v_ann_lsh": ann_lsh_topk,
     "v_ann_ivf": ann_ivf_topk,
@@ -566,6 +592,18 @@ ORACLES = {
         ORDER BY query_id, rank
     """,
     # v_ann_lsh / v_ann_ivf: intentionally no oracle (approximate).
+    # v_ann_ivf_anchor: exact side recomputed; recall boolean pinned TRUE.
+    "v_ann_ivf_anchor": f"""
+        WITH exact AS (
+            SELECT e.vec_id, ROUND({_q_cos}, 6) AS cos_sim
+            FROM embeddings e WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        )
+        SELECT COUNT(*) AS n_exact_topk,
+               MIN(cos_sim) AS min_topk_cos,
+               TRUE AS ivf_recall10_ge8
+        FROM exact
+    """,
     # Quantization recomputed from first principles: same per-vector
     # max|x|/127 scale, same half-away-from-zero round, exact integer
     # dot/norm sums, float only in the final normalize.
