@@ -43,6 +43,9 @@ _pairs_cache = DataFrameSessionCache("dup_pairs")
 # MinHash signature table (|docs| x 16 longs), reused across calls.
 _sig_cache = DataFrameSessionCache("minhash_sigs")
 
+# SimHash table (|docs| x 2 longs), shared by d_simhash and its anchor.
+_simhash_cache = DataFrameSessionCache("simhash")
+
 
 def clear_posts_cache() -> None:
     """Drop every cached posting/pair/signature table. Call when done with a
@@ -51,6 +54,7 @@ def clear_posts_cache() -> None:
     _posts_cache.clear()
     _pairs_cache.clear()  # checkpoint blocks die with the session
     _sig_cache.clear()
+    _simhash_cache.clear()
 
 
 def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,34 +388,119 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bit-majority is expressed as 64 conditional aggregates over exploded
     tokens -- pure JVM expressions, one shuffle on doc_id.
+
+    Session-cached: since round 4 the relation has TWO consumers
+    (d_simhash and d_simhash_anchor), which is the cache rule's break-even
+    (single-consumer persists measured as a net loss).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # repartition pre-explode: parallelize the 64-expression partial agg
-    # (single-file scan would otherwise run it in one task).
-    toks = docs.repartition(32, "doc_id").select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    # For each bit: +1 if set else -1; simhash bit = (sum >= 0).
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        # repartition pre-explode: parallelize the 64-expression partial
+        # agg (single-file scan would otherwise run it in one task).
+        toks = docs.repartition(32, "doc_id").select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias(
+                "tok"
+            ),
+        ).withColumn("h", F.xxhash64("tok"))
+        # For each bit: +1 if set else -1; simhash bit = (sum >= 0).
+        bit_sums = toks.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"b{i}")
+                for i in range(64)
+            ]
+        )
+        simhash = None
+        for i in range(64):
+            bit = F.when(
+                F.col(f"b{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            simhash = bit if simhash is None else (simhash.bitwiseOR(bit))
+        return bit_sums.select(
+            "doc_id",
+            simhash.alias("simhash"),
+            F.shiftrightunsigned(simhash, 48).alias("band16"),
+        )
+
+    return _simhash_cache.get_or_create(spark, sf_dir, build).orderBy("doc_id")
+
+
+def simhash_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed SimHash guarantees (the d_minhash_lsh_anchor
+    pattern), one row:
+
+    * ``n_dup_text_groups`` -- md5-identical text groups (oracle
+      recomputes);
+    * ``n_sim_mismatch_groups`` -- such groups whose members got DIFFERENT
+      simhashes. Invariant 0: simhash is a pure function of the token
+      set;
+    * ``n_neardup_pairs`` -- exact shingle-Jaccard near-dup pairs (oracle
+      recomputes via the shared _NGRAM_SQL);
+    * ``n_hamming_gt16`` -- near-dup pairs whose simhashes differ in more
+      than 16 of 64 bits. Invariant 0 with margin (measured max hamming
+      10 across all three fixture scales; similar token sets flip few
+      bit-majorities).
+
+    A broken bit-majority, bucketing, or hash change flips a pinned zero
+    and the external comparison goes red."""
+    sh = simhash_buckets(spark, sf_dir).select("doc_id", "simhash")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("m")
     )
-    simhash = None
-    for i in range(64):
-        bit = F.when(
-            F.col(f"b{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        simhash = bit if simhash is None else (simhash.bitwiseOR(bit))
-    return bit_sums.select(
-        "doc_id",
-        simhash.alias("simhash"),
-        F.shiftrightunsigned(simhash, 48).alias("band16"),
-    ).orderBy("doc_id")
+    grp = (
+        docs.join(sh, "doc_id")
+        .groupBy("m")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("simhash").alias("ns"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("h"))
+    )
+    # One tagged union + a single global aggregate: combining two 1-row
+    # aggregates with a join would plan as a BroadcastNestedLoopJoin (the
+    # constant-key condition folds away), which the blanket plan audit
+    # forbids.
+    tagged = grp.select(
+        F.lit("g").alias("tag"),
+        F.col("ns").cast("long").alias("ns"),
+        F.lit(None).cast("int").alias("h"),
+    ).unionByName(
+        ham.select(
+            F.lit("p").alias("tag"),
+            F.lit(None).cast("long").alias("ns"),
+            F.col("h"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    is_g, is_p = F.col("tag") == "g", F.col("tag") == "p"
+    return tagged.agg(
+        F.coalesce(F.sum(is_g.cast("int")).cast("long"), zero).alias(
+            "n_dup_text_groups"
+        ),
+        F.coalesce(
+            F.sum((is_g & (F.col("ns") > 1)).cast("int")).cast("long"), zero
+        ).alias("n_sim_mismatch_groups"),
+        F.coalesce(F.sum(is_p.cast("int")).cast("long"), zero).alias(
+            "n_neardup_pairs"
+        ),
+        F.coalesce(
+            F.sum((is_p & (F.col("h") > 16)).cast("int")).cast("long"), zero
+        ).alias("n_hamming_gt16"),
+    )
 
 
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,6 +699,7 @@ QUERIES = {
     "d_minhash_lsh": minhash_lsh_pairs,
     "d_minhash_lsh_anchor": minhash_lsh_anchor,
     "d_span_dedup": span_dedup_stats,
+    "d_simhash_anchor": simhash_anchor,
     "d_simhash": simhash_buckets,
     "d_dup_clusters": duplicate_clusters,
     "d_dup_clusters_sql": duplicate_clusters_sql,
@@ -710,6 +800,16 @@ ORACLES = {
                CAST(0 AS BIGINT) AS n_lsh_unsound,
                CAST(0 AS BIGINT) AS n_missed_high
         FROM ({_NGRAM_SQL})
+    """,
+    "d_simhash_anchor": f"""
+        SELECT
+            (SELECT COUNT(*) FROM (
+                SELECT md5(text) AS m, COUNT(*) AS c
+                FROM documents GROUP BY 1
+            ) WHERE c > 1) AS n_dup_text_groups,
+            CAST(0 AS BIGINT) AS n_sim_mismatch_groups,
+            (SELECT COUNT(*) FROM ({_NGRAM_SQL})) AS n_neardup_pairs,
+            CAST(0 AS BIGINT) AS n_hamming_gt16
     """,
     # Spans grouped by TEXT (the engine hashes first; same collision trade
     # as the shingle oracles). list_slice end-clamps like Spark's
