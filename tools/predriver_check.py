@@ -52,8 +52,17 @@ def stage1_oracle_type_sweep() -> list[str]:
     )
 
     failures = []
+    # Driver-window sanity: the external check reads queries()[:50]; every
+    # window slot must be an oracled key or it wastes a correctness row.
+    from __spark_entry__ import queries
+
+    window = list(queries())[:50]
+    orc = oracle_sql()
+    unoracled = [k for k in window if k not in orc]
+    if unoracled:
+        failures.append(f"driver window contains un-oracled keys: {unoracled}")
     con = duckdb_connection(SF_DIRS[0])
-    for key, sql in sorted(oracle_sql().items()):
+    for key, sql in sorted(orc.items()):
         try:
             rel = con.sql(sql)
             bad = [
