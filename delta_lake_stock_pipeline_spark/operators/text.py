@@ -9,7 +9,7 @@ throughput.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
@@ -309,6 +309,68 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: the top-20 (document, term) pairs by term-frequency x
+    inverse-document-frequency -- the classic distinctive-term signal that
+    curation pipelines use for topic tagging and keyword extraction.
+
+    Determinism design (same discipline as ``unigram_logprob``): the float
+    step ``floor(ln(N/df) * 1e6)`` is a pure scalar expression of (N, df)
+    -- no accumulation -- so it yields bit-identical idf_q wherever it is
+    evaluated, and the per-pair score ``tf * idf_q`` is exact LONG
+    arithmetic; ordering and the final round are identical single
+    expressions on both engines, with a (doc_id, w) tiebreak.
+
+    Scale shape: the corpus is exploded ONCE -- hash-agg to (doc_id, w)
+    term frequencies (one shuffle, map-side partial), then document
+    frequency is a window ``count(*) over (partition by w)`` over that
+    vocab x docs relation (a second, much smaller shuffle; spill-able
+    per-word buffering handles stopword skew), so no self-join and no
+    re-read of the text column. A join-based df would either recompute the
+    corpus explode (column pruning defeats Catalyst's ReuseExchange on the
+    two tf subtrees -- measured) or require broadcasting a vocab-sized
+    table. The corpus doc count N rides along as a 1-row broadcast cross
+    join (never a driver round-trip); the top-20 is TakeOrderedAndProject
+    -- per-task partial top-k, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    w_word = Window.partitionBy("w")
+    with_df = tf.select(
+        "doc_id", "w", "tf", F.count("*").over(w_word).cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        with_df.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000
+                ).cast("long")
+            ).alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), "doc_id", "w")
+        .limit(20)
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            F.round(F.col("score_q").cast("double") / 1000000.0, 6).alias("tfidf"),
+        )
+    )
+
+
 QUERIES = {
     "t_token_count": token_count,
     "t_repetition": repetition_stats,
@@ -320,6 +382,7 @@ QUERIES = {
     "t_fingerprint": fingerprint,
     "t_bigram_frequency": bigram_frequency,
     "t_unigram_logprob": unigram_logprob,
+    "t_tfidf": tfidf_top_terms,
 }
 
 _MARKER_SQL = {
@@ -460,6 +523,32 @@ ORACLES = {
     # aggregate an exact LONG sum; ln is correctly-rounded libm on both
     # engines, and the single final divide+round is the identical
     # expression -- see unigram_logprob's determinism note.
+    # Mirrors the engine exactly: one floor(ln(N/df)*1e6) per word, exact
+    # LONG tf*idf_q scoring, (score desc, doc_id, w) deterministic order.
+    "t_tfidf": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, w
+        ), dfreq AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+        ), idf AS (
+            SELECT w, df,
+                   CAST(floor(ln(CAST((SELECT COUNT(*) FROM documents)
+                                      AS DOUBLE) / df) * 1000000)
+                        AS BIGINT) AS idf_q
+            FROM dfreq
+        )
+        SELECT doc_id, w, tf, df,
+               ROUND(CAST(tf * idf_q AS DOUBLE) / 1000000.0, 6) AS tfidf
+        FROM tf JOIN idf USING (w)
+        ORDER BY tf * idf_q DESC, doc_id, w
+        LIMIT 20
+    """,
     "t_unigram_logprob": """
         WITH toks AS (
             SELECT doc_id,

@@ -439,6 +439,74 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 30-minute inactivity gap closes a session (the classic web/telemetry
+# sessionization constant). Compared in exact integer microseconds on both
+# engines so the boundary case (gap == 30 min exactly) cannot diverge.
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions at
+    >30-min inactivity gaps, then per-session stats (the batch twin of the
+    streaming ``s_session_window``; cf. reference minute-bar gap handling,
+    stock_harvester.py "daily bars" grouping -- same segment-then-aggregate
+    shape).
+
+    Scale shape: ONE shuffle on ``user_id``; both window passes (lag flag,
+    running session index) evaluate on that same sorted partition, and the
+    final ``groupBy(user_id, session_idx)`` is satisfied by the existing
+    hash(user_id) distribution ({user_id} is a subset of the grouping key),
+    so Catalyst plans no second exchange -- plan-gated in
+    ``tests/test_plans.py::test_sessionize_single_exchange``. user_id is
+    high-cardinality at 100 TB, so the partitioning holds; per-task memory
+    is one user's history bounded by the sort spill path, and the aggregate
+    is map-side partial within the same partitions.
+
+    Determinism: window order is (ts, event_id) -- event_id is unique -- and
+    the running sum uses an explicit ROWS frame, so session indices are
+    stable across engines; the value sum follows the repo-wide exact-decimal
+    discipline."""
+    return sessionize(load_table(spark, sf_dir, "events"), _SESSION_GAP_US)
+
+
+def sessionize(events: DataFrame, gap_us: int) -> DataFrame:
+    """Core of ``window_sessionize``; exposed for the boundary unit test
+    (a gap of EXACTLY ``gap_us`` stays in-session -- the split is strict
+    ``>``, matching the oracle SQL's comparison)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts", 1).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessions = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum(is_new).over(run).cast("bigint").alias("session_idx"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_us"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        # No final orderBy: the driver compare is row-order-insensitive, and
+        # a global sort would add a range-partitioning exchange to what is
+        # otherwise a single-shuffle plan.
+    )
+
+
 QUERIES = {
     "w_rank": window_rank,
     "w_value_functions": window_value_functions,
@@ -447,9 +515,41 @@ QUERIES = {
     "w_cumulative": window_cumulative,
     "w_ntile": window_ntile,
     "w_range_interval": window_range_interval,
+    "w_sessionize": window_sessionize,
 }
 
 ORACLES = {
+    # Exact-integer-microsecond gap comparison and an explicit ROWS frame on
+    # the running session counter keep both engines bit-identical; the value
+    # sum follows the exact-decimal discipline (CAST ... DECIMAL(18,6)).
+    "w_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN LAG(ts, 1) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, event_id, value,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                   AS duration_us,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_idx
+    """,
     "w_range_interval": """
         SELECT event_type, event_id,
                COUNT(*) OVER w AS n_2d,

@@ -244,6 +244,7 @@ _BNLJ_OK = {
     "j_theta",
     # Corpus-total N rides along as a 1-row broadcast cross join.
     "t_unigram_logprob",
+    "t_tfidf",
 }
 # Queries ALLOWED to cross into Python row-at-a-time (pickled): the two
 # deliberate slow-path demos.
@@ -273,6 +274,21 @@ def test_sequence_packing_has_no_single_partition_exchange(spark, sf_dir):
     for s in specs:
         assert "pid" in s, s
     assert "Exchange SinglePartition" not in text, text
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """w_sessionize's scale contract: ONE shuffle on user_id serves the lag
+    flag, the running session counter, AND the per-session aggregate --
+    hash(user_id) satisfies the (user_id, session_idx) grouping, so Catalyst
+    must plan no second exchange (and no SinglePartition window)."""
+    import re
+
+    text = plans.plan_string(_Q["w_sessionize"](spark, sf_dir))
+    # Count numbered node headers, not raw substrings -- the formatted plan
+    # names each node twice (tree + detail section).
+    exchanges = re.findall(r"\(\d+\) Exchange", text)
+    assert len(exchanges) == 1, text
+    assert "SinglePartition" not in text, text
 
 
 def test_rank_topk_gets_window_group_limit_pushdown(spark, sf_dir):

@@ -400,3 +400,33 @@ def test_fixture_has_no_zero_norm_embeddings(spark, sf_dir):
         F.array_max(F.transform("embedding", lambda x: F.abs(x))) == 0
     ).count()
     assert n_zero == 0
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of EXACTLY the session gap stays in-session (strict >); one
+    microsecond more splits. Also: sessions never merge across users, and
+    session_idx restarts at 1 per user."""
+    import datetime as dt
+
+    from delta_lake_stock_pipeline_spark.operators.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    gap_us = 1_800_000_000  # 30 min
+    rows = [
+        # user 1: exact-boundary gap (stays), then boundary + 1 us (splits)
+        (1, t0, 10, 1.0),
+        (1, t0 + dt.timedelta(microseconds=gap_us), 11, 2.0),
+        (1, t0 + dt.timedelta(microseconds=2 * gap_us + 1), 12, 4.0),
+        # user 2: single event, far in the future of user 1's stream
+        (2, t0 + dt.timedelta(days=30), 20, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_us, r.sum_value)
+        for r in sessionize(df, gap_us).collect()
+    }
+    assert got == {
+        (1, 1): (2, gap_us, 3.0),
+        (1, 2): (1, 0, 4.0),
+        (2, 1): (1, 0, 8.0),
+    }
