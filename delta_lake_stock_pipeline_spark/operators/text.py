@@ -371,6 +371,74 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): word 4-gram
+# hashes, window 5 -- the guarantee is that any shared run of
+# k + w - 1 = 8 words leaves at least one shared fingerprint.
+_WINNOW_K = 4
+_WINNOW_W = 5
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints per document: hash every word
+    4-gram, slide a 5-hash window, keep each window's minimum -- the
+    classic local fingerprint whose guarantee (any 8-word shared run
+    shares a fingerprint) underlies plagiarism/near-dup index builds.
+
+    Unlike the contamination/dedup posting tables (xxhash64, values never
+    compared cross-engine), the fingerprint VALUES here are the output, so
+    the gram hash is the repo's engine-portable md5 idiom (first 15 hex
+    chars -> 60-bit bigint, ``reshape.hash_split_columns``'s trick); the
+    per-doc checksum of the distinct-fingerprint set is an exact integer
+    sum, so the oracle pins the full fingerprint SET, not just counts.
+
+    Scale shape: pure per-row higher-order functions inside whole-stage
+    codegen -- ZERO shuffles, no joins; the map-only index-build pass a
+    100 TB fingerprinting job wants. (Pair finding over the emitted
+    fingerprints is the separate inverted-index shape already implemented
+    by ``d_span_dedup``.)"""
+    return (
+        winnow_windows(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("fps").cast("bigint").alias("n_windows"),
+            F.size(F.array_distinct("fps")).cast("bigint").alias("n_fp"),
+            F.expr("array_min(fps)").cast("bigint").alias("fp_min"),
+            F.expr(
+                "aggregate(array_distinct(fps), 0L,"
+                " (acc, x) -> acc + x % 1000000007)"
+            )
+            .cast("bigint")
+            .alias("fp_checksum"),
+        )
+    )
+
+
+def winnow_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, fps) -- the raw per-window minimum-hash stream
+    (pre-distinct). Exposed so the guarantee test can intersect two
+    documents' fingerprint SETS directly."""
+    k, w = _WINNOW_K, _WINNOW_W
+    toks = "filter(split(lower(text), ' '), x -> x <> '')"
+    hashes = (
+        f"case when size({toks}) < {k} then array()"
+        f" else transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> cast(conv(substr(md5(array_join(slice({toks}, i, {k}), ' ')),"
+        f" 1, 15), 16, 10) as bigint)) end"
+    )
+    fps = (
+        f"case when size(h) = 0 then array()"
+        f" when size(h) < {w} then array(array_min(h))"
+        f" else transform(sequence(1, size(h) - {w - 1}),"
+        f" i -> array_min(slice(h, i, {w}))) end"
+    )
+    return docs.select("doc_id", F.expr(hashes).alias("h")).select(
+        "doc_id",
+        F.size("h").cast("bigint").alias("n_grams"),
+        F.expr(fps).alias("fps"),
+    )
+
+
 QUERIES = {
     "t_token_count": token_count,
     "t_repetition": repetition_stats,
@@ -383,6 +451,7 @@ QUERIES = {
     "t_bigram_frequency": bigram_frequency,
     "t_unigram_logprob": unigram_logprob,
     "t_tfidf": tfidf_top_terms,
+    "t_winnow": winnow_fingerprint,
 }
 
 _MARKER_SQL = {
@@ -523,6 +592,44 @@ ORACLES = {
     # aggregate an exact LONG sum; ln is correctly-rounded libm on both
     # engines, and the single final divide+round is the identical
     # expression -- see unigram_logprob's determinism note.
+    # The md5-conv gram hash is bit-identical on both engines, so the
+    # checksum pins the full distinct-fingerprint SET per document.
+    "t_winnow": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS tk
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) < 4 THEN []::BIGINT[]
+                        ELSE list_transform(
+                            range(1, len(tk) - 3 + 1),
+                            i -> CAST('0x' || substr(
+                                     md5(array_to_string(tk[i:i+3], ' ')),
+                                     1, 15) AS BIGINT))
+                   END AS hs
+            FROM toks
+        ), f AS (
+            SELECT doc_id,
+                   CAST(len(hs) AS BIGINT) AS n_grams,
+                   CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                        WHEN len(hs) < 5 THEN [list_min(hs)]
+                        ELSE list_transform(
+                            range(1, len(hs) - 4 + 1),
+                            i -> list_min(hs[i:i+4]))
+                   END AS fps
+            FROM h
+        )
+        SELECT doc_id, n_grams,
+               CAST(len(fps) AS BIGINT) AS n_windows,
+               CAST(len(list_distinct(fps)) AS BIGINT) AS n_fp,
+               CAST(list_min(fps) AS BIGINT) AS fp_min,
+               CAST(coalesce(list_sum(list_transform(list_distinct(fps),
+                                                     x -> x % 1000000007)),
+                             0) AS BIGINT) AS fp_checksum
+        FROM f
+    """,
     # Mirrors the engine exactly: one floor(ln(N/df)*1e6) per word, exact
     # LONG tf*idf_q scoring, (score desc, doc_id, w) deterministic order.
     "t_tfidf": """

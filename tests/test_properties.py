@@ -430,3 +430,27 @@ def test_sessionize_gap_boundary(spark):
         (1, 2): (1, 0, 4.0),
         (2, 1): (1, 0, 8.0),
     }
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al.): two documents sharing a
+    run of >= k + w - 1 = 8 words must share at least one fingerprint.
+    Also: a doc with no 8-word overlap shares none (here, by construction
+    with disjoint vocabularies)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_stock_pipeline_spark.operators.text import winnow_windows
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "unrelated words entirely different vocabulary here okay fine sure yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in winnow_windows(df).select("doc_id", "fps").collect()
+    }
+    assert sets[1] & sets[2], "8-word shared run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
