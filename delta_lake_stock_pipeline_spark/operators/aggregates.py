@@ -333,6 +333,83 @@ def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# Theta-sketch nominal entries: 2^15 keeps the sketch in exact mode below
+# ~32k distincts, so the anchor booleans are DETERMINISTIC at every test
+# scale; at production cardinality the sketch estimates with RSE
+# ~1/sqrt(2^15) ≈ 0.55%, comfortably inside the anchor's 2% tolerance.
+_THETA_LGK = 15
+
+
+def theta_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed theta-sketch SET ALGEBRA (DataSketches via Spark
+    4.1 ``theta_*``): distinct customers with completed ('F') vs pending
+    ('P') orders, and the sketch-estimated union / intersection /
+    difference of the two audiences against exact recomputation.
+
+    Why theta and not HLL: HLL sketches union only; theta sketches
+    support intersection and difference -- the audience-overlap query
+    ("how many users did both X and Y") that at 100 TB is answered from
+    two STORED per-segment sketches in microseconds instead of a
+    re-scan + semi-join of the raw events. Both sketch sides here build
+    in ONE conditional pass over the filtered table (map-side partial
+    sketch merge, one scalar-only shuffle); the exact side is the
+    one-shuffle flag rollup. The two 1-row results meet in a broadcast
+    cross join (allowlisted BNLJ, the scalar-carrier pattern).
+
+    Oracle emits the exact counts plus literal TRUE for each tolerance
+    boolean -- a broken sketch (bad merge, bad intersection math) flips
+    an engine-side boolean and the driver row goes red."""
+    both = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "P")
+    )
+    sk = both.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey")),
+            _THETA_LGK,
+        ).alias("sk_f"),
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "P", F.col("o_custkey")),
+            _THETA_LGK,
+        ).alias("sk_p"),
+    )
+    flags = both.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderstatus") == "F").cast("int")).alias("in_f"),
+        F.max((F.col("o_orderstatus") == "P").cast("int")).alias("in_p"),
+    )
+    exact = flags.agg(
+        F.sum("in_f").cast("bigint").alias("n_f"),
+        F.sum("in_p").cast("bigint").alias("n_p"),
+        F.count("*").cast("bigint").alias("n_union"),
+        F.sum(F.col("in_f") * F.col("in_p")).cast("bigint").alias("n_both"),
+        F.sum(F.col("in_f") * (1 - F.col("in_p")))
+        .cast("bigint")
+        .alias("n_f_only"),
+    )
+
+    def _ok(est: F.Column, ex: str) -> F.Column:
+        tol = F.greatest(F.lit(2.0), F.lit(0.02) * F.col(ex))
+        return (F.abs(est.cast("double") - F.col(ex)) <= tol).alias(f"{ex}_ok")
+
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_f",
+        "n_p",
+        "n_union",
+        "n_both",
+        "n_f_only",
+        _ok(F.theta_sketch_estimate("sk_f"), "n_f"),
+        _ok(F.theta_sketch_estimate("sk_p"), "n_p"),
+        _ok(F.theta_sketch_estimate(F.theta_union("sk_f", "sk_p")), "n_union"),
+        _ok(
+            F.theta_sketch_estimate(F.theta_intersection("sk_f", "sk_p")),
+            "n_both",
+        ),
+        _ok(
+            F.theta_sketch_estimate(F.theta_difference("sk_f", "sk_p")),
+            "n_f_only",
+        ),
+    )
+
+
 def percentile_approx_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-witnessed sketch-percentile guarantee: per return flag, the
     EXACT interpolated p50/p90 (oracled via quantile_cont) plus booleans
@@ -471,6 +548,7 @@ QUERIES = {
     "x_percentile": percentile_agg,
     "x_percentile_approx": percentile_approx_agg,
     "x_hll_anchor": hll_anchor,
+    "x_theta_anchor": theta_anchor,
     "x_percentile_approx_anchor": percentile_approx_anchor,
     "x_stats_moments": stats_moments,
 }
@@ -570,6 +648,29 @@ ORACLES = {
                COUNT(DISTINCT user_id) AS n_users_exact,
                TRUE AS est_within_tol
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "x_theta_anchor": """
+        WITH flags AS (
+            SELECT o_custkey,
+                   MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                       AS in_f,
+                   MAX(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                       AS in_p
+            FROM orders
+            WHERE o_orderstatus IN ('F', 'P')
+            GROUP BY o_custkey
+        )
+        SELECT CAST(SUM(in_f) AS BIGINT) AS n_f,
+               CAST(SUM(in_p) AS BIGINT) AS n_p,
+               CAST(COUNT(*) AS BIGINT) AS n_union,
+               CAST(SUM(in_f * in_p) AS BIGINT) AS n_both,
+               CAST(SUM(in_f * (1 - in_p)) AS BIGINT) AS n_f_only,
+               TRUE AS n_f_ok,
+               TRUE AS n_p_ok,
+               TRUE AS n_union_ok,
+               TRUE AS n_both_ok,
+               TRUE AS n_f_only_ok
+        FROM flags
     """,
     "x_percentile_approx_anchor": """
         SELECT l_returnflag,

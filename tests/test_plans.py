@@ -245,6 +245,9 @@ _BNLJ_OK = {
     # Corpus-total N rides along as a 1-row broadcast cross join.
     "t_unigram_logprob",
     "t_tfidf",
+    # Two 1-row scalar aggregates (exact counts x sketches) meet in a
+    # broadcast cross join.
+    "x_theta_anchor",
 }
 # Queries ALLOWED to cross into Python row-at-a-time (pickled): the two
 # deliberate slow-path demos.

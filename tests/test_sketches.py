@@ -67,3 +67,59 @@ def test_minhash_lsh_sound_and_recalls_high_jaccard_pairs(spark, sf_dir):
     assert lsh <= set(exact), f"unsound LSH pairs: {lsh - set(exact)}"
     high = {p for p, j in exact.items() if j >= 0.8}
     assert high <= lsh, f"missed high-similarity pairs: {high - lsh}"
+
+
+def test_theta_set_algebra_matches_exact_and_merges(spark):
+    """Theta-sketch set algebra on the order-status audiences: (a) sharded
+    partials merged with theta_union_agg estimate the same as one-pass
+    sketches; (b) union/intersection/difference estimates sit within the
+    2% anchor tolerance of exact recomputation (exact mode at this
+    cardinality with lgK=15, but assert only the documented tolerance)."""
+    from delta_lake_stock_pipeline_spark.operators.aggregates import _THETA_LGK
+
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderstatus").isin("F", "P")
+    )
+
+    def conditional_sketch(status):
+        return F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == status, F.col("o_custkey")),
+            _THETA_LGK,
+        )
+
+    # Sharded build: per-shard partial sketches, merged with theta_union_agg.
+    partials = orders.withColumn(
+        "shard", (F.col("o_orderkey") % 4).cast("int")
+    ).groupBy("shard").agg(
+        conditional_sketch("F").alias("sk_f"), conditional_sketch("P").alias("sk_p")
+    )
+    merged = partials.agg(
+        F.theta_union_agg("sk_f", _THETA_LGK).alias("sk_f"),
+        F.theta_union_agg("sk_p", _THETA_LGK).alias("sk_p"),
+    )
+    ests = merged.select(
+        F.theta_sketch_estimate(F.theta_union("sk_f", "sk_p")).alias("e_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_f", "sk_p")).alias(
+            "e_inter"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sk_f", "sk_p")).alias(
+            "e_diff"
+        ),
+    ).collect()[0]
+
+    flags = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderstatus") == "F").cast("int")).alias("in_f"),
+        F.max((F.col("o_orderstatus") == "P").cast("int")).alias("in_p"),
+    )
+    ex = flags.agg(
+        F.count("*").alias("n_union"),
+        F.sum(F.col("in_f") * F.col("in_p")).alias("n_both"),
+        F.sum(F.col("in_f") * (1 - F.col("in_p"))).alias("n_f_only"),
+    ).collect()[0]
+
+    for est, exact in (
+        (ests["e_union"], ex["n_union"]),
+        (ests["e_inter"], ex["n_both"]),
+        (ests["e_diff"], ex["n_f_only"]),
+    ):
+        assert abs(est - exact) <= max(2, 0.02 * exact), (est, exact)
