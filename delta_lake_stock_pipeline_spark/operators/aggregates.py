@@ -335,8 +335,13 @@ def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Theta-sketch nominal entries: 2^15 keeps the sketch in exact mode below
 # ~32k distincts, so the anchor booleans are DETERMINISTIC at every test
-# scale; at production cardinality the sketch estimates with RSE
-# ~1/sqrt(2^15) ≈ 0.55%, comfortably inside the anchor's 2% tolerance.
+# scale. At production cardinality the single-sketch and union estimates
+# carry RSE ~1/sqrt(2^15) ≈ 0.55% of their own value, but INTERSECTION and
+# DIFFERENCE estimate errors scale with the UNION size (the retained-sample
+# space both operands share), not the result size -- a small difference of
+# two large audiences has error ~sqrt(|result|·(1-θ)/θ), which can dwarf 2%
+# of the result. The anchor therefore tolerances ∩ and \ against 2% of the
+# union, the quantity their error actually tracks.
 _THETA_LGK = 15
 
 
@@ -386,8 +391,10 @@ def theta_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_f_only"),
     )
 
-    def _ok(est: F.Column, ex: str) -> F.Column:
-        tol = F.greatest(F.lit(2.0), F.lit(0.02) * F.col(ex))
+    def _ok(est: F.Column, ex: str, scale: str = None) -> F.Column:
+        # Tolerance scales with `scale` (defaults to the compared quantity);
+        # intersection/difference pass the union -- see _THETA_LGK note.
+        tol = F.greatest(F.lit(2.0), F.lit(0.02) * F.col(scale or ex))
         return (F.abs(est.cast("double") - F.col(ex)) <= tol).alias(f"{ex}_ok")
 
     return exact.crossJoin(F.broadcast(sk)).select(
@@ -402,10 +409,12 @@ def theta_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ok(
             F.theta_sketch_estimate(F.theta_intersection("sk_f", "sk_p")),
             "n_both",
+            scale="n_union",
         ),
         _ok(
             F.theta_sketch_estimate(F.theta_difference("sk_f", "sk_p")),
             "n_f_only",
+            scale="n_union",
         ),
     )
 

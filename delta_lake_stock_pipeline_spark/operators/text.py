@@ -398,16 +398,23 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ``d_span_dedup``.)"""
     return (
         winnow_windows(load_table(spark, sf_dir, "documents"))
+        # array_distinct is staged once (same reason the token array is
+        # staged in winnow_windows: no common-subexpression elimination
+        # across interpreted HOF calls).
         .select(
             "doc_id",
             "n_grams",
             F.size("fps").cast("bigint").alias("n_windows"),
-            F.size(F.array_distinct("fps")).cast("bigint").alias("n_fp"),
             F.expr("array_min(fps)").cast("bigint").alias("fp_min"),
-            F.expr(
-                "aggregate(array_distinct(fps), 0L,"
-                " (acc, x) -> acc + x % 1000000007)"
-            )
+            F.array_distinct("fps").alias("fps_d"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_windows",
+            F.size("fps_d").cast("bigint").alias("n_fp"),
+            "fp_min",
+            F.expr("aggregate(fps_d, 0L, (acc, x) -> acc + x % 1000000007)")
             .cast("bigint")
             .alias("fp_checksum"),
         )
@@ -419,11 +426,15 @@ def winnow_windows(docs: DataFrame) -> DataFrame:
     (pre-distinct). Exposed so the guarantee test can intersect two
     documents' fingerprint SETS directly."""
     k, w = _WINNOW_K, _WINNOW_W
-    toks = "filter(split(lower(text), ' '), x -> x <> '')"
+    # The token array is STAGED as a column before the gram transform:
+    # higher-order functions are CodegenFallback with no loop-invariant
+    # hoisting, so inlining the tokenize expression inside the lambda
+    # re-tokenizes the document once per gram index (O(L^2)) -- measured
+    # ~3x slower on the sf0.1 documents table, identical output.
     hashes = (
-        f"case when size({toks}) < {k} then array()"
-        f" else transform(sequence(1, size({toks}) - {k - 1}),"
-        f" i -> cast(conv(substr(md5(array_join(slice({toks}, i, {k}), ' ')),"
+        f"case when size(tk) < {k} then array()"
+        f" else transform(sequence(1, size(tk) - {k - 1}),"
+        f" i -> cast(conv(substr(md5(array_join(slice(tk, i, {k}), ' ')),"
         f" 1, 15), 16, 10) as bigint)) end"
     )
     fps = (
@@ -432,10 +443,17 @@ def winnow_windows(docs: DataFrame) -> DataFrame:
         f" else transform(sequence(1, size(h) - {w - 1}),"
         f" i -> array_min(slice(h, i, {w}))) end"
     )
-    return docs.select("doc_id", F.expr(hashes).alias("h")).select(
-        "doc_id",
-        F.size("h").cast("bigint").alias("n_grams"),
-        F.expr(fps).alias("fps"),
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("tk"),
+        )
+        .select("doc_id", F.expr(hashes).alias("h"))
+        .select(
+            "doc_id",
+            F.size("h").cast("bigint").alias("n_grams"),
+            F.expr(fps).alias("fps"),
+        )
     )
 
 

@@ -117,9 +117,12 @@ def test_theta_set_algebra_matches_exact_and_merges(spark):
         F.sum(F.col("in_f") * (1 - F.col("in_p"))).alias("n_f_only"),
     ).collect()[0]
 
-    for est, exact in (
-        (ests["e_union"], ex["n_union"]),
-        (ests["e_inter"], ex["n_both"]),
-        (ests["e_diff"], ex["n_f_only"]),
+    # Intersection/difference tolerance scales with the UNION (their error
+    # tracks the shared retained-sample space, not the result size) -- the
+    # same rule the x_theta_anchor booleans use.
+    for est, exact, scale in (
+        (ests["e_union"], ex["n_union"], ex["n_union"]),
+        (ests["e_inter"], ex["n_both"], ex["n_union"]),
+        (ests["e_diff"], ex["n_f_only"], ex["n_union"]),
     ):
-        assert abs(est - exact) <= max(2, 0.02 * exact), (est, exact)
+        assert abs(est - exact) <= max(2, 0.02 * scale), (est, exact)
