@@ -419,6 +419,64 @@ def theta_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kll_rollup_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed MERGEABLE-QUANTILE rollup (DataSketches KLL via
+    Spark 4.1 ``kll_sketch_*``): one KLL sketch per DAY over event values
+    -- the storable daily-rollup artifact, the quantile twin of
+    ``x_hll_sketch``'s distinct-count story -- folded across the full
+    range and queried for p50/p90.
+
+    Spark 4.1 ships no KLL merge AGGREGATE (``kll_sketch_merge_double``
+    is a two-sketch scalar), so the fold is ``aggregate()`` over the
+    collected per-day sketch list -- bounded at one ~KB sketch per day
+    (the partition-cardinality-bounded metadata stance, cf.
+    ``storage/table.py`` partition-key collects), never per-row data.
+
+    The anchor tolerance lives in RANK space, where the KLL guarantee is
+    stated: the empirical rank of each sketch-estimated quantile must sit
+    within 0.04 of the target rank (k=200 gives ~1.65% rank error at 99%
+    confidence; 0.04 is ~2.4x that, so the boolean is stable across the
+    sketch's internal randomization but flips on any real defect in the
+    sketch build, the scalar merge, or the fold). Oracle recomputes the
+    exact interpolated percentiles and emits literal TRUEs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("day").agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("sk")
+    )
+    merged = (
+        daily.agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.expr(
+                "aggregate(slice(sks, 2, size(sks)), element_at(sks, 1),"
+                " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ).alias("ska")
+        )
+        .select(
+            F.kll_sketch_get_quantile_double("ska", F.lit(0.5)).alias("p50k"),
+            F.kll_sketch_get_quantile_double("ska", F.lit(0.9)).alias("p90k"),
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(merged))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+            F.avg((F.col("value") <= F.col("p50k")).cast("int")).alias("r50"),
+            F.avg((F.col("value") <= F.col("p90k")).cast("int")).alias("r90"),
+        )
+        .select(
+            "n_events",
+            "p50_exact",
+            "p90_exact",
+            (F.abs(F.col("r50") - 0.5) <= 0.04).alias("r50_ok"),
+            (F.abs(F.col("r90") - 0.9) <= 0.04).alias("r90_ok"),
+        )
+    )
+
+
 def percentile_approx_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-witnessed sketch-percentile guarantee: per return flag, the
     EXACT interpolated p50/p90 (oracled via quantile_cont) plus booleans
@@ -558,6 +616,7 @@ QUERIES = {
     "x_percentile_approx": percentile_approx_agg,
     "x_hll_anchor": hll_anchor,
     "x_theta_anchor": theta_anchor,
+    "x_kll_anchor": kll_rollup_anchor,
     "x_percentile_approx_anchor": percentile_approx_anchor,
     "x_stats_moments": stats_moments,
 }
@@ -657,6 +716,14 @@ ORACLES = {
                COUNT(DISTINCT user_id) AS n_users_exact,
                TRUE AS est_within_tol
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "x_kll_anchor": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+               TRUE AS r50_ok,
+               TRUE AS r90_ok
+        FROM events
     """,
     "x_theta_anchor": """
         WITH flags AS (

@@ -248,6 +248,9 @@ _BNLJ_OK = {
     # Two 1-row scalar aggregates (exact counts x sketches) meet in a
     # broadcast cross join.
     "x_theta_anchor",
+    # The 1-row merged-KLL quantile estimates ride along the exact/rank
+    # scan as a broadcast cross join.
+    "x_kll_anchor",
 }
 # Queries ALLOWED to cross into Python row-at-a-time (pickled): the two
 # deliberate slow-path demos.

@@ -126,3 +126,36 @@ def test_theta_set_algebra_matches_exact_and_merges(spark):
         (ests["e_diff"], ex["n_f_only"], ex["n_union"]),
     ):
         assert abs(est - exact) <= max(2, 0.02 * scale), (est, exact)
+
+
+def test_kll_merge_of_daily_partials_tracks_whole(spark):
+    """The daily-rollup KLL algebra: quantiles from per-day sketches folded
+    with the scalar merge must track both the one-shot sketch and the exact
+    quantiles within the rank tolerance the x_kll_anchor pins (0.04)."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    whole = ev.agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("ska"))
+    merged = (
+        ev.groupBy("day")
+        .agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.expr(
+                "aggregate(slice(sks, 2, size(sks)), element_at(sks, 1),"
+                " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ).alias("ska")
+        )
+    )
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+
+    def rank(v):
+        return sum(1 for x in vals if x <= v) / len(vals)
+
+    for sk_df in (whole, merged):
+        est = sk_df.select(
+            F.kll_sketch_get_quantile_double("ska", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("ska", F.lit(0.9)).alias("p90"),
+        ).collect()[0]
+        assert abs(rank(est["p50"]) - 0.5) <= 0.04, est
+        assert abs(rank(est["p90"]) - 0.9) <= 0.04, est
