@@ -16,7 +16,7 @@ engine-specific => rows-only check, anchored by their deterministic twin).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
@@ -152,8 +152,38 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k-per-group sample: exactly 5 documents per
+    source, chosen by md5 rank of the doc id -- the reproducible
+    "k examples per domain" primitive (inspection samples, per-domain eval
+    slices, balanced few-shot pools). Unlike the seeded-RNG samplers above
+    it is engine-portable, so MEMBERSHIP is exactly oracle-checked, and
+    unlike a rate sampler it yields exactly k per group regardless of
+    group size.
+
+    Scale shape: the ``rn <= k`` filter triggers Catalyst's
+    ``WindowGroupLimit`` pushdown (plan-gated, same as ``w_rank``): each
+    map task keeps only its local bottom-k per source before the shuffle,
+    so the exchange carries <= k x sources x tasks rows -- no full sort,
+    no full-group materialization, at any corpus size."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
 QUERIES = {
     "r_pivot": pivot_wide,
+    "r_sample_bottomk": sample_bottomk,
     "r_hash_split": hash_split,
     "r_unpivot": unpivot_long,
     "r_sample_systematic": sample_systematic,
@@ -162,6 +192,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "r_sample_bottomk": """
+        SELECT * FROM (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 5
+    """,
     "r_hash_split": """
         SELECT CASE WHEN b < 80 THEN 'train'
                     WHEN b < 90 THEN 'validation'

@@ -306,6 +306,13 @@ def test_rank_topk_gets_window_group_limit_pushdown(spark, sf_dir):
     assert "WindowGroupLimit" in text, text
 
 
+def test_bottomk_sample_gets_window_group_limit_pushdown(spark, sf_dir):
+    """r_sample_bottomk's `rn <= 5` must likewise map-side-prune to the
+    local bottom-5 per source before the shuffle."""
+    text = plans.plan_string(_Q["r_sample_bottomk"](spark, sf_dir))
+    assert "WindowGroupLimit" in text, text
+
+
 def test_moving_avg_hybrid_small_path_is_plain_window(spark, sf_dir):
     """At fixture scale every type's history is far below the per-task
     budget, so the round-4 hybrid must take the plain type-partitioned
