@@ -419,6 +419,17 @@ def theta_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ONE definition of the KLL sketch-list fold (Spark 4.1 exposes only a
+# two-sketch scalar merge, no merge aggregate): first element seeds the
+# accumulator, the rest fold in via kll_sketch_merge_double. Shared by
+# kll_rollup_anchor and the mergeability unit test so the test always
+# exercises the operator's actual algebra.
+KLL_FOLD_EXPR = (
+    "aggregate(slice(sks, 2, size(sks)), element_at(sks, 1),"
+    " (acc, x) -> kll_sketch_merge_double(acc, x))"
+)
+
+
 def kll_rollup_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-witnessed MERGEABLE-QUANTILE rollup (DataSketches KLL via
     Spark 4.1 ``kll_sketch_*``): one KLL sketch per DAY over event values
@@ -447,12 +458,7 @@ def kll_rollup_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = (
         daily.agg(F.collect_list("sk").alias("sks"))
-        .select(
-            F.expr(
-                "aggregate(slice(sks, 2, size(sks)), element_at(sks, 1),"
-                " (acc, x) -> kll_sketch_merge_double(acc, x))"
-            ).alias("ska")
-        )
+        .select(F.expr(KLL_FOLD_EXPR).alias("ska"))
         .select(
             F.kll_sketch_get_quantile_double("ska", F.lit(0.5)).alias("p50k"),
             F.kll_sketch_get_quantile_double("ska", F.lit(0.9)).alias("p90k"),

@@ -132,6 +132,10 @@ def test_kll_merge_of_daily_partials_tracks_whole(spark):
     """The daily-rollup KLL algebra: quantiles from per-day sketches folded
     with the scalar merge must track both the one-shot sketch and the exact
     quantiles within the rank tolerance the x_kll_anchor pins (0.04)."""
+    from delta_lake_stock_pipeline_spark.operators.aggregates import (
+        KLL_FOLD_EXPR,
+    )
+
     ev = load_table(spark, SF_DIR, "events").select(
         F.to_date("ts").alias("day"), "value"
     )
@@ -140,12 +144,7 @@ def test_kll_merge_of_daily_partials_tracks_whole(spark):
         ev.groupBy("day")
         .agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
         .agg(F.collect_list("sk").alias("sks"))
-        .select(
-            F.expr(
-                "aggregate(slice(sks, 2, size(sks)), element_at(sks, 1),"
-                " (acc, x) -> kll_sketch_merge_double(acc, x))"
-            ).alias("ska")
-        )
+        .select(F.expr(KLL_FOLD_EXPR).alias("ska"))
     )
     vals = sorted(r["value"] for r in ev.select("value").collect())
 

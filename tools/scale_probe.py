@@ -10,10 +10,10 @@ stop.
     PYTHONPATH=/root/repo python tools/scale_probe.py            # full sweep
     PYTHONPATH=/root/repo python tools/scale_probe.py --quick    # smallest size only
 
-Synthesis is deterministic (xxhash64-keyed), zipf-ish for tokens (20% of
-draws from a 50-word head, the rest over a 1950-word tail) so the text
-operators see a realistic frequency skew. Events average ~20 per user so
-sessionization has real per-user streams.
+Synthesis is deterministic (xxhash64-keyed), zipf-ish for tokens (40% of
+draws from a 50-word head — residues 0-1 of 5 — the rest over a 1950-word
+tail) so the text operators see a realistic frequency skew. Events average
+~20 per user so sessionization has real per-user streams.
 """
 
 from __future__ import annotations
@@ -128,29 +128,32 @@ def main() -> None:
     doc_sizes = DOC_SIZES[:1] if quick else DOC_SIZES
 
     results: dict[str, list[tuple[int, float]]] = {}
-    for n in event_sizes:
-        d = f"{BASE}/events_{n}"
-        synth_events(spark, n, f"{d}/events.parquet")
-        for k in event_keys:
-            sec = time_query(q[k], spark, d)
-            results.setdefault(k, []).append((n, sec))
-            print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
-    for n in doc_sizes:
-        d = f"{BASE}/docs_{n}"
-        synth_documents(spark, n, f"{d}/documents.parquet")
-        for k in doc_keys:
-            sec = time_query(q[k], spark, d)
-            results.setdefault(k, []).append((n, sec))
-            print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
+    try:
+        for n in event_sizes:
+            d = f"{BASE}/events_{n}"
+            synth_events(spark, n, f"{d}/events.parquet")
+            for k in event_keys:
+                sec = time_query(q[k], spark, d)
+                results.setdefault(k, []).append((n, sec))
+                print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+        for n in doc_sizes:
+            d = f"{BASE}/docs_{n}"
+            synth_documents(spark, n, f"{d}/documents.parquet")
+            for k in doc_keys:
+                sec = time_query(q[k], spark, d)
+                results.setdefault(k, []).append((n, sec))
+                print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
 
-    print("\nGrowth ratios (time ratio per size step):")
-    for k, rows in results.items():
-        parts = []
-        for (n0, t0), (n1, t1) in zip(rows, rows[1:]):
-            parts.append(f"{n1 // n0}x rows -> {t1 / t0:.2f}x time")
-        print(f"{k:>20}  " + ("; ".join(parts) or "(single size)"))
-
-    shutil.rmtree(BASE, ignore_errors=True)
+        print("\nGrowth ratios (time ratio per size step):")
+        for k, rows in results.items():
+            parts = []
+            for (n0, t0), (n1, t1) in zip(rows, rows[1:]):
+                parts.append(f"{n1 // n0}x rows -> {t1 / t0:.2f}x time")
+            print(f"{k:>20}  " + ("; ".join(parts) or "(single size)"))
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
 
 
 if __name__ == "__main__":

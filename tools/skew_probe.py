@@ -111,13 +111,11 @@ def main() -> None:
         results[label] = best
         print(f"{label:>22}  {best:6.2f}s", flush=True)
 
-    print(
-        "\nhot-key share: 50% of",
-        n,
-        "rows; salted spreads it over",
-        SALT,
-        "tasks",
-    )
+    base = results["smj_aqe_skew_off"]
+    print(f"\nhot-key share: 50% of {n:,} rows; salted spreads it over {SALT} tasks")
+    for label, sec in results.items():
+        if label != "smj_aqe_skew_off":
+            print(f"{label:>22}  {base / sec:4.2f}x vs straggler baseline")
 
 
 if __name__ == "__main__":
