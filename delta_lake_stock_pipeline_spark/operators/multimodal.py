@@ -170,6 +170,79 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_RESIZE_TO = 16
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize to 16x16 inside ``mapInPandas``:
+    decode the PGM container, index-map the pixel grid
+    (``src = floor(dst * src_dim / 16)``), re-encode the thumbnail as a
+    fresh P5 payload -- the decode -> transform -> re-encode loop of a
+    multimodal preprocessing stage, Arrow-batched end to end.
+
+    The md5 of the re-encoded payload is computed JVM-side over the
+    binary column and the oracle recomputes THE SAME 256 sampled bytes
+    from first principles (header math + floor index map in SQL), so a
+    green row pins the exact thumbnail bytes, not just summary stats.
+
+    Scale shape: map-only (one Arrow boundary, no shuffle); at 100 TB
+    this is the shape of every thumbnail/feature-extraction pass --
+    embarrassingly parallel, bounded memory per batch."""
+    media = _pgm_table(spark, sf_dir).select("doc_id", "payload")
+    t = _RESIZE_TO
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = _parse_pgm(bytes(buf))
+                plane = pix.reshape(h, w)
+                ys = (np.arange(t) * h) // t
+                xs = (np.arange(t) * w) // t
+                small = plane[np.ix_(ys, xs)].astype(np.uint8)
+                payload = (
+                    f"P5\n{t} {t}\n255\n".encode("ascii") + small.tobytes()
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        int(small.sum(dtype="int64")),
+                        int(small.max()),
+                        payload,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "resized_sum",
+                    "resized_max",
+                    "resized",
+                ],
+            )
+
+    return (
+        media.mapInPandas(
+            resize_batches,
+            "doc_id bigint, width int, height int, resized_sum bigint,"
+            " resized_max int, resized binary",
+        )
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "resized_sum",
+            "resized_max",
+            F.md5("resized").alias("resized_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling plumbing: synthesize duration from metadata,
     fan out one row per sampled frame via ``explode(sequence(...))``.
@@ -225,11 +298,57 @@ def audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "m_binary_metadata": binary_metadata,
     "m_image_features": image_features,
+    "m_image_resize": image_resize,
     "m_frame_sample": frame_sample,
     "m_audio_chunks": audio_chunks,
 }
 
 ORACLES = {
+    # Recomputes the exact 256 thumbnail bytes from first principles: the
+    # same header math as m_image_features, then the floor index map
+    # pos = (i*height//16)*width + (j*width_idx) over the padded plane
+    # (positions past the body are the pad byte 32). md5 over the
+    # re-assembled ASCII payload equals Spark's md5 over the binary
+    # payload because the fixture text is ASCII (same assumption the
+    # m_image_features oracle documents).
+    "m_image_resize": """
+        WITH meta AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n,
+                   octet_length(encode(text)) % 64 + 1 AS width,
+                   (octet_length(encode(text)) // 64) % 64 + 1 AS height
+            FROM documents
+        ), geo AS (
+            SELECT doc_id, n, width, height,
+                   substring(text, 1, LEAST(n, width * height)) AS body
+            FROM meta
+        ), px AS (
+            SELECT doc_id, width, height,
+                   list_transform(list_filter(string_split_regex(body, ''),
+                                              x -> x <> ''),
+                                  x -> ord(x)) AS bytes_list
+            FROM geo
+        ), rs AS (
+            SELECT doc_id, width, height,
+                   list_transform(range(0, 256), k ->
+                       CASE WHEN ((k // 16) * height // 16) * width
+                                 + ((k % 16) * width // 16) + 1
+                                 <= len(bytes_list)
+                            THEN bytes_list[((k // 16) * height // 16) * width
+                                            + ((k % 16) * width // 16) + 1]
+                            ELSE 32 END) AS sampled
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(list_aggregate(sampled, 'sum') AS BIGINT) AS resized_sum,
+               CAST(list_aggregate(sampled, 'max') AS INTEGER) AS resized_max,
+               md5('P5' || chr(10) || '16 16' || chr(10) || '255' || chr(10)
+                   || array_to_string(list_transform(sampled, x -> chr(x)),
+                                      '')) AS resized_md5
+        FROM rs
+        ORDER BY doc_id
+    """,
     "m_binary_metadata": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
