@@ -41,3 +41,12 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
     assert df.columns, f"{name}: no columns"
     assert df.count() >= 0
+
+
+def test_driver_window_is_fully_oracled():
+    """The external driver checks only queries()[:50] in registry order;
+    every window slot must be an oracled key or it wastes a correctness
+    row (mirror of predriver_check stage 1)."""
+    window = list(_QUERIES)[:50]
+    unoracled = [k for k in window if k not in _ORACLES]
+    assert not unoracled, f"driver window contains un-oracled keys: {unoracled}"
