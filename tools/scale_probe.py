@@ -122,7 +122,13 @@ def main() -> None:
 
     q = all_queries()
     event_keys = ["a0_flagship_daily_rollup", "w_sessionize"]
-    doc_keys = ["t_tfidf", "t_winnow", "c_contamination"]
+    doc_keys = [
+        "t_tfidf",
+        "t_winnow",
+        "c_contamination",
+        "d_exact_summary",
+        "d_minhash_lsh",
+    ]
 
     event_sizes = EVENT_SIZES[:1] if quick else EVENT_SIZES
     doc_sizes = DOC_SIZES[:1] if quick else DOC_SIZES
@@ -137,13 +143,21 @@ def main() -> None:
                 results.setdefault(k, []).append((n, sec))
                 print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
             shutil.rmtree(d, ignore_errors=True)
+        from delta_lake_stock_pipeline_spark.operators import dedup
+
         for n in doc_sizes:
             d = f"{BASE}/docs_{n}"
             synth_documents(spark, n, f"{d}/documents.parquet")
             for k in doc_keys:
+                # The d-family session-caches its posting/signature tables
+                # per (session, dir); clear between timings so each run
+                # prices the full build, and between sizes so persisted
+                # blocks from a finished size don't occupy executor memory.
+                dedup.clear_posts_cache()
                 sec = time_query(q[k], spark, d)
                 results.setdefault(k, []).append((n, sec))
                 print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
+            dedup.clear_posts_cache()
             shutil.rmtree(d, ignore_errors=True)
 
         print("\nGrowth ratios (time ratio per size step):")
