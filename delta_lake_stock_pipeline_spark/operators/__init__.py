@@ -62,6 +62,11 @@ _MODULES = [
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# How many registry-order keys the external driver verifies per round.
+# The ONE definition — the pytest gate and tools/predriver_check.py both
+# import it, so the window size cannot drift between the two mirrors.
+DRIVER_WINDOW_SIZE = 50
+
 # The external driver verifies only the FIRST 50 keys of queries() in
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side

@@ -47,6 +47,8 @@ def test_driver_window_is_fully_oracled():
     """The external driver checks only queries()[:50] in registry order;
     every window slot must be an oracled key or it wastes a correctness
     row (mirror of predriver_check stage 1)."""
-    window = list(_QUERIES)[:50]
+    from delta_lake_stock_pipeline_spark.operators import DRIVER_WINDOW_SIZE
+
+    window = list(_QUERIES)[:DRIVER_WINDOW_SIZE]
     unoracled = [k for k in window if k not in _ORACLES]
     assert not unoracled, f"driver window contains un-oracled keys: {unoracled}"

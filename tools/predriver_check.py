@@ -52,11 +52,12 @@ def stage1_oracle_type_sweep() -> list[str]:
     )
 
     failures = []
-    # Driver-window sanity: the external check reads queries()[:50]; every
-    # window slot must be an oracled key or it wastes a correctness row.
+    # Driver-window sanity: every window slot must be an oracled key or it
+    # wastes a correctness row. Size imported from the one definition.
     from __spark_entry__ import queries
+    from delta_lake_stock_pipeline_spark.operators import DRIVER_WINDOW_SIZE
 
-    window = list(queries())[:50]
+    window = list(queries())[:DRIVER_WINDOW_SIZE]
     orc = oracle_sql()
     unoracled = [k for k in window if k not in orc]
     if unoracled:

@@ -98,9 +98,15 @@ def synth_documents(spark, n: int, out: str) -> None:
     )
 
 
-def time_query(fn, spark, sf_dir: str, n_runs: int = 2) -> float:
+def time_query(fn, spark, sf_dir: str, n_runs: int = 2, setup=None) -> float:
+    """Best-of-n. ``setup`` runs before EVERY timed run (not once per
+    call) so a run cannot reuse state the previous run materialized --
+    the d-family's persisted posting/signature caches would otherwise
+    make run 2 price a cached read instead of the full build."""
     best = float("inf")
     for _ in range(n_runs):
+        if setup is not None:
+            setup()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
@@ -150,11 +156,11 @@ def main() -> None:
             synth_documents(spark, n, f"{d}/documents.parquet")
             for k in doc_keys:
                 # The d-family session-caches its posting/signature tables
-                # per (session, dir); clear between timings so each run
-                # prices the full build, and between sizes so persisted
-                # blocks from a finished size don't occupy executor memory.
-                dedup.clear_posts_cache()
-                sec = time_query(q[k], spark, d)
+                # per (session, dir); clearing before EVERY timed run makes
+                # each run price the full build, and clearing after each
+                # size keeps persisted blocks from occupying executor
+                # memory once the size is done.
+                sec = time_query(q[k], spark, d, setup=dedup.clear_posts_cache)
                 results.setdefault(k, []).append((n, sec))
                 print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
             dedup.clear_posts_cache()
