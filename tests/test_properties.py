@@ -454,3 +454,63 @@ def test_winnow_shared_run_guarantee(spark):
     }
     assert sets[1] & sets[2], "8-word shared run must share a fingerprint"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+
+
+# Tiny domains force same-user ts collisions (the tiebreak path) and
+# gap-boundary hits (ts multiples of the gap land runs exactly on it).
+_sess_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=8),  # ts in gap-units of 1/2 gap
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=_sess_rows)
+@settings(**_SETTINGS)
+def test_sessionize_matches_serial_brute_force(spark, rows):
+    """sessionize == a serial per-user scan for ANY event set, including
+    duplicate timestamps (event_id tiebreak) and gaps exactly at the
+    boundary (strict >)."""
+    import datetime as dt
+
+    from delta_lake_stock_pipeline_spark.operators.windows import sessionize
+
+    gap_us = 1_000_000  # 1 s sessions; ts unit = 0.5 s so boundaries recur
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, t0 + dt.timedelta(microseconds=ts * gap_us // 2), i, float(i))
+        for i, (u, ts) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, value double"
+    )
+
+    expected = {}
+    for u in sorted({r[0] for r in data}):
+        stream = sorted(
+            ((ts, eid, v) for uu, ts, eid, v in data if uu == u),
+            key=lambda x: (x[0], x[1]),
+        )
+        idx, prev = 0, None
+        for ts, eid, v in stream:
+            if prev is None or (ts - prev).total_seconds() * 1e6 > gap_us:
+                idx += 1
+                expected[(u, idx)] = [0, ts, ts, 0.0]
+            e = expected[(u, idx)]
+            e[0] += 1
+            e[2] = ts
+            e[3] += v
+            prev = ts
+    expected = {
+        k: (n, int((e2 - e1).total_seconds() * 1e6), round(sv, 4))
+        for k, (n, e1, e2, sv) in expected.items()
+    }
+
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_us, r.sum_value)
+        for r in sessionize(df, gap_us).collect()
+    }
+    assert got == expected
