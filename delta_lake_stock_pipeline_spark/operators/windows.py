@@ -507,6 +507,52 @@ def sessionize(events: DataFrame, gap_us: int) -> DataFrame:
     )
 
 
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill with LOCF: hourly rollup per event type,
+    densified to EVERY hour between each type's first and last event, with
+    missing hours carried forward from the last observed total (the
+    market-closed-bars problem in the reference's OHLCV model --
+    stock_harvester.py's minute bars simply lack rows when no trade
+    happened, and downstream consumers want a dense series).
+
+    Scale shape: the only corpus-sized work is the hourly pre-aggregate
+    (one shuffle, map-side partial); the spine explode, the left join,
+    and the LOCF window all run over ROLLUP-sized data (types x hours --
+    thousands of rows per decade of data, regardless of corpus size), so
+    the low-cardinality window key is harmless here. LOCF copies values
+    without arithmetic, so the exact-decimal-then-round totals stay
+    bit-identical through the fill."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type", "value"
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n_events").isNull().alias("is_filled"),
+        F.last("total", ignorenulls=True).over(w).alias("total_locf"),
+    )
+
+
 QUERIES = {
     "w_rank": window_rank,
     "w_value_functions": window_value_functions,
@@ -516,9 +562,36 @@ QUERIES = {
     "w_ntile": window_ntile,
     "w_range_interval": window_range_interval,
     "w_sessionize": window_sessionize,
+    "w_gap_fill": window_gap_fill,
 }
 
 ORACLES = {
+    # LOCF copies already-rounded doubles (no arithmetic), so the fill is
+    # bit-identical on both engines; the spine is generate_series + unnest.
+    "w_gap_fill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+                         2) AS total
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, min(hr) AS h0, max(hr) AS h1
+            FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        )
+        SELECT s.event_type, s.hr,
+               COALESCE(h.n_events, 0) AS n_events,
+               h.n_events IS NULL AS is_filled,
+               LAST_VALUE(h.total IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS total_locf
+        FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+    """,
     # Exact-integer-microsecond gap comparison and an explicit ROWS frame on
     # the running session counter keep both engines bit-identical; the value
     # sum follows the exact-decimal discipline (CAST ... DECIMAL(18,6)).
