@@ -333,6 +333,43 @@ def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample: per (event_type, day), open = first value by time,
+    close = last, high/low = max/min -- the canonical downsample of the
+    reference's minute-bar OHLCV model (stock_harvester.py:51-61 builds
+    minute bars; every consumer re-bars them to coarser grains exactly
+    like this).
+
+    open/close use ``min_by``/``max_by`` over a zero-padded
+    (micros, event_id) string -- one hash-aggregate selection, NO window
+    and NO self-join, with a total deterministic order even under
+    timestamp ties. All outputs are selections of stored values (no
+    float arithmetic), so the oracle match is exact. One shuffle,
+    map-side partial aggregation -- the same plan class as the flagship
+    rollup at any corpus size."""
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bars"),
+            F.min_by("value", F.col("ord")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ord")).alias("close"),
+        )
+    )
+
+
 # Theta-sketch nominal entries: 2^15 keeps the sketch in exact mode below
 # ~32k distincts, so the anchor booleans are DETERMINISTIC at every test
 # scale. At production cardinality the single-sketch and union estimates
@@ -610,6 +647,7 @@ QUERIES = {
     "a4_distinct_count": distinct_count,
     "a6_daily_envelope": daily_envelope,
     "a7_volume_summary": volume_summary,
+    "a9_ohlc_resample": ohlc_resample,
     "x_rollup": rollup_agg,
     "x_time_rollup": time_rollup,
     "x_grouping_sets": grouping_sets_agg,
@@ -645,6 +683,23 @@ ORACLES = {
     """,
     "a4_distinct_count": """
         SELECT COUNT(DISTINCT o_custkey) AS n_customers FROM orders
+    """,
+    # arg_min/arg_max over the identical zero-padded (micros, event_id)
+    # string gives DuckDB the same total order as min_by/max_by.
+    "a9_ohlc_resample": """
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_bars,
+               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS close
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
     """,
     "a6_daily_envelope": """
         SELECT event_type,
