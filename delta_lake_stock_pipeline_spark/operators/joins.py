@@ -315,6 +315,78 @@ def asof_union_window(
     )
 
 
+def asof_union_window_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Forward as-of core: for every left row, the EARLIEST right row with
+    the same ``key`` and ``right.ts >= left.ts`` (ties count as at-or-after;
+    among equal-ts right rows the smallest ``right_id`` wins).
+
+    Mirror of ``asof_union_window``: the same union + one-shuffle LOCF
+    window, scanned in DESCENDING time order so the carried struct is the
+    nearest right row at-or-after. Property-tested against a brute-force
+    reference in tests/test_properties.py."""
+    tag = lambda df, idc, side: df.select(  # noqa: E731
+        F.col(idc).alias("__id"), F.col(key).alias(key), F.col(ts).alias(ts)
+    ).withColumn("__side", F.lit(side))
+    tagged = tag(left, left_id, 0).unionByName(
+        tag(right, right_id, 1).filter(F.col(ts).isNotNull())
+    )
+    # Descending scan: right rows at equal ts sort first (__side desc) so
+    # ties count as at-or-after; among equal-ts rights, __id DESC makes the
+    # LAST-carried (nearest in scan order) the smallest id.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.desc(ts), F.desc("__side"), F.desc("__id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    locf = tagged.withColumn(
+        "__m",
+        F.last(
+            F.when(F.col("__side") == 1, F.struct(F.col(ts), F.col("__id"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return locf.filter((F.col("__side") == 0) & F.col("__m").isNotNull()).select(
+        F.col("__id").alias(left_id),
+        key,
+        ts,
+        F.col("__m.__id").alias(right_id),
+        F.col(f"__m.{ts}").alias(f"{ts}_matched"),
+    )
+
+
+def asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each 'click' matched to the EARLIEST 'purchase' by the
+    same user at-or-after the click -- the conversion-attribution direction
+    (backward ``j_asof`` answers "what purchase preceded this click";
+    forward answers "what purchase did this click lead to").
+
+    Output deliberately excludes the matched purchase id: among purchases
+    tied on ts the engines may break ties differently, but the matched
+    TIMESTAMP is tie-invariant, so the oracle comparison is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return asof_union_window_forward(
+        clicks, purchases, "user_id", "ts", "click_id", "purchase_id"
+    ).select(
+        "click_id",
+        "user_id",
+        F.unix_millis("ts").alias("click_ms"),
+        F.unix_millis("ts_matched").alias("next_purchase_ms"),
+    )
+
+
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each 'click' event matched to the latest 'purchase' by the
     same user at-or-before the click time.
@@ -448,6 +520,7 @@ QUERIES = {
     "j_theta": theta_join,
     "j_theta_binned": theta_join_binned,
     "j_asof": asof_join,
+    "j_asof_forward": asof_forward_join,
     "j_bloom_pruned": bloom_pruned_join,
     "j_lateral_topn": lateral_topn,
 }
@@ -517,6 +590,17 @@ ORACLES = {
         SELECT s_suppkey, COUNT(*) AS n_richer_customers
         FROM supplier JOIN customer ON s_acctbal < c_acctbal
         GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    # Nearest purchase at-or-after; matched TIMESTAMP only (tie-invariant).
+    "j_asof_forward": """
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               epoch_ms(c.ts) AS click_ms,
+               epoch_ms(p.ts) AS next_purchase_ms
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF JOIN
+             (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
     """,
     "j_asof": """
         SELECT c.event_id AS click_id,

@@ -514,3 +514,41 @@ def test_sessionize_matches_serial_brute_force(spark, rows):
         for r in sessionize(df, gap_us).collect()
     }
     assert got == expected
+
+
+def _brute_force_asof_forward(left_rows, right_rows):
+    """Reference: for each left row, the right row with MIN ts >= left.ts on
+    the same key; among equal-ts right rows the smallest id wins."""
+    out = []
+    for lid, (lk, lts) in enumerate(left_rows):
+        best = None  # (ts, rid)
+        for rid, (rk, rts) in enumerate(right_rows):
+            if rts is None:
+                continue
+            if rk == lk and rts >= lts and (best is None or (rts, rid) < best):
+                best = (rts, rid)
+        if best is not None:
+            out.append((lid, lk, lts, best[1], best[0]))
+    return sorted(out)
+
+
+@given(left=_rows, right=_right_rows)
+@settings(**_SETTINGS)
+def test_asof_forward_matches_brute_force(spark, left, right):
+    from delta_lake_stock_pipeline_spark.operators.joins import (
+        asof_union_window_forward,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], "rid long, k long, ts long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in asof_union_window_forward(ldf, rdf, "k", "ts", "lid", "rid")
+        .select("lid", "k", "ts", "rid", "ts_matched")
+        .collect()
+    )
+    assert got == _brute_force_asof_forward(left, right)
