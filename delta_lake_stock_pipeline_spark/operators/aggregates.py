@@ -333,6 +333,41 @@ def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen ISO week, and
+    for each later week how many of that cohort were active -- the classic
+    retention triangle every product-analytics pipeline computes.
+
+    Scale shape: NO join -- one ``collect_set(week)`` aggregation per user
+    yields both the cohort (``array_min`` of the set) and the activity
+    weeks in the same pass, so the naive first-seen⋈activity self-join
+    (two scans, one re-shuffle) collapses to a single user-keyed shuffle.
+    The per-user week set is bounded by calendar weeks since launch
+    (dozens-to-hundreds), the explode emits |users| x active-weeks rows
+    into a map-side-partial hash-agg, and the final matrix is
+    weeks x weeks."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+        .select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
+        .groupBy("cohort_week", "week")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_idx"),
+            "n_users",
+        )
+    )
+
+
 def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC resample: per (event_type, day), open = first value by time,
     close = last, high/low = max/min -- the canonical downsample of the
@@ -648,6 +683,7 @@ QUERIES = {
     "a6_daily_envelope": daily_envelope,
     "a7_volume_summary": volume_summary,
     "a9_ohlc_resample": ohlc_resample,
+    "x_retention_cohorts": retention_cohorts,
     "x_rollup": rollup_agg,
     "x_time_rollup": time_rollup,
     "x_grouping_sets": grouping_sets_agg,
@@ -683,6 +719,23 @@ ORACLES = {
     """,
     "a4_distinct_count": """
         SELECT COUNT(DISTINCT o_custkey) AS n_customers FROM orders
+    """,
+    # Both engines truncate to ISO Monday weeks; counting rows of the
+    # deduplicated (user, week) set per cell is exact.
+    "x_retention_cohorts": """
+        WITH ev AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ), first_seen AS (
+            SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, e.week) // 7 AS INTEGER)
+                   AS week_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ev e JOIN first_seen f USING (user_id)
+        GROUP BY f.cohort_week, e.week
     """,
     # arg_min/arg_max over the identical zero-padded (micros, event_id)
     # string gives DuckDB the same total order as min_by/max_by.
