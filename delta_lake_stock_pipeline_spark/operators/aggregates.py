@@ -333,6 +333,55 @@ def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users with a view, a click AT-OR-AFTER
+    their first view, and a purchase at-or-after that click -- the
+    product-analytics staple where each step must follow the previous one
+    in time (a click before any view does not count).
+
+    Semantics are pinned exactly: step k's timestamp is the MIN event time
+    >= step k-1's timestamp, compared in integer microseconds, identically
+    on both engines. Scale shape: three user-keyed conditional aggregates
+    chained by user-keyed joins -- every shuffle is on hash(user_id), the
+    join sides arrive co-partitioned from their own aggregations, and each
+    stage's relation shrinks (funnels only narrow). Output is three
+    step-count rows via a union of scalar aggregates -- no cross join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("t") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("t") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+
+    def step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+
+    return (
+        step(views, "1_view")
+        .unionByName(step(clicks, "2_click_after_view"))
+        .unionByName(step(purchases, "3_purchase_after_click"))
+    )
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users bucketed by first-seen ISO week, and
     for each later week how many of that cohort were active -- the classic
@@ -684,6 +733,7 @@ QUERIES = {
     "a7_volume_summary": volume_summary,
     "a9_ohlc_resample": ohlc_resample,
     "x_retention_cohorts": retention_cohorts,
+    "x_funnel": funnel_steps,
     "x_rollup": rollup_agg,
     "x_time_rollup": time_rollup,
     "x_grouping_sets": grouping_sets_agg,
@@ -719,6 +769,31 @@ ORACLES = {
     """,
     "a4_distinct_count": """
         SELECT COUNT(DISTINCT o_custkey) AS n_customers FROM orders
+    """,
+    # Step k's time = MIN event time >= step k-1's time, in exact integer
+    # microseconds -- identical chained-CTE formulation on both engines.
+    "x_funnel": """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        ), v AS (
+            SELECT user_id, min(t) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.t) AS t2
+            FROM ev e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.t >= v.t1
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.t) AS t3
+            FROM ev e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.t >= c.t2
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
     """,
     # Both engines truncate to ISO Monday weeks; counting rows of the
     # deduplicated (user, week) set per cell is exact.
