@@ -14,7 +14,7 @@ HUGEINT).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.temporal import event_date
@@ -331,6 +331,49 @@ def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_within_tol"
         ),
     ).orderBy("event_type")
+
+
+def rolling_mau_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day active users (MAU) per day, computed BOTH ways: exact
+    (each (user, day) pair contributes to the 28 following days -- explode
+    + equi-join on the day spine, never a range BNLJ) and via the stored
+    daily HLL sketches merged with ``hll_union_agg`` over a sliding
+    28-row window -- the metric the mergeable-sketch rollup exists for:
+    at 100 TB the exact side reshuffles 28x the (user, day) pairs every
+    refresh, while the sketch side window-merges DAYS-sized rows (a few
+    KB per day) in milliseconds from the stored rollup.
+
+    The sliding merge window is deliberately unpartitioned: its input is
+    one row per calendar DAY (bounded metadata, thousands per decade),
+    the same bounded-relation exception as j_theta_binned's bin spine.
+    Anchor: |sketch - exact| <= max(2, 2%) pinned TRUE per day."""
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    days = pairs.select("d").distinct()
+    contrib = pairs.select(
+        "user_id", "d", F.explode(F.expr("sequence(0, 27)")).alias("k")
+    ).select("user_id", F.date_add("d", F.col("k")).alias("dd"))
+    exact = (
+        contrib.join(F.broadcast(days.withColumnRenamed("d", "dd")), "dd")
+        .groupBy("dd")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau_exact"))
+    )
+    w = Window.orderBy("d").rowsBetween(-27, 0)
+    est = pairs.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk")).select(
+        F.col("d").alias("dd"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+    )
+    tol = F.greatest(F.lit(2.0), F.lit(0.02) * F.col("mau_exact"))
+    return exact.join(est, "dd").select(
+        F.col("dd").alias("day"),
+        "mau_exact",
+        (F.abs(F.col("est").cast("double") - F.col("mau_exact")) <= tol).alias(
+            "mau_ok"
+        ),
+    )
 
 
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,6 +777,7 @@ QUERIES = {
     "a9_ohlc_resample": ohlc_resample,
     "x_retention_cohorts": retention_cohorts,
     "x_funnel": funnel_steps,
+    "x_rolling_mau_anchor": rolling_mau_anchor,
     "x_rollup": rollup_agg,
     "x_time_rollup": time_rollup,
     "x_grouping_sets": grouping_sets_agg,
@@ -769,6 +813,20 @@ ORACLES = {
     """,
     "a4_distinct_count": """
         SELECT COUNT(DISTINCT o_custkey) AS n_customers FROM orders
+    """,
+    # Exact trailing-28-day distinct per day; the sketch boolean is a
+    # pinned literal TRUE (anchor pattern).
+    "x_rolling_mau_anchor": """
+        WITH pairs AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), days AS (
+            SELECT DISTINCT d FROM pairs
+        )
+        SELECT dd.d AS day,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS mau_exact,
+               TRUE AS mau_ok
+        FROM days dd JOIN pairs p ON p.d BETWEEN dd.d - 27 AND dd.d
+        GROUP BY dd.d
     """,
     # Step k's time = MIN event time >= step k-1's time, in exact integer
     # microseconds -- identical chained-CTE formulation on both engines.
