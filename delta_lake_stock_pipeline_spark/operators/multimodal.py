@@ -295,12 +295,58 @@ def audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk audio features from REAL byte decode: the payload is
+    interpreted as unsigned 8-bit PCM centered at 128, framed into
+    256-byte chunks, and each chunk reports energy (sum of squared
+    deviations from center) and peak amplitude -- computed with numpy over
+    Arrow batches in ``mapInPandas``, the audio twin of
+    ``image_features``'s byte-level decode (``m_audio_chunks`` carries
+    only chunk METADATA; this op actually reads the samples).
+
+    All features are exact integers, so the oracle -- which re-derives the
+    same bytes from the document text in SQL -- matches bit-for-bit.
+    Map-only: one Arrow boundary, no shuffle."""
+    media = _media_table(spark, sf_dir).select("doc_id", "payload")
+    chunk = _CHUNK_BYTES
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(buf), dtype=np.uint8)
+                dev = samples.astype(np.int64) - 128
+                for ci in range(0, max(len(samples), 1), chunk):
+                    seg = dev[ci : ci + chunk]
+                    if len(seg) == 0:
+                        seg = np.zeros(0, dtype=np.int64)
+                    rows.append(
+                        (
+                            doc_id,
+                            ci // chunk,
+                            len(seg),
+                            int((seg * seg).sum()) if len(seg) else 0,
+                            int(np.abs(seg).max()) if len(seg) else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_idx", "n_samples", "energy", "peak"],
+            )
+
+    return media.mapInPandas(
+        feature_batches,
+        "doc_id bigint, chunk_idx int, n_samples int, energy bigint, peak int",
+    ).orderBy("doc_id", "chunk_idx")
+
+
 QUERIES = {
     "m_binary_metadata": binary_metadata,
     "m_image_features": image_features,
     "m_image_resize": image_resize,
     "m_frame_sample": frame_sample,
     "m_audio_chunks": audio_chunks,
+    "m_audio_features": audio_features,
 }
 
 ORACLES = {
@@ -412,6 +458,41 @@ ORACLES = {
                           * (duration_s * 1000.0 / n_frames)) AS BIGINT) AS frame_ms
         FROM meta
         ORDER BY doc_id, frame_idx
+    """,
+    # Re-derives the same PCM-8 bytes from the text in SQL (ASCII fixture,
+    # same assumption as the image oracles); all features exact integers.
+    "m_audio_features": """
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(list_filter(string_split_regex(text, ''),
+                                              x -> x <> ''),
+                                  x -> ord(x)) AS bytes_list
+            FROM documents
+        ), m AS (
+            SELECT doc_id, bytes_list,
+                   GREATEST(CAST(ceil(len(bytes_list) / 256.0) AS INTEGER),
+                            1) AS n_chunks
+            FROM b
+        ), c AS (
+            SELECT doc_id, bytes_list,
+                   CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+            FROM m
+        ), seg AS (
+            SELECT doc_id, chunk_idx,
+                   bytes_list[chunk_idx * 256 + 1 : chunk_idx * 256 + 256]
+                       AS s
+            FROM c
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(s) AS INTEGER) AS n_samples,
+               CAST(COALESCE(list_aggregate(
+                        list_transform(s, x -> (x - 128) * (x - 128)),
+                        'sum'), 0) AS BIGINT) AS energy,
+               CAST(COALESCE(list_aggregate(
+                        list_transform(s, x -> abs(x - 128)),
+                        'max'), 0) AS INTEGER) AS peak
+        FROM seg
+        ORDER BY doc_id, chunk_idx
     """,
     "m_audio_chunks": """
         WITH meta AS (
