@@ -522,6 +522,24 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the low-cardinality window key is harmless here. LOCF copies values
     without arithmetic, so the exact-decimal-then-round totals stay
     bit-identical through the fill."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _hourly_spine(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n_events").isNull().alias("is_filled"),
+        F.last("total", ignorenulls=True).over(w).alias("total_locf"),
+    )
+
+
+def _hourly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by ``w_gap_fill`` and ``w_interpolate``: the hourly rollup
+    left-joined onto the dense per-type hour spine (``total`` NULL on
+    missing hours)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type", "value"
     )
@@ -539,17 +557,62 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr"),
         )
     )
-    w = (
+    return spine.join(hourly, ["event_type", "hr"], "left")
+
+
+def window_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps: missing hours take the straight
+    line between the bracketing observed totals (LOCF's smooth sibling --
+    the standard choice for resampled sensor/price series).
+
+    Every gap row has both brackets by construction (the spine spans
+    [first, last] observed hour per type). Determinism (the repo's
+    integer-scaling discipline -- a naive double ROUND diverged by one
+    ulp on 4/3568 fixture rows): brackets are recovered as exact integer
+    CENTS and times as exact integer HOUR indexes, the interpolation
+    numerator is exact long arithmetic, and the single double step is one
+    division of exact-representable values plus a floor(x+0.5)
+    half-away-from-zero -- identical on both engines. Same rollup-sized
+    window input as ``w_gap_fill``."""
+    back = (
         Window.partitionBy("event_type")
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return spine.join(hourly, ["event_type", "hr"], "left").select(
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col("hr"))
+    obs_t = F.when(F.col("total").isNotNull(), t)
+    base = _hourly_spine(spark, sf_dir).select(
         "event_type",
         "hr",
-        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
-        F.col("n_events").isNull().alias("is_filled"),
-        F.last("total", ignorenulls=True).over(w).alias("total_locf"),
+        "total",
+        t.alias("t"),
+        F.last("total", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(back).alias("pt"),
+        F.first("total", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    # Exact integer interpolation: cents x hour-index numerator, one
+    # deterministic double division, floor(x+0.5) half-away-from-zero.
+    pc = F.round(F.col("pv") * 100).cast("long")
+    nc = F.round(F.col("nv") * 100).cast("long")
+    hp = ((F.col("t") - F.col("pt")) / 3600000000).cast("long")
+    hn = ((F.col("nt") - F.col("pt")) / 3600000000).cast("long")
+    interp = (
+        F.floor((pc * hn + (nc - pc) * hp) * 100.0 / hn + 0.5).cast("long")
+        / 10000.0
+    )
+    return base.select(
+        "event_type",
+        "hr",
+        F.col("total").isNull().alias("is_filled"),
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .otherwise(interp)
+        .alias("total_interp"),
     )
 
 
@@ -563,9 +626,58 @@ QUERIES = {
     "w_range_interval": window_range_interval,
     "w_sessionize": window_sessionize,
     "w_gap_fill": window_gap_fill,
+    "w_interpolate": window_interpolate,
 }
 
 ORACLES = {
+    # Identical exact-integer interpolation as the engine: cents x
+    # hour-index numerator in long arithmetic, ONE double division of
+    # exactly-representable values, floor(x+0.5). A naive double ROUND of
+    # the float expression diverges by one ulp on tie rows.
+    "w_interpolate": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+                         2) AS total
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, min(hr) AS h0, max(hr) AS h1
+            FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        ), j AS (
+            SELECT s.event_type, s.hr, h.total, epoch_us(s.hr) AS t,
+                   LAST_VALUE(h.total IGNORE NULLS) OVER wb AS pv,
+                   LAST_VALUE(CASE WHEN h.total IS NOT NULL
+                                   THEN epoch_us(s.hr) END IGNORE NULLS)
+                       OVER wb AS pt,
+                   FIRST_VALUE(h.total IGNORE NULLS) OVER wf AS nv,
+                   FIRST_VALUE(CASE WHEN h.total IS NOT NULL
+                                    THEN epoch_us(s.hr) END IGNORE NULLS)
+                       OVER wf AS nt
+            FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+            WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.hr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY s.event_type ORDER BY s.hr
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hr,
+               total IS NULL AS is_filled,
+               CASE WHEN total IS NOT NULL THEN total
+                    ELSE CAST(floor(
+                         (CAST(round(pv * 100) AS BIGINT)
+                            * CAST((nt - pt) / 3600000000 AS BIGINT)
+                          + (CAST(round(nv * 100) AS BIGINT)
+                             - CAST(round(pv * 100) AS BIGINT))
+                            * CAST((t - pt) / 3600000000 AS BIGINT))
+                         * 100.0
+                         / CAST((nt - pt) / 3600000000 AS BIGINT)
+                         + 0.5) AS BIGINT) / 10000.0
+               END AS total_interp
+        FROM j
+    """,
     # LOCF copies already-rounded doubles (no arithmetic), so the fill is
     # bit-identical on both engines; the spine is generate_series + unnest.
     "w_gap_fill": """
