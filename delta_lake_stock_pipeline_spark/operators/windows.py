@@ -616,6 +616,45 @@ def window_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict every observed hour's
+    total with the value from the SAME HOUR ONE WEEK EARLIER (lag 168 on
+    the gap-filled dense series), and score per event type with MAE and
+    mean signed bias -- the standard baseline every forecasting pipeline
+    must beat, and a composition proof that the densify -> lag -> score
+    chain stays exactly oracle-checkable.
+
+    Exactness: actual and forecast are integer CENTS; the error sums are
+    exact longs; each final mean is one deterministic double division
+    with a floor(x+0.5) half-away-from-zero at 4 decimals. Scale: the
+    dense series is rollup-sized (types x hours), so everything after
+    the hourly pre-aggregate is metadata-scale."""
+    w = Window.partitionBy("event_type").orderBy("hr")
+    dense = window_gap_fill(spark, sf_dir).select(
+        "event_type",
+        "hr",
+        "is_filled",
+        F.round(F.col("total_locf") * 100).cast("long").alias("cents"),
+    )
+    scored = dense.select(
+        "event_type",
+        "is_filled",
+        (F.col("cents") - F.lag("cents", 168).over(w)).alias("err_cents"),
+    ).filter(~F.col("is_filled") & F.col("err_cents").isNotNull())
+
+    def mean4(sum_col: F.Column, n: F.Column, alias: str) -> F.Column:
+        # cents -> value with 4 decimals: one double division, floor+0.5.
+        return (
+            F.floor(sum_col * 100.0 / n + F.lit(0.5)).cast("long") / 10000.0
+        ).alias(alias)
+
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        mean4(F.sum(F.abs(F.col("err_cents"))), F.count("*"), "mae"),
+        mean4(F.sum(F.col("err_cents")), F.count("*"), "bias"),
+    )
+
+
 QUERIES = {
     "w_rank": window_rank,
     "w_value_functions": window_value_functions,
@@ -627,9 +666,50 @@ QUERIES = {
     "w_sessionize": window_sessionize,
     "w_gap_fill": window_gap_fill,
     "w_interpolate": window_interpolate,
+    "w_backtest_naive": window_backtest_naive,
 }
 
 ORACLES = {
+    # Same dense-LOCF series as w_gap_fill, same integer-cents error
+    # sums, same floor(x+0.5) means -- identical expressions both sides.
+    "w_backtest_naive": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+                         2) AS total
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, min(hr) AS h0, max(hr) AS h1
+            FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        ), dense AS (
+            SELECT s.event_type, s.hr,
+                   h.n_events IS NULL AS is_filled,
+                   CAST(round(LAST_VALUE(h.total IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) * 100) AS BIGINT) AS cents
+            FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+        ), scored AS (
+            SELECT event_type, is_filled,
+                   cents - LAG(cents, 168) OVER (
+                       PARTITION BY event_type ORDER BY hr) AS err_cents
+            FROM dense
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(floor(SUM(abs(err_cents)) * 100.0 / COUNT(*) + 0.5)
+                    AS BIGINT) / 10000.0 AS mae,
+               CAST(floor(SUM(err_cents) * 100.0 / COUNT(*) + 0.5)
+                    AS BIGINT) / 10000.0 AS bias
+        FROM scored
+        WHERE NOT is_filled AND err_cents IS NOT NULL
+        GROUP BY event_type
+    """,
     # Identical exact-integer interpolation as the engine: cents x
     # hour-index numerator in long arithmetic, ONE double division of
     # exactly-representable values, floor(x+0.5). A naive double ROUND of
