@@ -361,7 +361,13 @@ def rolling_mau_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dd")
         .agg(F.countDistinct("user_id").cast("bigint").alias("mau_exact"))
     )
-    w = Window.orderBy("d").rowsBetween(-27, 0)
+    # RANGE frame over the integer day ordinal = trailing 28 CALENDAR
+    # days. A ROWS frame over observed days would silently widen across
+    # zero-event calendar days (outage/backfill) and diverge from the
+    # exact side (review finding; the fixture is day-dense, which masked
+    # it).
+    day_idx = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_idx).rangeBetween(-27, 0)
     est = pairs.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk")).select(
         F.col("d").alias("dd"),
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
@@ -476,7 +482,7 @@ def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup at any corpus size."""
     ord_key = F.concat(
         F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     return (
         load_table(spark, sf_dir, "events")
@@ -877,12 +883,12 @@ ORACLES = {
                CAST(ts AS DATE) AS day,
                CAST(COUNT(*) AS BIGINT) AS n_bars,
                arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
                    AS open,
                MAX(value) AS high,
                MIN(value) AS low,
                arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
                    AS close
         FROM events
         GROUP BY event_type, CAST(ts AS DATE)

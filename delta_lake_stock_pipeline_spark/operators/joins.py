@@ -339,10 +339,14 @@ def asof_union_window_forward(
     )
     # Descending scan: right rows at equal ts sort first (__side desc) so
     # ties count as at-or-after; among equal-ts rights, __id DESC makes the
-    # LAST-carried (nearest in scan order) the smallest id.
+    # LAST-carried (nearest in scan order) the smallest id. NULL-ts left
+    # rows must sort BEFORE every right row (desc_nulls_first) so they
+    # carry no match -- plain desc puts nulls last, where LOCF would hand
+    # them the minimum-ts right row (review finding; the backward twin
+    # gets this for free from ascending nulls-first).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.desc(ts), F.desc("__side"), F.desc("__id"))
+        .orderBy(F.desc_nulls_first(ts), F.desc("__side"), F.desc("__id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     locf = tagged.withColumn(

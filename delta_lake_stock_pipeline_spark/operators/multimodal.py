@@ -318,8 +318,6 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dev = samples.astype(np.int64) - 128
                 for ci in range(0, max(len(samples), 1), chunk):
                     seg = dev[ci : ci + chunk]
-                    if len(seg) == 0:
-                        seg = np.zeros(0, dtype=np.int64)
                     rows.append(
                         (
                             doc_id,

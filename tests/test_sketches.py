@@ -158,3 +158,32 @@ def test_kll_merge_of_daily_partials_tracks_whole(spark):
         ).collect()[0]
         assert abs(rank(est["p50"]) - 0.5) <= 0.04, est
         assert abs(rank(est["p90"]) - 0.9) <= 0.04, est
+
+
+def test_rolling_mau_window_is_calendar_days_not_rows(spark, tmp_path):
+    """Regression (round-4 review): with a >28-day gap between active days,
+    a ROWS(-27,0) window over observed days would still merge the old
+    sketch and overcount; the RANGE frame over the day ordinal must not.
+    Exercises the real operator against a synthetic events dir."""
+    import datetime as dt
+
+    from delta_lake_stock_pipeline_spark.operators.aggregates import (
+        rolling_mau_anchor,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 12, 0, 0), i, "click", 1.0, "{}")
+        for i in range(100)
+    ] + [(1000, dt.datetime(2024, 2, 15, 12, 0, 0), 200, "click", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "mau")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {
+        str(r.day): (r.mau_exact, r.mau_ok)
+        for r in rolling_mau_anchor(spark, d).collect()
+    }
+    assert got == {"2024-01-01": (100, True), "2024-02-15": (1, True)}
