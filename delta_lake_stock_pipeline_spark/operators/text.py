@@ -457,6 +457,59 @@ def winnow_windows(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (the published rule family from
+    the Gopher/MassiveText report, reduced to the rules the fixture can
+    express): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, alphabetic-word fraction, and minimum stopword presence --
+    reported per source as pass/fail-breakdown counts (what a curation run
+    logs before dropping).
+
+    Exactness: every ratio rule is evaluated by INTEGER cross-
+    multiplication (3n <= sum_len <= 10n instead of 3 <= sum/n <= 10), so
+    no float ever enters a comparison and the oracle matches exactly.
+    Scale: pure per-row Catalyst expressions plus one rollup-sized
+    hash-agg -- zero Python, one shuffle."""
+    toks = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    base = load_table(spark, sf_dir, "documents").select(
+        "source",
+        toks.alias("tk"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9\\s]", "")).alias("n_sym"),
+    )
+    n = F.size("tk")
+    sum_len = F.expr("aggregate(tk, 0, (a, x) -> a + length(x))")
+    n_alpha = F.expr("size(filter(tk, x -> x rlike '[a-zA-Z]'))")
+    n_stop = F.size(F.array_intersect(F.col("tk"), F.array(*[F.lit(s) for s in _STOPWORDS])))
+    flags = base.select(
+        "source",
+        n.between(50, 100000).alias("ok_len"),
+        ((sum_len >= 3 * n) & (sum_len <= 10 * n)).alias("ok_wordlen"),
+        (10 * F.col("n_sym") <= n).alias("ok_symbol"),
+        (5 * n_alpha >= 4 * n).alias("ok_alpha"),
+        (n_stop >= 2).alias("ok_stop"),
+    )
+    all_ok = (
+        F.col("ok_len")
+        & F.col("ok_wordlen")
+        & F.col("ok_symbol")
+        & F.col("ok_alpha")
+        & F.col("ok_stop")
+    )
+
+    def n_fail(c: str) -> F.Column:
+        return F.sum((~F.col(c)).cast("int")).cast("bigint").alias(f"n_fail_{c[3:]}")
+
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(all_ok.cast("int")).cast("bigint").alias("n_pass"),
+        n_fail("ok_len"),
+        n_fail("ok_wordlen"),
+        n_fail("ok_symbol"),
+        n_fail("ok_alpha"),
+        n_fail("ok_stop"),
+    )
+
+
 QUERIES = {
     "t_token_count": token_count,
     "t_repetition": repetition_stats,
@@ -470,6 +523,7 @@ QUERIES = {
     "t_unigram_logprob": unigram_logprob,
     "t_tfidf": tfidf_top_terms,
     "t_winnow": winnow_fingerprint,
+    "t_gopher_filter": gopher_filter,
 }
 
 _MARKER_SQL = {
@@ -610,6 +664,45 @@ ORACLES = {
     # aggregate an exact LONG sum; ln is correctly-rounded libm on both
     # engines, and the single final divide+round is the identical
     # expression -- see unigram_logprob's determinism note.
+    # Integer cross-multiplied ratio rules -- no float comparisons.
+    "t_gopher_filter": """
+        WITH f AS (
+            SELECT source,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS tk,
+                   LENGTH(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                       AS n_sym
+            FROM documents
+        ), flags AS (
+            SELECT source,
+                   len(tk) BETWEEN 50 AND 100000 AS ok_len,
+                   list_sum(list_transform(tk, x -> length(x)))
+                       BETWEEN 3 * len(tk) AND 10 * len(tk) AS ok_wordlen,
+                   10 * n_sym <= len(tk) AS ok_symbol,
+                   5 * len(list_filter(tk,
+                           x -> regexp_matches(x, '[a-zA-Z]')))
+                       >= 4 * len(tk) AS ok_alpha,
+                   len(list_intersect(tk, {stop})) >= 2 AS ok_stop
+            FROM f
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ok_len AND ok_wordlen AND ok_symbol
+                              AND ok_alpha AND ok_stop
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_len,
+               CAST(SUM(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fail_wordlen,
+               CAST(SUM(CASE WHEN NOT ok_symbol THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fail_symbol,
+               CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fail_alpha,
+               CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_stop
+        FROM flags
+        GROUP BY source
+    """.replace("{stop}", _STOP_SQL),
     # The md5-conv gram hash is bit-identical on both engines, so the
     # checksum pins the full distinct-fingerprint SET per document.
     "t_winnow": """
