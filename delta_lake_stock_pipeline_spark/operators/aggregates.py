@@ -333,6 +333,37 @@ def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of event values per type (10 buckets of 100
+    over the [0, 1000) domain) with each bucket's share in basis points --
+    the distribution-profiling primitive behind every dashboard histogram
+    and data-quality drift check.
+
+    Determinism: the bucket index is ``floor(value / 100)`` -- one IEEE
+    expression over the SAME stored double on both engines -- and the
+    share is integer basis points via ``floor(n * 10000 / total + 0.5)``,
+    so no float comparison or representation ever reaches the oracle.
+    Scale: one hash-agg shuffle to (type, bucket); the share window runs
+    over the bucketed rollup (types x 10 rows)."""
+    bucket = F.floor(F.col("value") / 100).cast("int")
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.floor(
+            F.col("n_events") * 10000.0 / F.sum("n_events").over(w) + 0.5
+        )
+        .cast("bigint")
+        .alias("share_bp"),
+    )
+
+
 def rolling_mau_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 28-day active users (MAU) per day, computed BOTH ways: exact
     (each (user, day) pair contributes to the 28 following days -- explode
@@ -784,6 +815,7 @@ QUERIES = {
     "x_retention_cohorts": retention_cohorts,
     "x_funnel": funnel_steps,
     "x_rolling_mau_anchor": rolling_mau_anchor,
+    "x_histogram": value_histogram,
     "x_rollup": rollup_agg,
     "x_time_rollup": time_rollup,
     "x_grouping_sets": grouping_sets_agg,
@@ -819,6 +851,21 @@ ORACLES = {
     """,
     "a4_distinct_count": """
         SELECT COUNT(DISTINCT o_custkey) AS n_customers FROM orders
+    """,
+    # Identical floor(value/100) bucketing over the same stored doubles;
+    # share as integer basis points.
+    "x_histogram": """
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(floor(value / 100) AS INTEGER) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, bucket, n_events,
+               CAST(floor(n_events * 10000.0
+                          / SUM(n_events) OVER (PARTITION BY event_type)
+                          + 0.5) AS BIGINT) AS share_bp
+        FROM counts
     """,
     # Exact trailing-28-day distinct per day; the sketch boolean is a
     # pinned literal TRUE (anchor pattern).
