@@ -650,7 +650,20 @@ def kll_rollup_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     confidence; 0.04 is ~2.4x that, so the boolean is stable across the
     sketch's internal randomization but flips on any real defect in the
     sketch build, the scalar merge, or the fold). Oracle recomputes the
-    exact interpolated percentiles and emits literal TRUEs."""
+    exact interpolated percentiles and emits literal TRUEs.
+
+    ``p50_exact``/``p90_exact`` follow the repo's exact-integer
+    discipline (cf. ``w_interpolate``): Spark ``percentile`` vs DuckDB
+    ``quantile_cont`` interpolate raw doubles in engine-specific op
+    order, which can differ by one ulp and flip a 6-decimal ROUND at a
+    boundary. Instead both sides recover the two bracketing order
+    statistics as exact integer MICROS via a distinct-value cumulative
+    count, build the interpolation numerator in pure long arithmetic
+    (``lo*d + rem*(hi-lo)`` with denominator d = 2 for p50, 10 for p90),
+    and perform ONE identical double division. Scale note: the
+    cumulative-rank window runs over DISTINCT micros only -- strictly
+    cheaper than the built-in exact ``percentile``, which buffers every
+    raw value in a single aggregation buffer."""
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "value"
     )
@@ -665,15 +678,65 @@ def kll_rollup_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.kll_sketch_get_quantile_double("ska", F.lit(0.9)).alias("p90k"),
         )
     )
+    vals = ev.where(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 1e6).cast("long").alias("m")
+    )
+    counts = vals.groupBy("m").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "m",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("prev"),
+    )
+    nrow = vals.agg(F.count("*").alias("nv"))
+    # 1-based interpolation position 1 + (n-1)*q: bracketing ranks and the
+    # integer remainder of the fractional part (denominator 2 resp. 10).
+    i50 = F.expr("(nv - 1) DIV 2 + 1")
+    i90 = F.expr("((nv - 1) * 9) DIV 10 + 1")
+    rem2 = F.expr("(nv - 1) % 2")
+    rem10 = F.expr("((nv - 1) * 9) % 10")
+
+    def at_rank(rank, name):
+        cond = (F.col("prev") < rank) & (F.col("cum") >= rank)
+        return F.min(F.when(cond, F.col("m"))).alias(name)
+
+    exact = (
+        cum.crossJoin(F.broadcast(nrow))
+        .agg(
+            at_rank(i50, "lo50"),
+            at_rank(i50 + 1, "hi50"),
+            at_rank(i90, "lo90"),
+            at_rank(i90 + 1, "hi90"),
+            F.max(rem2).alias("rem2"),
+            F.max(rem10).alias("rem10"),
+        )
+        .select(
+            (
+                (
+                    F.col("lo50") * 2
+                    + F.col("rem2")
+                    * (F.coalesce("hi50", "lo50") - F.col("lo50"))
+                ).cast("double")
+                / 2e6
+            ).alias("p50_exact"),
+            (
+                (
+                    F.col("lo90") * 10
+                    + F.col("rem10")
+                    * (F.coalesce("hi90", "lo90") - F.col("lo90"))
+                ).cast("double")
+                / 1e7
+            ).alias("p90_exact"),
+        )
+    )
     return (
         ev.crossJoin(F.broadcast(merged))
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
-            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
             F.avg((F.col("value") <= F.col("p50k")).cast("int")).alias("r50"),
             F.avg((F.col("value") <= F.col("p90k")).cast("int")).alias("r90"),
         )
+        .crossJoin(F.broadcast(exact))
         .select(
             "n_events",
             "p50_exact",
@@ -1017,13 +1080,47 @@ ORACLES = {
                TRUE AS est_within_tol
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # Identical exact-integer interpolation as the engine: bracketing
+    # order statistics as integer micros via a distinct-value cumulative
+    # count, long-arithmetic numerator, ONE double division. quantile_cont
+    # would interpolate raw doubles in a different op order than Spark's
+    # percentile and can flip a rounding boundary by one ulp.
     "x_kll_anchor": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
-               ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
-               ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+        WITH vals AS (
+            SELECT CAST(round(value * 1e6) AS BIGINT) AS m
+            FROM events WHERE value IS NOT NULL
+        ), counts AS (
+            SELECT m, COUNT(*) AS c FROM vals GROUP BY m
+        ), cum AS (
+            SELECT m,
+                   SUM(c) OVER (ORDER BY m) AS cum,
+                   SUM(c) OVER (ORDER BY m) - c AS prev
+            FROM counts
+        ), ranks AS (
+            SELECT (COUNT(*) - 1) // 2 + 1 AS i50,
+                   (COUNT(*) - 1) % 2 AS rem2,
+                   ((COUNT(*) - 1) * 9) // 10 + 1 AS i90,
+                   ((COUNT(*) - 1) * 9) % 10 AS rem10
+            FROM vals
+        ), sel AS (
+            SELECT MIN(CASE WHEN prev < i50 AND cum >= i50 THEN m END) AS lo50,
+                   MIN(CASE WHEN prev < i50 + 1 AND cum >= i50 + 1 THEN m END)
+                       AS hi50,
+                   MIN(CASE WHEN prev < i90 AND cum >= i90 THEN m END) AS lo90,
+                   MIN(CASE WHEN prev < i90 + 1 AND cum >= i90 + 1 THEN m END)
+                       AS hi90,
+                   MAX(rem2) AS rem2,
+                   MAX(rem10) AS rem10
+            FROM cum, ranks
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events,
+               CAST(lo50 * 2 + rem2 * (COALESCE(hi50, lo50) - lo50)
+                    AS DOUBLE) / 2e6 AS p50_exact,
+               CAST(lo90 * 10 + rem10 * (COALESCE(hi90, lo90) - lo90)
+                    AS DOUBLE) / 1e7 AS p90_exact,
                TRUE AS r50_ok,
                TRUE AS r90_ok
-        FROM events
+        FROM sel
     """,
     "x_theta_anchor": """
         WITH flags AS (

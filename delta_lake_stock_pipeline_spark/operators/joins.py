@@ -288,9 +288,15 @@ def asof_union_window(
     # ASOF evaluates the comparison as NULL -> no match), but it would sort
     # FIRST in the window below and LOCF would carry its struct; drop it up
     # front so the generic helper matches the documented contract for any
-    # input, not just NULL-free fixtures.
-    tagged = tag(left, left_id, 0).unionByName(
-        tag(right, right_id, 1).filter(F.col(ts).isNotNull())
+    # input, not just NULL-free fixtures. NULL JOIN KEYS likewise: the
+    # as-of key comparison is an equality (NULL = NULL -> no match in the
+    # DuckDB ASOF oracle), but Window.partitionBy groups all NULL keys
+    # into ONE partition where LOCF would happily match NULL-key lefts to
+    # NULL-key rights -- filter both sides.
+    tagged = tag(left, left_id, 0).filter(F.col(key).isNotNull()).unionByName(
+        tag(right, right_id, 1)
+        .filter(F.col(ts).isNotNull())
+        .filter(F.col(key).isNotNull())
     )
     # At equal ts the right row sorts first (__side desc) so ties count as
     # "at-or-before", matching DuckDB ASOF JOIN's >= semantics.
@@ -334,8 +340,12 @@ def asof_union_window_forward(
     tag = lambda df, idc, side: df.select(  # noqa: E731
         F.col(idc).alias("__id"), F.col(key).alias(key), F.col(ts).alias(ts)
     ).withColumn("__side", F.lit(side))
-    tagged = tag(left, left_id, 0).unionByName(
-        tag(right, right_id, 1).filter(F.col(ts).isNotNull())
+    # NULL-ts rights and NULL keys on either side are dropped up front for
+    # the same equality-semantics reasons as the backward twin above.
+    tagged = tag(left, left_id, 0).filter(F.col(key).isNotNull()).unionByName(
+        tag(right, right_id, 1)
+        .filter(F.col(ts).isNotNull())
+        .filter(F.col(key).isNotNull())
     )
     # Descending scan: right rows at equal ts sort first (__side desc) so
     # ties count as at-or-after; among equal-ts rights, __id DESC makes the

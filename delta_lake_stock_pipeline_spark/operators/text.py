@@ -474,7 +474,13 @@ def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select(
         "source",
         toks.alias("tk"),
-        F.length(F.regexp_replace("text", "[a-zA-Z0-9\\s]", "")).alias("n_sym"),
+        # Explicit whitespace class, NOT \s: Java regex \s includes
+        # U+000B (vertical tab) while DuckDB's RE2 \s excludes it, so the
+        # two engines would disagree on symbol counts for text containing
+        # one. The literal class is identical on both sides.
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 \\t\\n\\r\\f]", "")).alias(
+            "n_sym"
+        ),
     )
     n = F.size("tk")
     sum_len = F.expr("aggregate(tk, 0, (a, x) -> a + length(x))")
@@ -670,7 +676,8 @@ ORACLES = {
             SELECT source,
                    list_filter(string_split(lower(text), ' '),
                                x -> x <> '') AS tk,
-                   LENGTH(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                   LENGTH(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]',
+                                         '', 'g'))
                        AS n_sym
             FROM documents
         ), flags AS (

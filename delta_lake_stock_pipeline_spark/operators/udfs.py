@@ -125,13 +125,21 @@ def apply_in_pandas_group_zscores(spark: SparkSession, sf_dir: str) -> DataFrame
     boundaries; the integer form is partitioning- and order-independent."""
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         n = len(pdf)
         # NULL values: mirror the oracle exactly -- n counts every row
         # (COUNT(*)), but sums/devs/max skip NULL terms (DuckDB SUM/MAX
         # semantics). int(NaN) would crash the worker otherwise.
         v = pdf["value"].dropna()
         # Python ints from here: m_i*n - M squared overflows int64 (~1e28).
-        micros = [int(m) for m in (v * 1e6).round()]
+        # Half-away-from-zero micros, NOT pandas .round() (numpy rounds
+        # half-to-even while DuckDB's round(value*1e6) is away-from-zero;
+        # exact only while fixture values carry <= 6 decimals -- make the
+        # rounding rule identical instead of relying on that).
+        micros = [
+            int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1) for x in v
+        ]
         total = sum(micros)
         mean_out = _round4(float(total) / n / 1e6)
         if n < 2:

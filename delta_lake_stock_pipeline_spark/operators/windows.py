@@ -128,10 +128,19 @@ def trailing_mean_rows(
     (``scatter_min_rows_per_key``), the function takes the plain
     type-partitioned window instead -- identical semantics, measured ~2x
     faster at every size on 32 cores (tools/ma_scaling_bench.py; the
-    scatter form only pays once cluster cores per key exceed ~20). The
-    decision runs BEFORE the scatter path's range-shuffle + checkpoint
-    scaffolding (one cheap per-key count aggregate -- |types| result
-    rows), so the small path is genuinely just scan -> window."""
+    scatter form only pays once cluster cores per key exceed ~20).
+
+    Decision cost, honestly: the path choice is an EXTRA eager count job
+    on every call -- a full input scan that map-side-combines to |types|
+    rows before collect. On the small path that makes the total work
+    decision-scan + window-shuffle; on the scatter path the job runs in
+    ADDITION to the post-checkpoint (pid, type) offset collect, which
+    cannot replace it because the offsets only exist after the range
+    shuffle the decision is deciding whether to pay. Routing the decision
+    through the ranged layout instead would charge the small (measured
+    common) path a range shuffle + localCheckpoint materialisation it
+    does not need, so the standalone count is the cheaper contract: one
+    map-side aggregate vs a full extra shuffle at 100 TB."""
     per_key: dict[str, int] = {
         r["event_type"]: int(r["c"])
         for r in df.groupBy("event_type").agg(F.count("*").alias("c")).collect()

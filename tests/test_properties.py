@@ -38,13 +38,18 @@ _SETTINGS = dict(
 
 def _brute_force_asof(left_rows, right_rows):
     """Reference: for each left row, the right row with max ts <= left.ts on
-    the same key; among equal-ts right rows the largest id wins."""
+    the same key; among equal-ts right rows the largest id wins. NULL keys
+    and NULL timestamps never match: the as-of predicate is an SQL equality
+    plus a comparison, both NULL-rejecting (Python ``None == None`` is True,
+    so the skips must be explicit here)."""
     out = []
     for lid, (lk, lts) in enumerate(left_rows):
+        if lk is None or lts is None:
+            continue
         best = None  # (ts, rid)
         for rid, (rk, rts) in enumerate(right_rows):
-            if rts is None:
-                continue  # NULL ts never satisfies right.ts <= left.ts
+            if rk is None or rts is None:
+                continue
             if rk == lk and rts <= lts and (best is None or (rts, rid) > best):
                 best = (rts, rid)
         if best is not None:
@@ -52,12 +57,14 @@ def _brute_force_asof(left_rows, right_rows):
     return sorted(out)
 
 
-# Right-side ts may be NULL: a NULL timestamp can never satisfy
-# "right.ts <= left.ts" (ASOF comparison is NULL -> no match), which the
-# engine implements by dropping such rows up front (round-3 review fix).
+# Keys AND timestamps may be NULL on either side: a NULL timestamp can
+# never satisfy the as-of comparison (round-3 review fix for NULL-ts
+# rights), and a NULL key can never satisfy the equality (round-5 ADVICE
+# fix: Window.partitionBy groups all NULL keys into one partition, which
+# would let NULL-key lefts match NULL-key rights unless filtered).
 _right_rows = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
         st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
     ),
     min_size=0,
@@ -65,7 +72,7 @@ _right_rows = st.lists(
 )
 
 
-@given(left=_rows, right=_right_rows)
+@given(left=_right_rows, right=_right_rows)
 @settings(**_SETTINGS)
 def test_asof_union_window_matches_brute_force(spark, left, right):
     ldf = spark.createDataFrame(
@@ -520,14 +527,14 @@ def _brute_force_asof_forward(left_rows, right_rows):
     """Reference: for each left row, the right row with MIN ts >= left.ts on
     the same key; among equal-ts right rows the smallest id wins. A NULL
     left ts never matches (the comparison is NULL), mirroring DuckDB
-    ASOF."""
+    ASOF; NULL keys on either side likewise (SQL equality)."""
     out = []
     for lid, (lk, lts) in enumerate(left_rows):
-        if lts is None:
+        if lk is None or lts is None:
             continue
         best = None  # (ts, rid)
         for rid, (rk, rts) in enumerate(right_rows):
-            if rts is None:
+            if rk is None or rts is None:
                 continue
             if rk == lk and rts >= lts and (best is None or (rts, rid) < best):
                 best = (rts, rid)
@@ -536,8 +543,9 @@ def _brute_force_asof_forward(left_rows, right_rows):
     return sorted(out)
 
 
-# NULL ts on EITHER side: a NULL left ts must produce no output row (the
-# round-4 review found plain F.desc carried the min-ts right row into it).
+# NULL ts AND NULL keys on EITHER side: a NULL left ts must produce no
+# output row (the round-4 review found plain F.desc carried the min-ts
+# right row into it), and NULL keys must never pair up (round-5 ADVICE).
 @given(left=_right_rows, right=_right_rows)
 @settings(**_SETTINGS)
 def test_asof_forward_matches_brute_force(spark, left, right):
