@@ -104,10 +104,11 @@ def ann_ivf_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boolean is stable, not probabilistic-flaky. Measured overlap:
     9/10 at sf0.001 and sf0.01, 10/10 at sf0.1.
 
-    v_ann_lsh stays rows-only WITHOUT an anchor: random-hyperplane
-    bucketing at these fixture sizes recalls 0-1 of the exact top-10
-    (measured) -- there is no honest invariant to pin; the IVF path is
-    the engine's recommended ANN scale path."""
+    v_ann_lsh's guarantee is pinned by its own ``v_ann_lsh_anchor``
+    (round 5: multi-table multi-probe lifted fixture-scale recall from
+    0-1/10 to 7/10); IVF remains the engine's recommended ANN scale path
+    -- its candidate set prunes to 4/16 clusters vs LSH's ~25% of rows
+    in this low-cosine regime."""
     exact = cosine_topk(spark, sf_dir).select("vec_id", "cos_sim")
     ivf_hits = ann_ivf_topk(spark, sf_dir).select("vec_id", F.lit(1).alias("hit"))
     return (
@@ -186,51 +187,88 @@ def knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: md5-derived values in [-1, 1].
-    Engine-independent (plain Python, fixed), reproducible across runs."""
-    planes = []
-    for j in range(_ANN_PLANES):
-        plane = []
-        for d in range(_DIM):
-            h = int.from_bytes(
-                hashlib.md5(f"plane{j}_{d}".encode()).digest()[:8], "big"
-            )
-            plane.append((h % 100_000) / 50_000.0 - 1.0)
-        planes.append(plane)
-    return planes
+_LSH_TABLES = 8
+_LSH_HD = 1  # multi-probe: accept buckets within this Hamming distance
+
+
+def _lsh_tables() -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes for ``_LSH_TABLES``
+    independent hash tables of ``_ANN_PLANES`` bits each: md5-derived
+    values in [-1, 1]. Engine-independent (plain Python, fixed),
+    reproducible across runs -- which is what makes the recall anchor a
+    stable boolean rather than a probabilistic one."""
+    tables = []
+    for t in range(_LSH_TABLES):
+        planes = []
+        for j in range(_ANN_PLANES):
+            plane = []
+            for d in range(_DIM):
+                h = int.from_bytes(
+                    hashlib.md5(f"tbl{t}_plane{j}_{d}".encode()).digest()[:8],
+                    "big",
+                )
+                plane.append((h % 100_000) / 50_000.0 - 1.0)
+            planes.append(plane)
+        tables.append(planes)
+    return tables
+
+
+def _lsh_candidate_col(qvec: list[float]) -> F.Column:
+    """TRUE when the row's embedding is an LSH candidate for ``qvec``:
+    in ANY of the ``_LSH_TABLES`` tables, the row's signature is within
+    Hamming distance ``_LSH_HD`` of the query's (multi-probe OR-union).
+
+    Signature bits are sequential-double dot-product signs (the same
+    left-to-right fold order as functions/vector.py ``dot``), packed to
+    an int per table and compared via ``bit_count(xor)`` -- pure
+    Catalyst, zero Python on the data path. The 64 dots are spelled as
+    flat chains of ``element_at * literal`` adds rather than 64
+    ``aggregate``-HOF calls: HOFs are CodegenFallback with no CSE (the
+    t_winnow lesson) and measured ~9 s/query here; the flat form stays
+    inside whole-stage codegen. At 100 TB the signatures are computed
+    once at ingest and the probe enumerates the (1 + b*hd) neighboring
+    bucket ids per table as a partition-pruned lookup; the full-scan
+    filter here is the fixture-scale rendering of the same candidate
+    set."""
+    elems = [
+        F.element_at(F.col("embedding"), d + 1).cast("double")
+        for d in range(_DIM)
+    ]
+    cond = F.lit(False)
+    for planes in _lsh_tables():
+        sig = F.lit(0)
+        qsig = 0
+        for j, plane in enumerate(planes):
+            acc = F.lit(0.0)
+            for d, w in enumerate(plane):
+                acc = acc + elems[d] * F.lit(float(w))
+            bit = F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0))
+            sig = sig + F.shiftleft(bit, j)
+            qd = 0.0
+            for a, b in zip(qvec, plane):
+                qd += float(a) * b
+            qsig += (1 if qd >= 0 else 0) << j
+        cond = cond | (F.bit_count(sig.bitwiseXOR(F.lit(qsig))) <= _LSH_HD)
+    return cond
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH: 8-bit signature ->
-    same-bucket candidates -> exact cosine rerank.
+    """Approximate top-10 via multi-table multi-probe hyperplane LSH:
+    8 independent 8-bit tables, candidates = any table bucket within
+    Hamming distance 1 of the query bucket, exact cosine rerank.
 
-    At scale the signature is computed once at ingest and bucket-partitioned;
-    a query touches one bucket instead of the full table. Rows-only check
-    (approximate recall vs ``v_cosine_topk`` is observable to the judge).
-    """
-    planes = _hyperplanes()
+    The round-4 single-table exact-bucket form recalled 0-1 of the exact
+    top-10 at fixture scale (top-10 cosines here are only ~0.27-0.37 --
+    the hard LSH regime); the multi-probe OR-union measures 7/10 at
+    sf0.001 and sf0.01 while touching ~25% of the table (evidence:
+    ROUND5_NOTES.md). Rows-only here; the pinned guarantee lives in
+    ``v_ann_lsh_anchor``."""
     qvec = _query_vector(spark, sf_dir, 0)
-
-    def signature(col) -> F.Column:
-        sig = F.lit(0)
-        for j, plane in enumerate(planes):
-            bit = F.when(dot(col, _lit_vec(plane)) >= 0, F.lit(1)).otherwise(F.lit(0))
-            sig = sig + F.shiftleft(bit, j)
-        return sig
-
-    # Query signature computed in Python with identical arithmetic.
-    qsig = 0
-    for j, plane in enumerate(planes):
-        d = sum(float(a) * b for a, b in zip(qvec, plane))
-        qsig += (1 if d >= 0 else 0) << j
-
     emb = load_table(spark, sf_dir, "embeddings")
     q = _lit_vec(qvec)
     return (
         emb.filter(F.col("vec_id") != 0)
-        .withColumn("sig", signature(F.col("embedding")))
-        .filter(F.col("sig") == qsig)
+        .filter(_lsh_candidate_col(qvec))
         .select(
             "vec_id",
             "label",
@@ -238,6 +276,46 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
+    )
+
+
+def ann_lsh_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed LSH guarantee (the d_minhash_lsh_anchor pattern):
+    one row with the exact top-10 cardinality and minimum cosine (both
+    recomputed from first principles by the oracle) plus TWO pinned
+    booleans -- recall@10 >= 5 of the exact top-10 appear in the LSH
+    candidate set, AND the candidate set stays <= 35% of the table
+    (integer cross-multiplication, no float ratio), so the anchor
+    witnesses both sides of the ANN bargain: the filter genuinely prunes
+    and what survives genuinely contains the neighbors. Measured: 7/10
+    recall at ~24-25% candidates at sf0.001 and sf0.01; hyperplanes are
+    deterministic, so the booleans are stable, not flaky."""
+    qvec = _query_vector(spark, sf_dir, 0)
+    exact = cosine_topk(spark, sf_dir).select("vec_id", "cos_sim")
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", _lsh_candidate_col(qvec).cast("int").alias("is_cand"))
+    )
+    return (
+        base.join(F.broadcast(exact), "vec_id", "left")
+        .agg(
+            F.count("cos_sim").cast("long").alias("n_exact_topk"),
+            F.min("cos_sim").alias("min_topk_cos"),
+            F.sum(
+                F.when(F.col("cos_sim").isNotNull(), F.col("is_cand")).otherwise(0)
+            ).alias("n_recalled"),
+            F.sum("is_cand").alias("n_cand"),
+            F.count("*").alias("n_total"),
+        )
+        .select(
+            "n_exact_topk",
+            "min_topk_cos",
+            (F.col("n_recalled") >= 5).alias("lsh_recall10_ge5"),
+            (F.col("n_cand") * 20 <= F.col("n_total") * 7).alias(
+                "lsh_cand_frac_le35"
+            ),
+        )
     )
 
 
@@ -507,6 +585,7 @@ QUERIES = {
     "v_pairwise_neardup": pairwise_neardup,
     "v_semantic_dedup": semantic_dedup,
     "v_ann_ivf_anchor": ann_ivf_anchor,
+    "v_ann_lsh_anchor": ann_lsh_anchor,
     "v_knn_per_query": knn_per_query,
     "v_ann_lsh": ann_lsh_topk,
     "v_ann_ivf": ann_ivf_topk,
@@ -602,6 +681,21 @@ ORACLES = {
         SELECT COUNT(*) AS n_exact_topk,
                MIN(cos_sim) AS min_topk_cos,
                TRUE AS ivf_recall10_ge8
+        FROM exact
+    """,
+    # Same shape as the IVF anchor: the exact side is recomputed from
+    # first principles; the LSH recall and candidate-pruning guarantees
+    # are pinned as literal TRUEs (deterministic hyperplanes, fixed data).
+    "v_ann_lsh_anchor": f"""
+        WITH exact AS (
+            SELECT e.vec_id, ROUND({_q_cos}, 6) AS cos_sim
+            FROM embeddings e WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_topk,
+               MIN(cos_sim) AS min_topk_cos,
+               TRUE AS lsh_recall10_ge5,
+               TRUE AS lsh_cand_frac_le35
         FROM exact
     """,
     # Quantization recomputed from first principles: same per-vector
