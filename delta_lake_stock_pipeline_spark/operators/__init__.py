@@ -70,70 +70,76 @@ DRIVER_WINDOW_SIZE = 50
 # The external driver verifies only the FIRST 50 keys of queries() in
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
-# correctness row. Round-4 window: the 9 keys whose oracles were fixed this
-# round (HUGEINT -> BIGINT casts -- green rows prove the fix landed), then
-# the families with zero driver rows across rounds 1-3: all 22 TPC-H
-# shapes, dedup, curation, vector similarity, and window functions. All 50
-# are DuckDB-oracled (no rows-only keys spent on the window). Rotation
-# history: ROUND4_NOTES.md.
+# correctness row. Round-6 window (round 5 was cut short and re-ran the
+# round-4 window): the two keys whose last driver rows are red -- repairs
+# landed in r3/r4 but never driver-confirmed -- then 48 of the 59 oracled
+# keys with no driver row in any round. The 11 deferred to round 7 each
+# share their engine path AND oracle shape with a key inside this window
+# (listed in ROUND6_NOTES.md). All 50 are DuckDB-oracled. Rotation
+# history: ROUND4_NOTES.md, ROUND6_NOTES.md.
 _DRIVER_WINDOW_ROTATION = [
-    # 9 HUGEINT-fixed keys first (src_json_roundtrip shares csv/orc's
-    # oracle verbatim, so its slot goes to the round-4 LSH anchor instead)
-    "src_csv_roundtrip",
-    "src_orc_roundtrip",
-    "d_minhash_lsh_anchor",
-    "fn_try_funcs",
-    "h_q12_priority_shipping",
-    "r_hash_split",
-    "c_domain_mix",
-    "st_lifecycle_rollup",
-    "st_time_travel_rollup",
-    # TPC-H q1-q22 (minus q12 above) -- never driver-checked
-    "h_q1_pricing_summary",
-    "h_q2_min_price_part",
-    "h_q3_shipping_priority",
-    "h_q4_order_priority",
-    "h_q5_local_supplier_volume",
-    "h_q6_forecast_revenue",
-    "h_q7_volume_shipping",
-    "h_q8_market_share",
-    "h_q9_product_profit",
-    "h_q10_returned_items",
-    "h_q11_important_stock",
-    "h_q13_customer_distribution",
-    "h_q14_promo_effect",
-    "h_q15_top_supplier",
-    "h_q16_supplier_variety",
-    "h_q17_small_quantity",
-    "h_q18_large_volume_customer",
-    "h_q19_disjunctive_revenue",
-    "h_q20_potential_promotion",
-    "h_q21_sole_late_supplier",
-    "h_q22_dormant_customers",
-    # dedup family (oracled keys only)
-    "d_exact_summary",
-    "d_exact_keys",
-    "d_keep_latest",
-    "d_ngram_jaccard",
-    "d_dup_clusters",
-    "d_dup_clusters_sql",
-    "d_fuzzy_levenshtein",
-    # curation family
-    "c_contamination",
-    "c_seq_packing",
-    "c_blocklist_redaction",
-    # vector similarity (exact/oracled keys)
-    "v_cosine_topk",
-    "v_quantized_cosine",
-    "v_label_centroids",
-    # window functions
-    "w_moving_avg",
-    "w_range_interval",
-    "w_rank",
-    "w_cumulative",
-    "w_lag_lead",
-    "w_ntile",
-    "w_value_functions",
+    # repairs first: last driver rows are red
+    "src_json_roundtrip",  # r3 FAIL (HUGEINT hash) -- BIGINT cast landed r4
+    "j_asof",  # r1 ERR (crash in asof_join) -- fixed r1-post, never re-run
+    # aggregates: r4 additions + sketch anchors
+    "a9_ohlc_resample",
+    "x_retention_cohorts",
+    "x_funnel",
+    "x_histogram",
+    "x_rolling_mau_anchor",
+    "x_hll_anchor",
+    "x_theta_anchor",
+    "x_kll_anchor",
+    "x_percentile_approx_anchor",
+    # joins: asof-forward / bloom / lateral
+    "j_asof_forward",
+    "j_bloom_pruned",
+    "j_lateral_topn",
+    # scale techniques
+    "x_salted_skew_join",
+    "x_global_row_ids",
+    # reshape (samplers deferred: md5-determinism path shared w/ r_hash_split)
+    "r_pivot",
+    # windows r4 family
+    "w_sessionize",
+    "w_gap_fill",
+    "w_backtest_naive",
+    # text family
+    "t_token_count",
+    "t_word_frequency",
+    "t_quality_score",
+    "t_lang_id",
+    "t_fingerprint",
+    "t_repetition",
+    "t_unigram_logprob",
+    "t_tfidf",
+    "t_winnow",
+    "t_gopher_filter",
+    "t_curation_pipeline",
+    # dedup: span-level + simhash anchor
+    "d_span_dedup",
+    "d_simhash_anchor",
+    # vector similarity: blocked pair graphs + ANN anchors
+    "v_pairwise_neardup",
+    "v_semantic_dedup",
+    "v_ann_ivf_anchor",
+    "v_ann_lsh_anchor",
+    # multimodal (resize/audio-chunks deferred: share codec path w/ these)
+    "m_binary_metadata",
+    "m_image_features",
+    "m_frame_sample",
+    "m_audio_features",
+    # UDF ladder
+    "u_pandas_udf",
+    "u_pandas_udaf",
+    "u_apply_in_pandas",
+    "u_map_in_pandas",
+    "u_py_udtf",
+    # streaming batch twins
+    "s_tumbling_daily",
+    "s_sliding_2d_1d",
+    "s_session_window",
+    "s_interval_join",
 ]
 
 

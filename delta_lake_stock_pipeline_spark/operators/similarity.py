@@ -17,6 +17,8 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -213,41 +215,64 @@ def _lsh_tables() -> list[list[list[float]]]:
     return tables
 
 
-def _lsh_candidate_col(qvec: list[float]) -> F.Column:
-    """TRUE when the row's embedding is an LSH candidate for ``qvec``:
-    in ANY of the ``_LSH_TABLES`` tables, the row's signature is within
-    Hamming distance ``_LSH_HD`` of the query's (multi-probe OR-union).
+def _lsh_plane_matrix():
+    """The hyperplane tables as one (dim, tables*planes) float64 matrix:
+    column ``t * _ANN_PLANES + j`` is plane j of table t."""
+    # (tables, planes, dim) -> (tables*planes, dim) -> transpose
+    flat = [plane for planes in _lsh_tables() for plane in planes]
+    return np.asarray(flat, dtype=np.float64).T
 
-    Signature bits are sequential-double dot-product signs (the same
-    left-to-right fold order as functions/vector.py ``dot``), packed to
-    an int per table and compared via ``bit_count(xor)`` -- pure
-    Catalyst, zero Python on the data path. The 64 dots are spelled as
-    flat chains of ``element_at * literal`` adds rather than 64
-    ``aggregate``-HOF calls: HOFs are CodegenFallback with no CSE (the
-    t_winnow lesson) and measured ~9 s/query here; the flat form stays
-    inside whole-stage codegen. At 100 TB the signatures are computed
+
+def _lsh_sigs_udf():
+    """Arrow-vectorized signature kernel: one numpy matmul per batch
+    computes ALL ``_LSH_TABLES`` 8-bit signatures for every row, returned
+    as ``array<int>`` (one packed int per table).
+
+    Round 5 spelled the same 8x8x64 multiply-add as a single flat
+    Catalyst expression (~4096 nodes) to stay JVM-side; measured round 6,
+    that form pays a FIXED ~15-20 s analysis+janino-compile cost per
+    query (BENCH_r05: v_ann_lsh 22.1 s vs 2.2 s in r4) and its compile
+    peak OOMs a default-1g driver heap late in a long session. A batched
+    numpy matmul is the honest 100 TB ingest kernel for this op: Arrow
+    transfer, one (n, dim) @ (dim, 64) GEMM per batch, no per-row Python.
+    The query-side signature is computed with the SAME matmul
+    (``_query_sigs``), so row and query always agree on fold order."""
+    w = _lsh_plane_matrix()
+    shifts = 1 << np.arange(_ANN_PLANES, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def lsh_sigs(emb: pd.Series) -> pd.Series:
+        mat = np.asarray(emb.tolist(), dtype=np.float64)
+        bits = (mat @ w) >= 0.0  # (n, tables*planes)
+        packed = (
+            bits.reshape(len(mat), _LSH_TABLES, _ANN_PLANES) * shifts
+        ).sum(axis=2)
+        return pd.Series(packed.astype("int32").tolist())
+
+    return lsh_sigs
+
+
+def _query_sigs(qvec: list[float]) -> list[int]:
+    """Driver-side signatures for the query vector -- same numpy matmul
+    as the row kernel so bucket assignment is arithmetic-identical."""
+    bits = (np.asarray([qvec], dtype=np.float64) @ _lsh_plane_matrix()) >= 0.0
+    shifts = 1 << np.arange(_ANN_PLANES, dtype=np.int64)
+    packed = (bits.reshape(1, _LSH_TABLES, _ANN_PLANES) * shifts).sum(axis=2)
+    return [int(s) for s in packed[0]]
+
+
+def _lsh_candidate_col(sigs_col: F.Column, qvec: list[float]) -> F.Column:
+    """TRUE when the row's signatures (from ``_lsh_sigs_udf``) put it in
+    ANY table's bucket within Hamming distance ``_LSH_HD`` of the query's
+    (multi-probe OR-union) -- a tiny 8-term Catalyst expression over the
+    precomputed signature column. At 100 TB the signatures are computed
     once at ingest and the probe enumerates the (1 + b*hd) neighboring
     bucket ids per table as a partition-pruned lookup; the full-scan
     filter here is the fixture-scale rendering of the same candidate
     set."""
-    elems = [
-        F.element_at(F.col("embedding"), d + 1).cast("double")
-        for d in range(_DIM)
-    ]
     cond = F.lit(False)
-    for planes in _lsh_tables():
-        sig = F.lit(0)
-        qsig = 0
-        for j, plane in enumerate(planes):
-            acc = F.lit(0.0)
-            for d, w in enumerate(plane):
-                acc = acc + elems[d] * F.lit(float(w))
-            bit = F.when(acc >= 0, F.lit(1)).otherwise(F.lit(0))
-            sig = sig + F.shiftleft(bit, j)
-            qd = 0.0
-            for a, b in zip(qvec, plane):
-                qd += float(a) * b
-            qsig += (1 if qd >= 0 else 0) << j
+    for t, qsig in enumerate(_query_sigs(qvec)):
+        sig = F.element_at(sigs_col, t + 1)
         cond = cond | (F.bit_count(sig.bitwiseXOR(F.lit(qsig))) <= _LSH_HD)
     return cond
 
@@ -266,9 +291,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = _query_vector(spark, sf_dir, 0)
     emb = load_table(spark, sf_dir, "embeddings")
     q = _lit_vec(qvec)
+    sigs = _lsh_sigs_udf()
     return (
         emb.filter(F.col("vec_id") != 0)
-        .filter(_lsh_candidate_col(qvec))
+        .withColumn("lsh_sigs", sigs(F.col("embedding")))
+        .filter(_lsh_candidate_col(F.col("lsh_sigs"), qvec))
         .select(
             "vec_id",
             "label",
@@ -292,10 +319,17 @@ def ann_lsh_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the booleans are stable, not flaky."""
     qvec = _query_vector(spark, sf_dir, 0)
     exact = cosine_topk(spark, sf_dir).select("vec_id", "cos_sim")
+    sigs = _lsh_sigs_udf()
     base = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") != 0)
-        .select("vec_id", _lsh_candidate_col(qvec).cast("int").alias("is_cand"))
+        .withColumn("lsh_sigs", sigs(F.col("embedding")))
+        .select(
+            "vec_id",
+            _lsh_candidate_col(F.col("lsh_sigs"), qvec)
+            .cast("int")
+            .alias("is_cand"),
+        )
     )
     return (
         base.join(F.broadcast(exact), "vec_id", "left")
