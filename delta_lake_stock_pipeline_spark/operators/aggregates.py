@@ -661,9 +661,13 @@ def kll_rollup_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, build the interpolation numerator in pure long arithmetic
     (``lo*d + rem*(hi-lo)`` with denominator d = 2 for p50, 10 for p90),
     and perform ONE identical double division. Scale note: the
-    cumulative-rank window runs over DISTINCT micros only -- strictly
-    cheaper than the built-in exact ``percentile``, which buffers every
-    raw value in a single aggregation buffer."""
+    cumulative-rank window runs over DISTINCT micros only, but with NO
+    partitionBy it funnels them through one task -- cheaper than the
+    built-in exact ``percentile`` only while distinct-value cardinality
+    stays well below row count (true for the fixture's 6-decimal micros;
+    a near-unique value column would need a two-level per-partition
+    rank-sum merge instead). The anchor is fixture-scale evidence for the
+    KLL fold; ``percentile_approx``/KLL itself is the 100 TB path."""
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "value"
     )

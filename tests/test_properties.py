@@ -62,7 +62,7 @@ def _brute_force_asof(left_rows, right_rows):
 # rights), and a NULL key can never satisfy the equality (round-5 ADVICE
 # fix: Window.partitionBy groups all NULL keys into one partition, which
 # would let NULL-key lefts match NULL-key rights unless filtered).
-_right_rows = st.lists(
+_asof_rows = st.lists(
     st.tuples(
         st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
         st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
@@ -72,7 +72,7 @@ _right_rows = st.lists(
 )
 
 
-@given(left=_right_rows, right=_right_rows)
+@given(left=_asof_rows, right=_asof_rows)
 @settings(**_SETTINGS)
 def test_asof_union_window_matches_brute_force(spark, left, right):
     ldf = spark.createDataFrame(
@@ -546,7 +546,7 @@ def _brute_force_asof_forward(left_rows, right_rows):
 # NULL ts AND NULL keys on EITHER side: a NULL left ts must produce no
 # output row (the round-4 review found plain F.desc carried the min-ts
 # right row into it), and NULL keys must never pair up (round-5 ADVICE).
-@given(left=_right_rows, right=_right_rows)
+@given(left=_asof_rows, right=_asof_rows)
 @settings(**_SETTINGS)
 def test_asof_forward_matches_brute_force(spark, left, right):
     from delta_lake_stock_pipeline_spark.operators.joins import (

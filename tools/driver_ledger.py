@@ -36,18 +36,27 @@ def load_rounds() -> dict[int, dict]:
 
 
 def row_status(row: dict) -> str:
-    """Collapse a driver row to pass / rows_only / fail / error.
+    """Collapse a driver row to pass / partial / rows_only / fail / error.
 
-    Observed driver row shape (CORRECTNESS_r1-r4): ``{rows_match,
+    Observed driver row shape (CORRECTNESS_r1-r5): ``{rows_match,
     schema_match, hash_match, spark_rows, oracle_rows, err}``; rows-only
-    keys get ``None`` comparison bits with a non-null ``spark_rows``.
+    keys get ``None`` comparison bits with ``err: "no_oracle"`` and a
+    non-null ``spark_rows`` (that err value is the driver's contract
+    marker for a deliberately un-oracled key, not a failure).
+
+    ``pass`` requires every bit explicitly True — a row with e.g.
+    ``rows_match=True, hash_match=None`` is ``partial``, its own status,
+    so cumulative driver-green coverage is never overstated.
     """
-    if row.get("err"):
+    err = row.get("err")
+    if err and err != "no_oracle":
         return "error"
     bits = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
     if all(b is None for b in bits):
         return "rows_only" if row.get("spark_rows") is not None else "error"
-    return "pass" if all(b in (True, None) for b in bits) else "fail"
+    if any(b is False for b in bits):
+        return "fail"
+    return "pass" if all(b is True for b in bits) else "partial"
 
 
 def build_ledger() -> dict[str, tuple[str, int]]:
@@ -58,11 +67,12 @@ def build_ledger() -> dict[str, tuple[str, int]]:
     but never overrides an earlier pass — cumulative evidence stands,
     except a later FAIL after a pass is surfaced as regressed).
     """
-    rank = {"pass": 3, "rows_only": 2, "fail": 1, "error": 0}
+    rank = {"pass": 4, "partial": 3, "rows_only": 2, "fail": 1, "error": 0}
     ledger: dict[str, tuple[str, int]] = {}
     regressed: dict[str, tuple[int, int]] = {}
-    for rnum in sorted(load_rounds()):
-        for key, row in load_rounds()[rnum].items():
+    rounds = load_rounds()
+    for rnum in sorted(rounds):
+        for key, row in rounds[rnum].items():
             st = row_status(row)
             prev = ledger.get(key)
             if prev is None or rank[st] >= rank[prev[0]]:
