@@ -111,6 +111,97 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_bernoulli_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed guarantees for the seeded Bernoulli sampler (the
+    sketch-anchor pattern: the rows-only ``r_sample_bernoulli`` key can
+    promise nothing the driver can check; this one pins what the seed
+    DOES guarantee as oracle literals):
+
+    * ``binom_within_5sigma`` -- the sampled count sits within 5 standard
+      deviations of the p=0.1 binomial expectation, in pure long
+      arithmetic: ``(10*n_s - n)^2 <= 225*n`` is exactly
+      ``|n_s - 0.1n| <= 5*sqrt(0.09n)`` scaled by 100. A broken sampler
+      (wrong fraction, double-sampling, partition loss) flips it; the
+      seeded stream never does.
+    * ``n_run_diff = 0`` -- two independent plans with the same seed over
+      the same files select EXACTLY the same rows (symmetric difference
+      via full-outer join on the (l_orderkey, l_linenumber) primary key),
+      i.e. the sample is a reproducible holdout, not a fresh RNG draw.
+
+    Scale shape: one narrow scan per leg, scalar-only aggregates, and the
+    1-row legs meet in broadcast cross joins (plan-gated in _BNLJ_OK)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_linenumber"]
+    s1 = lineitem.sample(fraction=0.1, seed=42).select(*key)
+    s2 = lineitem.sample(fraction=0.1, seed=42).select(*key)
+    tot = lineitem.agg(F.count("*").cast("long").alias("n_total"))
+    ns = s1.agg(F.count("*").cast("long").alias("n_s"))
+    joined = (
+        s1.withColumn("in_a", F.lit(1))
+        .join(s2.withColumn("in_b", F.lit(1)), key, "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("in_a").isNull() | F.col("in_b").isNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_run_diff")
+        )
+    )
+    dev = F.lit(10) * F.col("n_s") - F.col("n_total")
+    return (
+        tot.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(joined))
+        .select(
+            "n_total",
+            (dev * dev <= F.lit(225) * F.col("n_total")).alias(
+                "binom_within_5sigma"
+            ),
+            "n_run_diff",
+        )
+    )
+
+
+def sample_stratified_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed guarantees for the seeded stratified sampler
+    (``sampleBy`` with {'N': 0.2, 'A': 1.0, 'R': 1.0}): per-class count
+    invariants the fractions guarantee, joined against the exact class
+    totals the oracle recomputes.
+
+    * classes sampled at fraction 1.0 ('A', 'R') must keep EVERY row --
+      ``count_ok`` is exact equality;
+    * the 0.2-class 'N' must land within 5 binomial standard deviations:
+      ``(5*n_s - n)^2 <= 100*n`` is ``|n_s - 0.2n| <= 5*sqrt(0.16n)``
+      scaled by 25, pure long arithmetic.
+
+    One shuffle per leg on the 3-value class key, counts only."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    samp = lineitem.sampleBy(
+        "l_returnflag", {"N": 0.2, "A": 1.0, "R": 1.0}, seed=42
+    )
+    per = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_class")
+    )
+    sper = samp.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_s")
+    )
+    dev = F.lit(5) * F.col("n_s") - F.col("n_class")
+    return (
+        per.join(sper, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_class",
+            F.when(
+                F.col("l_returnflag") == "N",
+                dev * dev <= F.lit(100) * F.col("n_class"),
+            )
+            .otherwise(F.col("n_s") == F.col("n_class"))
+            .alias("count_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def hash_split_columns(key: F.Column) -> tuple[F.Column, F.Column]:
     """The engine's ONE definition of the reproducible 80/10/10 holdout:
     ``(bucket, split_label)`` from md5 of a key column (first 32 bits mod
@@ -189,6 +280,8 @@ QUERIES = {
     "r_sample_systematic": sample_systematic,
     "r_sample_bernoulli": sample_bernoulli,
     "r_sample_stratified": sample_stratified,
+    "r_sample_bernoulli_anchor": sample_bernoulli_anchor,
+    "r_sample_stratified_anchor": sample_stratified_anchor,
 }
 
 ORACLES = {
@@ -244,5 +337,20 @@ ORACLES = {
                     AS DOUBLE) AS sum_price
         FROM lineitem WHERE l_orderkey % 7 = 0
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # The anchors' booleans/zeros are literals: the oracle recomputes the
+    # exact population stats and PINS the guarantees; any sampler defect
+    # flips the engine side and the driver hash catches it.
+    "r_sample_bernoulli_anchor": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               TRUE AS binom_within_5sigma,
+               CAST(0 AS BIGINT) AS n_run_diff
+        FROM lineitem
+    """,
+    "r_sample_stratified_anchor": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_class,
+               TRUE AS count_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }
