@@ -31,6 +31,14 @@ BASE = "/tmp/scale_probe"
 EVENT_SIZES = [1_000_000, 4_000_000, 16_000_000]
 DOC_SIZES = [100_000, 400_000]
 DOC_WORDS = 80
+# 10x / 40x the sf0.1 embeddings table (2000 vectors, 10 labels). Labels
+# scale WITH the corpus so blocks stay ~200 vectors -- the production
+# stance (SemDeDup cluster count grows with corpus size); a fixed label
+# count would make the blocked pair graph quadratic by construction and
+# measure nothing but that choice.
+EMB_SIZES = [20_000, 80_000]
+EMB_BLOCK = 200
+EMB_DIM = 64
 
 _TYPES = ["click", "view", "purchase", "signup", "error"]
 _SOURCES = ["wiki", "web", "books", "code", "news"]
@@ -93,6 +101,28 @@ def synth_documents(spark, n: int, out: str) -> None:
             ).alias("source"),
         )
         .withColumn("n_chars", F.length("text").cast("bigint"))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+def synth_embeddings(spark, n: int, out: str) -> None:
+    """n unit-scale 64-dim float vectors, labels sized for ~EMB_BLOCK-row
+    blocks, same schema as the fixture (vec_id BIGINT, embedding FLOAT[],
+    label INT)."""
+    vec = (
+        "transform(sequence(1, {d}), i -> "
+        " cast(pmod(xxhash64(id, i, 10), 200001) / 100000.0 - 1.0 as float))"
+    ).format(d=EMB_DIM)
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(vec).alias("embedding"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(9)), F.lit(max(n // EMB_BLOCK, 1)))
+            .cast("int")
+            .alias("label"),
+        )
         .write.mode("overwrite")
         .parquet(out)
     )
@@ -164,6 +194,27 @@ def main() -> None:
                 results.setdefault(k, []).append((n, sec))
                 print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
             dedup.clear_posts_cache()
+            shutil.rmtree(d, ignore_errors=True)
+
+        emb_keys = [
+            "v_cosine_topk",
+            "v_pairwise_neardup",
+            "v_semantic_dedup",
+            "v_ann_lsh",
+            "v_ann_ivf",
+        ]
+        emb_sizes = EMB_SIZES[:1] if quick else EMB_SIZES
+        for n in emb_sizes:
+            d = f"{BASE}/emb_{n}"
+            synth_embeddings(spark, n, f"{d}/embeddings.parquet")
+            for k in emb_keys:
+                # v_ann_ivf caches its trained index per (session, dir), so
+                # run 1 prices train+build and run 2 the probe path;
+                # best-of-2 therefore reports the sustained-QPS probe cost
+                # (the build amortizes at ingest in production).
+                sec = time_query(q[k], spark, d)
+                results.setdefault(k, []).append((n, sec))
+                print(f"{k:>20} n={n:>10,}  {sec:6.2f}s", flush=True)
             shutil.rmtree(d, ignore_errors=True)
 
         print("\nGrowth ratios (time ratio per size step):")
