@@ -286,7 +286,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 at fixture scale (top-10 cosines here are only ~0.27-0.37 --
     the hard LSH regime); the multi-probe OR-union measures 7/10 at
     sf0.001 and sf0.01 while touching ~25% of the table (evidence:
-    ROUND5_NOTES.md). Rows-only here; the pinned guarantee lives in
+    BENCH_NOTES_r6.md §2). Rows-only here; the pinned guarantee lives in
     ``v_ann_lsh_anchor``."""
     qvec = _query_vector(spark, sf_dir, 0)
     emb = load_table(spark, sf_dir, "embeddings")
