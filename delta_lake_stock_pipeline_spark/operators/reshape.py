@@ -243,6 +243,51 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_SEED = "epoch7:"
+_EPOCH_SHARDS = 8
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible global permutation of
+    the corpus for one training epoch, as HASH ORDERING rather than RNG
+    state -- shard = md5(seed || doc_id) mod n_shards, within-shard order
+    by the same hash. Changing the seed string re-shuffles the next epoch;
+    re-running the same epoch reproduces it bit-for-bit on any engine
+    (md5 is md5 everywhere -- same portability argument as
+    ``hash_split``). This is the training-data ordering primitive: no
+    sampler RNG to checkpoint, resumable mid-epoch at any (shard, rn).
+
+    The result pins the permutation itself, not just membership:
+    ``order_fp = SUM(rn * doc_id)`` changes if ANY two documents swap
+    positions within a shard, and ``head_doc`` pins each shard's first
+    document. Scale shape: at 100 TB this exact expression is
+    ``repartitionByRange(shard, h)`` + a sorted write (the epoch
+    materialization job); shards scale with the cluster, so the
+    per-shard sort is the ordinary write-side sort, never a global
+    single-partition ORDER BY."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit(_EPOCH_SEED), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _EPOCH_SHARDS
+    ).cast("int")
+    base = docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    ordered = base.select(
+        "shard", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ordered.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("rn") * F.col("doc_id")).cast("long").alias("order_fp"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("head_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bottom-k-per-group sample: exactly 5 documents per
     source, chosen by md5 rank of the doc id -- the reproducible
@@ -282,6 +327,7 @@ QUERIES = {
     "r_sample_stratified": sample_stratified,
     "r_sample_bernoulli_anchor": sample_bernoulli_anchor,
     "r_sample_stratified_anchor": sample_stratified_anchor,
+    "r_epoch_shuffle": epoch_shuffle,
 }
 
 ORACLES = {
@@ -352,5 +398,29 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_class,
                TRUE AS count_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "r_epoch_shuffle": """
+        WITH s AS (
+            SELECT doc_id, h,
+                   CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS INT)
+                       AS shard
+            FROM (
+                SELECT doc_id,
+                       md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            )
+        ), r AS (
+            SELECT shard, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY h, doc_id
+                   ) AS rn
+            FROM s
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(rn * doc_id) AS BIGINT) AS order_fp,
+               CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                   AS head_doc
+        FROM r GROUP BY shard ORDER BY shard
     """,
 }

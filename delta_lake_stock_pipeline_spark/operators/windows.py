@@ -664,6 +664,77 @@ def window_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trailing-EWMA weights: alpha-decay 0.9 over the last 20 observations,
+# frozen as exact integer MICROS so both engines multiply identical
+# longs (0.9**k is computed ONCE here, half-away-from-zero -- never
+# pow() at query time, which IEEE does not pin across libm builds).
+_EWMA_K = 20
+_EWMA_W = [int(0.9**k * 1_000_000 + 0.5) for k in range(_EWMA_K)]
+
+
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average of ``value`` per
+    event type (decay 0.9, window 20) -- the classic financial smoother
+    the reference's minute-bar model calls for (reference
+    transform_stock_data.py computes plain daily aggregates; EWMA is the
+    bar-over-bar extension every quant pipeline adds first).
+
+    Exactness: the value is integer micros, each of the 20 frame terms is
+    ``micros x weight-micros`` in pure long arithmetic (weights are
+    frozen literals, see ``_EWMA_W``), missing history contributes to
+    neither numerator nor denominator, and the result is ONE double
+    division + floor(x+0.5) at 6 decimals -- bit-identical on both
+    engines.
+
+    Scale shape: 20 ``lag`` terms over ONE window spec = a single
+    partitioned WindowExec pass (one shuffle on event_type, no HOF, no
+    self-join); the 100 TB variant partitions by (key, time-bucket) with
+    19 carry rows per boundary, exactly the ``trailing_mean_rows``
+    decomposition above."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k, wt in enumerate(_EWMA_W):
+        lv = F.col("vm") if k == 0 else F.lag("vm", k).over(w)
+        num = num + F.coalesce(lv * F.lit(wt), F.lit(0))
+        den = den + F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    ewma = F.when(
+        den > 0,
+        F.floor(num * 1.0 / den + F.lit(0.5)).cast("long") / 1_000_000.0,
+    )
+    return ev.select("event_type", "event_id", ewma.alias("ewma"))
+
+
+def _ewma_oracle() -> str:
+    terms_n, terms_d = [], []
+    for k, wt in enumerate(_EWMA_W):
+        lv = "vm" if k == 0 else f"LAG(vm, {k}) OVER win"
+        terms_n.append(f"COALESCE({lv} * {wt}, 0)")
+        terms_d.append(f"CASE WHEN {lv} IS NOT NULL THEN {wt} ELSE 0 END")
+    num = " + ".join(terms_n)
+    den = " + ".join(terms_d)
+    return f"""
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+            FROM events
+        )
+        SELECT event_type, event_id,
+               CASE WHEN ({den}) > 0 THEN
+                   CAST(FLOOR(({num}) * 1.0 / ({den}) + 0.5) AS BIGINT)
+                   / 1000000.0
+               END AS ewma
+        FROM base
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+
+
 QUERIES = {
     "w_rank": window_rank,
     "w_value_functions": window_value_functions,
@@ -676,9 +747,11 @@ QUERIES = {
     "w_gap_fill": window_gap_fill,
     "w_interpolate": window_interpolate,
     "w_backtest_naive": window_backtest_naive,
+    "w_ewma": window_ewma,
 }
 
 ORACLES = {
+    "w_ewma": _ewma_oracle(),
     # Same dense-LOCF series as w_gap_fill, same integer-cents error
     # sums, same floor(x+0.5) means -- identical expressions both sides.
     "w_backtest_naive": """
