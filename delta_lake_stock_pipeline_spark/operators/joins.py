@@ -426,6 +426,41 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOLERANCE_MS = 24 * 3600 * 1000
+
+
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a staleness tolerance: each click matched
+    to the latest same-user purchase at-or-before it, but ONLY if that
+    purchase is within 24 h -- the point-in-time-correct feature lookup
+    (a quote/feature older than the tolerance is unusable, and silently
+    joining it is the classic training-serving-skew bug).
+
+    Because the as-of core already selects the SINGLE latest prior match
+    per left row, tolerance is exactly one post-filter on that row (any
+    earlier match is staler still) -- no second window, no extra shuffle
+    beyond ``asof_union_window``'s one key shuffle. ``staleness_ms`` is
+    an exact long difference, no division."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    m = asof_union_window(
+        clicks, purchases, "user_id", "ts", "click_id", "purchase_id"
+    )
+    lag_ms = F.unix_millis("ts") - F.unix_millis("ts_matched")
+    return m.filter(lag_ms <= _ASOF_TOLERANCE_MS).select(
+        "click_id",
+        "user_id",
+        F.unix_millis("ts").alias("click_ms"),
+        F.unix_millis("ts_matched").alias("purchase_ms"),
+        lag_ms.alias("staleness_ms"),
+    )
+
+
 def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle join with a Catalyst-injected runtime bloom filter: the
     selective dimension side (urgent orders) builds a ``bloom_filter_agg``
@@ -535,6 +570,7 @@ QUERIES = {
     "j_theta_binned": theta_join_binned,
     "j_asof": asof_join,
     "j_asof_forward": asof_forward_join,
+    "j_asof_tolerance": asof_tolerance_join,
     "j_bloom_pruned": bloom_pruned_join,
     "j_lateral_topn": lateral_topn,
 }
@@ -625,6 +661,23 @@ ORACLES = {
         ASOF JOIN
              (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "j_asof_tolerance": """
+        SELECT click_id, user_id, click_ms, purchase_ms,
+               click_ms - purchase_ms AS staleness_ms
+        FROM (
+            SELECT c.event_id AS click_id,
+                   c.user_id,
+                   epoch_ms(c.ts) AS click_ms,
+                   epoch_ms(p.ts) AS purchase_ms
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF JOIN
+                 (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND c.ts >= p.ts
+        )
+        WHERE click_ms - purchase_ms <= 86400000
     """,
     "j_bloom_pruned": """
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
