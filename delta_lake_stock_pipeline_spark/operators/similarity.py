@@ -502,6 +502,114 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_batch_df(spark: SparkSession, sf_dir: str, n_queries: int):
+    """The first ``n_queries`` query vectors as a tiny DataFrame built
+    from literals (query_id, qvec) -- a bounded query *parameter* batch
+    (n x dim floats cross the driver), carried via range(1)+explode, not
+    ``createDataFrame`` (which would pay a pickled-RDD round-trip)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    structs = [
+        F.struct(
+            F.lit(int(r[0])).alias("query_id"),
+            _lit_vec(list(r[1])).alias("qvec"),
+        )
+        for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.query_id", "s.qvec")
+    ), [(int(r[0]), list(r[1])) for r in rows]
+
+
+def ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF serving anchor: 5 query vectors answered in ONE pass over
+    the UNION of their probed cluster partitions -- the sustained-QPS
+    shape (amortize the scan across a query batch instead of one pruned
+    scan per query). Per query: the exact top-10 cardinality and minimum
+    cosine (both recomputed from first principles by the oracle) plus a
+    pinned boolean ``recall10_ge7`` -- measured per-query recall@10 is
+    7-9 at sf0.001/sf0.01 and 10/10 at sf0.1 (training is deterministic,
+    so the booleans are stable).
+
+    Scale shape: the probe map (query x cluster, nprobe rows per query)
+    and query vectors are bounded centroid-metadata broadcasts; the index
+    scan reads only the probed partition directories; candidate cosines
+    are one expression per (candidate, query) pair; the exact side exists
+    only because this is an ANCHOR -- production serves from the pruned
+    scan alone."""
+    path, centroids = _ivf_index(spark, sf_dir)
+    qdf, qlist = _query_batch_df(spark, sf_dir, 5)
+
+    pairs = []
+    for qid, qvec in qlist:
+        qsims = [_py_cosine(qvec, c) for c in centroids]
+        probe = sorted(range(_IVF_K), key=lambda i: (-qsims[i], i))[:_IVF_NPROBE]
+        pairs.extend((qid, i + 1) for i in probe)
+    union_clusters = sorted({cl for _, cl in pairs})
+    probe_df = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("query_id"),
+                            F.lit(c).alias("cluster"),
+                        )
+                        for q, c in pairs
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.query_id", "s.cluster")
+    )
+
+    cand_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(union_clusters))
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+        .join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scored = (
+        emb.join(F.broadcast(qdf), emb.vec_id != qdf.query_id)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    exact = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    return (
+        exact.join(
+            cand_ids.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact_topk"),
+            F.min("cos_sim").alias("min_topk_cos"),
+            (F.coalesce(F.sum("hit"), F.lit(0)) >= 7).alias("recall10_ge7"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid: element-wise mean over every vector of
     the label, emitted long-form ``(label, dim, c)`` -- the shape an IVF /
@@ -619,6 +727,7 @@ QUERIES = {
     "v_pairwise_neardup": pairwise_neardup,
     "v_semantic_dedup": semantic_dedup,
     "v_ann_ivf_anchor": ann_ivf_anchor,
+    "v_ann_ivf_batch": ann_ivf_batch,
     "v_ann_lsh_anchor": ann_lsh_anchor,
     "v_knn_per_query": knn_per_query,
     "v_ann_lsh": ann_lsh_topk,
@@ -706,6 +815,23 @@ ORACLES = {
     """,
     # v_ann_lsh / v_ann_ivf: intentionally no oracle (approximate).
     # v_ann_ivf_anchor: exact side recomputed; recall boolean pinned TRUE.
+    "v_ann_ivf_batch": f"""
+        WITH exact AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   ROUND({_knn_cos}, 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({_knn_cos}, 6) DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+        )
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_topk,
+               MIN(cos_sim) AS min_topk_cos,
+               TRUE AS recall10_ge7
+        FROM exact WHERE rn <= 10
+        GROUP BY query_id ORDER BY query_id
+    """,
     "v_ann_ivf_anchor": f"""
         WITH exact AS (
             SELECT e.vec_id, ROUND({_q_cos}, 6) AS cos_sim

@@ -254,6 +254,10 @@ _BNLJ_OK = {
     # Three 1-row scalar aggregates (total x sampled x run-diff) meet in
     # broadcast cross joins.
     "r_sample_bernoulli_anchor",
+    # The 5-literal-row query batch scores against the corpus via a
+    # broadcast nested loop (vec_id != query_id) -- the intended
+    # batch-scoring shape: every corpus row meets each of the 5 queries.
+    "v_ann_ivf_batch",
 }
 # Queries ALLOWED to cross into Python row-at-a-time (pickled): the two
 # deliberate slow-path demos.
