@@ -697,18 +697,34 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return trailing_ewma(ev, "event_type", ["ts", "event_id"]).select(
+        "event_type", "event_id", "ewma"
+    )
+
+
+def trailing_ewma(
+    df: DataFrame, part_col: str, order_cols: list[str], vm_col: str = "vm"
+) -> DataFrame:
+    """Core of ``w_ewma`` (separated so the hypothesis brute-force test
+    can drive it on arbitrary inputs): adds an ``ewma`` column -- the
+    weight-decayed mean of the last ``_EWMA_K`` rows' integer-micros
+    values within the partition. Rows beyond the partition start and NULL
+    values contribute to neither numerator nor denominator; a row whose
+    whole frame is NULL gets NULL. Positions are ROW positions: a NULL
+    value still occupies its lag slot (its weight is skipped, not
+    shifted)."""
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
     num = F.lit(0).cast("long")
     den = F.lit(0).cast("long")
     for k, wt in enumerate(_EWMA_W):
-        lv = F.col("vm") if k == 0 else F.lag("vm", k).over(w)
+        lv = F.col(vm_col) if k == 0 else F.lag(vm_col, k).over(w)
         num = num + F.coalesce(lv * F.lit(wt), F.lit(0))
         den = den + F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
     ewma = F.when(
         den > 0,
         F.floor(num * 1.0 / den + F.lit(0.5)).cast("long") / 1_000_000.0,
     )
-    return ev.select("event_type", "event_id", ewma.alias("ewma"))
+    return df.withColumn("ewma", ewma)
 
 
 def _ewma_oracle() -> str:

@@ -566,3 +566,95 @@ def test_asof_forward_matches_brute_force(spark, left, right):
         .collect()
     )
     assert got == _brute_force_asof_forward(left, right)
+
+
+# --- trailing EWMA (w_ewma core) ------------------------------------------
+# Integer-micros values, possible NULLs, colliding (key, ts) pairs; ids make
+# the order total. Small domains force frame-boundary and all-NULL frames.
+_ewma_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=9),  # ts
+        st.one_of(st.none(), st.integers(min_value=0, max_value=500)),  # vm
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _brute_ewma(rows):
+    """Reference: per key, rows ordered by (ts, id); row i's frame is the
+    last <=20 ROW positions (NULL values occupy their slot but contribute
+    nothing); weights _EWMA_W by row distance; floor(num/den + 0.5)/1e6
+    with the same single float division the engine performs."""
+    import math
+
+    from delta_lake_stock_pipeline_spark.operators.windows import _EWMA_W
+
+    by_key: dict[int, list[tuple]] = {}
+    for rid, (k, ts, vm) in enumerate(rows):
+        by_key.setdefault(k, []).append((ts, rid, vm))
+    out = []
+    for k, krows in by_key.items():
+        krows.sort(key=lambda r: (r[0], r[1]))
+        for i, (ts, rid, _) in enumerate(krows):
+            num = den = 0
+            for d in range(min(len(_EWMA_W), i + 1)):
+                vm = krows[i - d][2]
+                if vm is not None:
+                    num += vm * _EWMA_W[d]
+                    den += _EWMA_W[d]
+            ewma = (
+                math.floor(num * 1.0 / den + 0.5) / 1_000_000.0
+                if den > 0
+                else None
+            )
+            out.append((rid, k, ts, ewma))
+    return sorted(out)
+
+
+@given(rows=_ewma_rows)
+@settings(**_SETTINGS)
+def test_trailing_ewma_matches_brute_force(spark, rows):
+    from delta_lake_stock_pipeline_spark.operators.windows import trailing_ewma
+
+    df = spark.createDataFrame(
+        [(i, k, t, v) for i, (k, t, v) in enumerate(rows)],
+        "id long, k long, ts long, vm long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in trailing_ewma(df, "k", ["ts", "id"])
+        .select("id", "k", "ts", "ewma")
+        .collect()
+    )
+    assert got == _brute_ewma(rows)
+
+
+# --- as-of with tolerance (j_asof_tolerance core) -------------------------
+@given(left=_asof_rows, right=_asof_rows)
+@settings(**_SETTINGS)
+def test_asof_tolerance_is_postfilter_of_latest_match(spark, left, right):
+    """The tolerance contract: match iff the SINGLE latest prior right row
+    is within T -- NOT 'any prior right row within T'. The brute force
+    applies the filter after selecting the latest match, exactly the
+    operator's composition; a (stale-latest, fresh-earlier) pair is the
+    case that distinguishes the two readings."""
+    T = 3
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], "rid long, k long, ts long"
+    )
+    m = asof_union_window(ldf, rdf, "k", "ts", "lid", "rid")
+    got = sorted(
+        tuple(r)
+        for r in m.filter((F.col("ts") - F.col("ts_matched")) <= T)
+        .select("lid", "k", "ts", "rid", "ts_matched")
+        .collect()
+    )
+    want = [
+        row for row in _brute_force_asof(left, right) if row[2] - row[4] <= T
+    ]
+    assert got == sorted(want)
