@@ -712,19 +712,36 @@ def trailing_ewma(
     values contribute to neither numerator nor denominator; a row whose
     whole frame is NULL gets NULL. Positions are ROW positions: a NULL
     value still occupies its lag slot (its weight is skipped, not
-    shifted)."""
+    shifted).
+
+    Plan shape (measured round 6, 1M rows): the lags are materialized as
+    NAMED COLUMNS first and the num/den/ewma arithmetic references those
+    attributes. Inlining the num/den trees into the final
+    ``when(den > 0, num/den)`` expression re-expands every
+    ``lag() over w`` at each textual use -- ExtractWindowExpressions does
+    NOT dedup semantically-equal window expressions -- yielding ~60 frame
+    processors instead of 19 and 9.1 s instead of 2.1 s (4.4x). Same
+    lesson as the HOF/CollapseProject staging rules: anything consumed
+    more than once gets a column."""
     w = Window.partitionBy(part_col).orderBy(*order_cols)
+    nlag = len(_EWMA_W) - 1
+    staged = df.select(
+        "*",
+        *[F.lag(vm_col, k).over(w).alias(f"__l{k}") for k in range(1, nlag + 1)],
+    )
     num = F.lit(0).cast("long")
     den = F.lit(0).cast("long")
     for k, wt in enumerate(_EWMA_W):
-        lv = F.col(vm_col) if k == 0 else F.lag(vm_col, k).over(w)
+        lv = F.col(vm_col) if k == 0 else F.col(f"__l{k}")
         num = num + F.coalesce(lv * F.lit(wt), F.lit(0))
         den = den + F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
     ewma = F.when(
         den > 0,
         F.floor(num * 1.0 / den + F.lit(0.5)).cast("long") / 1_000_000.0,
     )
-    return df.withColumn("ewma", ewma)
+    return staged.withColumn("ewma", ewma).drop(
+        *[f"__l{k}" for k in range(1, nlag + 1)]
+    )
 
 
 def _ewma_oracle() -> str:

@@ -157,7 +157,7 @@ def main() -> None:
     from delta_lake_stock_pipeline_spark.operators import all_queries
 
     q = all_queries()
-    event_keys = ["a0_flagship_daily_rollup", "w_sessionize"]
+    event_keys = ["a0_flagship_daily_rollup", "w_sessionize", "w_ewma"]
     doc_keys = [
         "t_tfidf",
         "t_winnow",
