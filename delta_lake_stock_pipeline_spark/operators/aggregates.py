@@ -687,11 +687,12 @@ def kll_rollup_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = vals.groupBy("m").agg(F.count("*").alias("c"))
     wcum = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    # One window pass: ExtractWindowExpressions does not dedup equal
+    # window expressions (the w_ewma lesson), so prev derives from the
+    # cum ATTRIBUTE rather than a second sum-over-window tree.
     cum = counts.select(
-        "m",
-        F.sum("c").over(wcum).alias("cum"),
-        (F.sum("c").over(wcum) - F.col("c")).alias("prev"),
-    )
+        "m", "c", F.sum("c").over(wcum).alias("cum")
+    ).select("m", "cum", (F.col("cum") - F.col("c")).alias("prev"))
     nrow = vals.agg(F.count("*").alias("nv"))
     # 1-based interpolation position 1 + (n-1)*q: bracketing ranks and the
     # integer remainder of the fractional part (denominator 2 resp. 10).
