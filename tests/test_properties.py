@@ -658,3 +658,34 @@ def test_asof_tolerance_is_postfilter_of_latest_match(spark, left, right):
         row for row in _brute_force_asof(left, right) if row[2] - row[4] <= T
     ]
     assert got == sorted(want)
+
+
+def test_epoch_shuffle_partitions_corpus_and_reseeds(spark, sf_dir):
+    """Epoch-shuffle invariants the oracle's exact values imply but are
+    worth stating directly: the shards PARTITION the corpus (counts sum
+    to the doc count), and changing the epoch seed yields a genuinely
+    different permutation (different order fingerprints) over the same
+    membership universe -- the 'next epoch' contract."""
+    from delta_lake_stock_pipeline_spark.operators import reshape
+    from delta_lake_stock_pipeline_spark.sources.fixtures import load_table
+
+    base = {
+        r["shard"]: (r["n_docs"], r["order_fp"])
+        for r in reshape.epoch_shuffle(spark, sf_dir).collect()
+    }
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(n for n, _ in base.values()) == n_total
+
+    orig = reshape._EPOCH_SEED
+    try:
+        reshape._EPOCH_SEED = "epoch8:"
+        other = {
+            r["shard"]: (r["n_docs"], r["order_fp"])
+            for r in reshape.epoch_shuffle(spark, sf_dir).collect()
+        }
+    finally:
+        reshape._EPOCH_SEED = orig
+    assert sum(n for n, _ in other.values()) == n_total
+    assert {fp for _, fp in base.values()} != {fp for _, fp in other.values()}, (
+        "reseeding must produce a different permutation"
+    )
