@@ -140,9 +140,15 @@ def sample_bernoulli_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.withColumn("in_a", F.lit(1))
         .join(s2.withColumn("in_b", F.lit(1)), key, "full_outer")
         .agg(
-            F.sum(
-                F.when(F.col("in_a").isNull() | F.col("in_b").isNull(), 1)
-                .otherwise(0)
+            # coalesce: SUM over ZERO joined rows (an empty sample at tiny
+            # inputs) is NULL, and the anchor's pinned literal is 0.
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("in_a").isNull() | F.col("in_b").isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_run_diff")

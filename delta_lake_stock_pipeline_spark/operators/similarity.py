@@ -242,12 +242,26 @@ def _lsh_sigs_udf():
 
     @F.pandas_udf("array<int>")
     def lsh_sigs(emb: pd.Series) -> pd.Series:
-        mat = np.asarray(emb.tolist(), dtype=np.float64)
-        bits = (mat @ w) >= 0.0  # (n, tables*planes)
-        packed = (
-            bits.reshape(len(mat), _LSH_TABLES, _ANN_PLANES) * shifts
-        ).sum(axis=2)
-        return pd.Series(packed.astype("int32").tolist())
+        # NULL / wrong-length embeddings get a NULL signature array (the
+        # Catalyst predecessor yielded NULL through element_at; a raw
+        # asarray would instead crash the whole Arrow batch on one bad
+        # row). Valid rows still go through ONE dense GEMM.
+        vals = emb.tolist()
+        ok = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == _DIM
+        ]
+        out = [None] * len(vals)
+        if ok:
+            mat = np.asarray([vals[i] for i in ok], dtype=np.float64)
+            bits = (mat @ w) >= 0.0  # (n_ok, tables*planes)
+            packed = (
+                bits.reshape(len(ok), _LSH_TABLES, _ANN_PLANES) * shifts
+            ).sum(axis=2)
+            for row, i in zip(packed.astype("int32").tolist(), ok):
+                out[i] = row
+        return pd.Series(out)
 
     return lsh_sigs
 
