@@ -51,6 +51,79 @@ def zone_map(path: str, label: str) -> None:
     )
 
 
+def must_scan(path: str, preds: list[tuple[str, float, float]]):
+    """(hit_groups, total_groups, hit_rows, total_rows) for a conjunction
+    of range predicates, judged purely from footer min/max."""
+    total = hit = rows_total = rows_hit = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            total += 1
+            rows_total += g.num_rows
+            keep = True
+            for col, lo, hi in preds:
+                st = g.column(names.index(col)).statistics
+                if st is not None and (st.min >= hi or st.max < lo):
+                    keep = False
+                    break
+            if keep:
+                hit += 1
+                rows_hit += g.num_rows
+    return hit, total, rows_hit, rows_total
+
+
+def zorder_2d(spark) -> None:
+    """2-D variant (``--zorder``): single-column sort vs Morton z-order
+    (`storage.maintenance.zorder_key`) under box / single-axis range
+    predicates. Round-6 measurement (8M rows, 5%-per-axis ranges):
+    x-sorted layout must scan 9.5% for x-predicates but 100% for
+    y-predicates; z-order bounds EVERY axis (box 22.6%, y-only 31.7%,
+    x-only 59.7%). Single-column sort wins iff queries always filter that
+    column; z-order is the insurance policy when predicates vary."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_stock_pipeline_spark.storage.maintenance import zorder_key
+
+    base = f"{BASE}/zab"
+    df = spark.range(N).select(
+        (
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).cast("double")
+            / 1000.0
+        ).alias("x"),
+        (
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)).cast("double")
+            / 1000.0
+        ).alias("y"),
+    )
+    df.repartitionByRange(32, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/xsort")
+    zk = zorder_key(df, ["x", "y"], bits=8)
+    (
+        df.withColumn("__z", zk)
+        .repartitionByRange(32, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(f"{base}/zorder")
+    )
+    box = [("x", 500.0, 550.0), ("y", 500.0, 550.0)]
+    for path, label in ((f"{base}/xsort", "x-sorted"), (f"{base}/zorder", "z-order ")):
+        for preds, plabel in (
+            (box, "box(x,y)"),
+            (box[1:], "y-only  "),
+            (box[:1], "x-only  "),
+        ):
+            h, t, rh, rt = must_scan(path, preds)
+            print(
+                f"{label} {plabel}: row-groups {h}/{t}, "
+                f"must-scan {100 * rh / rt:.1f}%",
+                flush=True,
+            )
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -64,6 +137,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(BASE, ignore_errors=True)
+    if "--zorder" in sys.argv:
+        try:
+            zorder_2d(spark)
+        finally:
+            shutil.rmtree(BASE, ignore_errors=True)
+        return
     df = spark.range(N).select(
         F.col("id"),
         (F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("double") / 10.0).alias(
