@@ -333,6 +333,68 @@ def hll_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def approx_topk_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed heavy-hitters guarantee for Spark 4.1's
+    ``approx_top_k`` -- the last sketch family (space-saving top-k)
+    without an anchor key. Capacity (10000) exceeds the fixture's user
+    cardinality (<=1500 at sf0.1), so the sketch is in its
+    EXACT-under-capacity regime -- a theorem of the space-saving
+    algorithm, not luck -- and two booleans are honestly pinnable:
+    every user STRICTLY above the 10th-highest count boundary appears in
+    the sketch's top-10 (boundary-tie-proof: ties at the boundary may
+    legitimately resolve either way, so they are excluded), and the
+    sketch's count for each such user equals the exact count. At 100 TB
+    capacity is sized against estimated cardinality; under-capacity the
+    counts become upper bounds and this anchor's booleans are exactly
+    what a deployment would re-verify on a sample.
+
+    Scale shape: exact side is one hash-agg; the rank window runs over
+    the DISTINCT-user aggregate only (bounded, the x_kll_anchor stance);
+    1-row boundary/max legs ride broadcast cross joins (_BNLJ_OK)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    wrk = Window.orderBy(F.desc("n"), "user_id")
+    b10 = (
+        exact.select("n", F.row_number().over(wrk).alias("rn"))
+        .filter(F.col("rn") == 10)
+        .select(F.col("n").alias("b10"))
+    )
+    stats = exact.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.max("n").cast("long").alias("max_count"),
+    )
+    approx = (
+        ev.agg(F.expr("approx_top_k(user_id, 10, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("user_id"),
+            F.col("s.count").cast("long").alias("cnt_approx"),
+        )
+    )
+    above = exact.crossJoin(F.broadcast(b10)).filter(F.col("n") > F.col("b10"))
+    checked = above.join(approx, "user_id", "left").agg(
+        F.count("*").cast("long").alias("n_above_b10"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt_approx").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_missed"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("cnt_approx") != F.col("n"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_count_mismatch"),
+    )
+    return stats.crossJoin(F.broadcast(checked)).select(
+        "n_users",
+        "max_count",
+        "n_above_b10",
+        (F.col("n_missed") == 0).alias("topk_covers_above_boundary"),
+        (F.col("n_count_mismatch") == 0).alias("topk_counts_exact"),
+    )
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of event values per type (10 buckets of 100
     over the [0, 1000) domain) with each bucket's share in basis points --
@@ -898,6 +960,7 @@ QUERIES = {
     "x_theta_anchor": theta_anchor,
     "x_kll_anchor": kll_rollup_anchor,
     "x_percentile_approx_anchor": percentile_approx_anchor,
+    "x_approx_topk_anchor": approx_topk_anchor,
     "x_stats_moments": stats_moments,
 }
 
@@ -1084,6 +1147,26 @@ ORACLES = {
                COUNT(DISTINCT user_id) AS n_users_exact,
                TRUE AS est_within_tol
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # Exact population stats recomputed; the two sketch booleans are
+    # literal TRUEs (exact-under-capacity regime, see the docstring).
+    # Boundary-tie-proof: only users STRICTLY above the 10th count are
+    # required in the sketch's list.
+    "x_approx_topk_anchor": """
+        WITH exact AS (
+            SELECT user_id, COUNT(*) AS n FROM events
+            WHERE user_id IS NOT NULL GROUP BY user_id
+        ), b AS (
+            SELECT n AS b10 FROM exact
+            ORDER BY n DESC, user_id LIMIT 1 OFFSET 9
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MAX(n) AS BIGINT) AS max_count,
+               CAST(SUM(CASE WHEN n > (SELECT b10 FROM b)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above_b10,
+               TRUE AS topk_covers_above_boundary,
+               TRUE AS topk_counts_exact
+        FROM exact
     """,
     # Identical exact-integer interpolation as the engine: bracketing
     # order statistics as integer micros via a distinct-value cumulative

@@ -258,6 +258,8 @@ _BNLJ_OK = {
     # broadcast nested loop (vec_id != query_id) -- the intended
     # batch-scoring shape: every corpus row meets each of the 5 queries.
     "v_ann_ivf_batch",
+    # 1-row boundary/stats legs ride broadcast cross joins.
+    "x_approx_topk_anchor",
 }
 # Queries ALLOWED to cross into Python row-at-a-time (pickled): the two
 # deliberate slow-path demos.
