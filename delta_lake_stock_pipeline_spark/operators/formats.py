@@ -107,10 +107,63 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_aggregate(spark.read.orc(path))
 
 
+def _binary_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the first 8 documents' utf-8 bytes as individual ``.bin``
+    files once per session+fixture -- driver-side, 8 bounded files (a
+    fixture rendering of an object-store image/audio bucket; real buckets
+    are written by producers, not the engine)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "binfiles")
+    if key not in _written:
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 8)
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="spark_bin_rt_"), "docs")
+        os.makedirs(path)
+        for r in rows:
+            with open(os.path.join(path, f"{int(r[0]):04d}.bin"), "wb") as fh:
+                fh.write(str(r[1]).encode("utf-8"))
+        _written[key] = path
+    return _written[key]
+
+
+def binary_files_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-binary-files source (``format("binaryFile")``) -- the
+    ingestion path for image/audio/video corpora: one row per FILE with
+    (path, modificationTime, length, content), no decoding. The
+    multimodal family consumes exactly these opaque bytes; this key
+    proves the source itself. Round-trip: doc_id parsed from the file
+    name, byte length, and content md5 must all equal what the oracle
+    recomputes from the ORIGINAL documents table -- the source returned
+    exactly the written bytes.
+
+    Scale: binaryFile splits by FILE (small files bin-packed per
+    ``maxPartitionBytes``, one task never splits a file -- the right
+    contract for images); selecting only metadata prunes the content
+    bytes out of the scan. At 100 TB this is the bronze-layer manifest
+    builder: (path, length, hash) without decoding anything."""
+    path = _binary_dir(spark, sf_dir)
+    df = spark.read.format("binaryFile").load(path)
+    return (
+        df.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
     "src_orc_roundtrip": orc_roundtrip,
+    "src_binary_files": binary_files_source,
 }
 
 _AGG_SQL = """
@@ -128,4 +181,12 @@ ORACLES = {
     "src_csv_roundtrip": _AGG_SQL,
     "src_json_roundtrip": _AGG_SQL,
     "src_orc_roundtrip": _AGG_SQL,
+    # Recomputed from the ORIGINAL table: equality proves the binaryFile
+    # source returned exactly the bytes the files were written with.
+    "src_binary_files": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id < 8 ORDER BY doc_id
+    """,
 }
