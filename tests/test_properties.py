@@ -689,3 +689,53 @@ def test_epoch_shuffle_partitions_corpus_and_reseeds(spark, sf_dir):
     assert {fp for _, fp in base.values()} != {fp for _, fp in other.values()}, (
         "reseeding must produce a different permutation"
     )
+
+
+# --- ranged_with_offsets (global-prefix decomposition core) ---------------
+# Duplicate order keys + zero weights + fewer rows than partitions: the
+# thin-partition regime where the round-3 carry-rows bug class lived.
+_rw_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # order key (duplicates!)
+        st.integers(min_value=0, max_value=5),  # weight (zeros allowed)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=_rw_rows)
+@settings(**_SETTINGS)
+def test_ranged_with_offsets_invariants_on_thin_partitions(spark, rows):
+    """The decomposition's whole contract, checked from its own output on
+    5 forced partitions: (1) every row's ``off`` equals the exact total
+    weight of all rows in LOWER pids; (2) pids really are ranges (max key
+    of pid p <= min key of pid p+1 -- equal keys can never straddle,
+    placement is by value); (3) no row lost or duplicated."""
+    from delta_lake_stock_pipeline_spark.operators.scale import (
+        ranged_with_offsets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, w) for i, (k, w) in enumerate(rows)],
+        "id long, k long, w long",
+    )
+    out = ranged_with_offsets(spark, df, "k", "w", n_partitions=5).collect()
+    assert sorted(r["id"] for r in out) == list(range(len(rows)))
+    if not rows:
+        return
+    by_pid: dict[int, list] = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r)
+    acc = 0
+    for p in sorted(by_pid):
+        assert {r["off"] for r in by_pid[p]} == {acc}, (
+            f"pid {p}: offsets {sorted(set(r['off'] for r in by_pid[p]))} "
+            f"!= cumulative weight {acc}"
+        )
+        acc += sum(r["w"] for r in by_pid[p])
+    pids = sorted(by_pid)
+    for a, b in zip(pids, pids[1:]):
+        assert max(r["k"] for r in by_pid[a]) <= min(
+            r["k"] for r in by_pid[b]
+        )
