@@ -525,6 +525,15 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the pair list ONCE before symmetrizing -- a plain union
     # would re-run the whole shingle-join pipeline per branch.
     pairs = _dup_pairs(spark, sf_dir)
+    return min_label_components(pairs).orderBy("doc_id")
+
+
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Core of ``duplicate_clusters``, separated so the hypothesis
+    brute-force (union-find) test can drive it on arbitrary edge lists:
+    undirected pair rows ``(doc_a, doc_b)`` -> one row per involved node
+    ``(doc_id, cluster_id)`` with cluster_id = the minimum doc_id of the
+    node's connected component."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -574,9 +583,7 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:  # pragma: no cover
         raise RuntimeError("component labeling did not converge in 20 rounds")
-    return labels.select("doc_id", F.col("lab").alias("cluster_id")).orderBy(
-        "doc_id"
-    )
+    return labels.select("doc_id", F.col("lab").alias("cluster_id"))
 
 
 def duplicate_clusters_sql(spark: SparkSession, sf_dir: str) -> DataFrame:

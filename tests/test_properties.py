@@ -739,3 +739,59 @@ def test_ranged_with_offsets_invariants_on_thin_partitions(spark, rows):
         assert max(r["k"] for r in by_pid[a]) <= min(
             r["k"] for r in by_pid[b]
         )
+
+
+# --- min-label connected components (dup_clusters core) -------------------
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _brute_components(edges):
+    """Union-find reference: node -> min node id of its component (only
+    nodes that appear in an edge, matching the operator's contract)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return sorted(
+        (n, min(members)) for members in comp.values() for n in members
+    )
+
+
+@given(edges=_edge_lists)
+@settings(**_SETTINGS)
+def test_min_label_components_matches_union_find(spark, edges):
+    """Arbitrary graphs -- self-loops, duplicate edges, chains at the
+    8-node diameter limit, disconnected singleton pairs -- must converge
+    to the same (node -> component-min) labeling a serial union-find
+    produces."""
+    from delta_lake_stock_pipeline_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in min_label_components(pairs).collect()
+    )
+    assert got == _brute_components(edges)
