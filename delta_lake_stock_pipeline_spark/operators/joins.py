@@ -375,6 +375,124 @@ def asof_union_window_forward(
     )
 
 
+def asof_union_window_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Nearest as-of core: for every left row, BOTH the latest right ``ts``
+    at-or-before and the earliest right ``ts`` strictly-after (same ``key``)
+    in ONE pass -- one union, one shuffle+sort on the key, two window frames
+    over the same ordering (LOCF up-to-current for the backward side,
+    ``first`` from-current-forward for the forward side). The caller picks
+    the nearer of the two; equal-ts right rows land on the BACKWARD side at
+    distance zero, which wins any tie, so excluding them from the forward
+    frame never changes the nearest result.
+
+    NULL-``ts`` left rows are dropped up front (no defined distance -- the
+    comparison is NULL on both sides of the oracle), as are NULL-``ts`` and
+    NULL-``key`` rights, matching the backward/forward cores' contract.
+    Output: left_id, key, ts, ``ts_before`` / ``ts_after`` (either may be
+    NULL, never both). Property-tested against a brute-force reference in
+    tests/test_properties.py."""
+    tag = lambda df, idc, side: df.select(  # noqa: E731
+        F.col(idc).alias("__id"), F.col(key).alias(key), F.col(ts).alias(ts)
+    ).withColumn("__side", F.lit(side))
+    tagged = (
+        tag(left, left_id, 0)
+        .filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
+        .unionByName(
+            tag(right, right_id, 1)
+            .filter(F.col(ts).isNotNull())
+            .filter(F.col(key).isNotNull())
+        )
+    )
+    # Ascending (ts, side desc, id): equal-ts rights sort BEFORE the left
+    # row, so the backward frame counts them as at-or-before (DuckDB >=
+    # semantics) and the forward frame (current row onward) sees only
+    # strictly-later rights.
+    order = [F.col(ts), F.desc("__side"), F.col("__id")]
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    right_ts = F.when(F.col("__side") == 1, F.col(ts))
+    staged = tagged.select(
+        "*",
+        F.last(right_ts, ignorenulls=True).over(w_back).alias("__before"),
+        F.first(right_ts, ignorenulls=True).over(w_fwd).alias("__after"),
+    )
+    return staged.filter(
+        (F.col("__side") == 0)
+        & (F.col("__before").isNotNull() | F.col("__after").isNotNull())
+    ).select(
+        F.col("__id").alias(left_id),
+        key,
+        ts,
+        F.col("__before").alias(f"{ts}_before"),
+        F.col("__after").alias(f"{ts}_after"),
+    )
+
+
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each 'click' matched to the temporally CLOSEST
+    'purchase' by the same user, whichever side of the click it falls on --
+    pandas ``merge_asof(direction='nearest')``, the event-alignment variant
+    used when sensor/feature capture can lag OR lead the anchor event.
+    Ties (equal millisecond distance) resolve to the BACKWARD match, the
+    point-in-time-safe side.
+
+    One shuffle total (see ``asof_union_window_nearest``); distances are
+    compared at millisecond precision on both engines so the choice and
+    the emitted ``matched_ms`` are engine-portable. The matched TIMESTAMP
+    (not id) is emitted: among purchases tied on ts the engines may break
+    ties differently, but the timestamp is tie-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    m = asof_union_window_nearest(
+        clicks, purchases, "user_id", "ts", "click_id", "purchase_id"
+    )
+    click_ms = F.unix_millis("ts")
+    prev_ms = F.unix_millis("ts_before")
+    next_ms = F.unix_millis("ts_after")
+    backward_wins = F.col("ts_after").isNull() | (
+        F.col("ts_before").isNotNull() & (click_ms - prev_ms <= next_ms - click_ms)
+    )
+    staged = m.select(
+        "click_id",
+        "user_id",
+        click_ms.alias("click_ms"),
+        prev_ms.alias("__prev_ms"),
+        next_ms.alias("__next_ms"),
+        backward_wins.alias("__back"),
+    )
+    return staged.select(
+        "click_id",
+        "user_id",
+        "click_ms",
+        F.when(F.col("__back"), F.col("__prev_ms"))
+        .otherwise(F.col("__next_ms"))
+        .alias("matched_ms"),
+        F.when(F.col("__back"), F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
 def asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each 'click' matched to the EARLIEST 'purchase' by the
     same user at-or-after the click -- the conversion-attribution direction
@@ -570,6 +688,7 @@ QUERIES = {
     "j_theta_binned": theta_join_binned,
     "j_asof": asof_join,
     "j_asof_forward": asof_forward_join,
+    "j_asof_nearest": asof_nearest_join,
     "j_asof_tolerance": asof_tolerance_join,
     "j_bloom_pruned": bloom_pruned_join,
     "j_lateral_topn": lateral_topn,
@@ -661,6 +780,42 @@ ORACLES = {
         ASOF JOIN
              (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    # Nearest purchase on EITHER side of the click; distances compared at
+    # millisecond precision (both engines emit/compare epoch-ms), ties ->
+    # the backward (point-in-time-safe) match. prev = at-or-before at raw
+    # timestamp precision, next = strictly-after -- the same split the
+    # engine's single-pass window core makes (equal-ts rights land on the
+    # backward side at distance zero, which wins every tie anyway).
+    "j_asof_nearest": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts FROM events
+            WHERE event_type = 'click' AND ts IS NOT NULL
+        ), purch AS (
+            SELECT user_id, ts FROM events
+            WHERE event_type = 'purchase' AND ts IS NOT NULL
+        ), prev AS (
+            SELECT c.click_id, epoch_ms(MAX(p.ts)) AS prev_ms
+            FROM clicks c JOIN purch p
+              ON p.user_id = c.user_id AND p.ts <= c.ts
+            GROUP BY c.click_id
+        ), nxt AS (
+            SELECT c.click_id, epoch_ms(MIN(p.ts)) AS next_ms
+            FROM clicks c JOIN purch p
+              ON p.user_id = c.user_id AND p.ts > c.ts
+            GROUP BY c.click_id
+        )
+        SELECT c.click_id, c.user_id, epoch_ms(c.ts) AS click_ms,
+               CASE WHEN next_ms IS NULL OR (prev_ms IS NOT NULL AND
+                         epoch_ms(c.ts) - prev_ms <= next_ms - epoch_ms(c.ts))
+                    THEN prev_ms ELSE next_ms END AS matched_ms,
+               CASE WHEN next_ms IS NULL OR (prev_ms IS NOT NULL AND
+                         epoch_ms(c.ts) - prev_ms <= next_ms - epoch_ms(c.ts))
+                    THEN 'backward' ELSE 'forward' END AS direction
+        FROM clicks c
+        LEFT JOIN prev USING (click_id)
+        LEFT JOIN nxt USING (click_id)
+        WHERE prev_ms IS NOT NULL OR next_ms IS NOT NULL
     """,
     "j_asof_tolerance": """
         SELECT click_id, user_id, click_ms, purchase_ms,

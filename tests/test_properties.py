@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from delta_lake_stock_pipeline_spark.operators.joins import (
     asof_union_window,
+    asof_union_window_nearest,
     binned_count_greater,
 )
 
@@ -88,6 +89,59 @@ def test_asof_union_window_matches_brute_force(spark, left, right):
         .collect()
     )
     assert got == _brute_force_asof(left, right)
+
+
+def _brute_force_asof_nearest(left_rows, right_rows):
+    """Reference for the nearest core: per left row, max right ts at-or-
+    before AND min right ts strictly-after on the same key; the row appears
+    when either exists. NULL-ts lefts have no defined distance and are
+    dropped, matching the engine contract."""
+    out = []
+    for lid, (lk, lts) in enumerate(left_rows):
+        if lk is None or lts is None:
+            continue
+        befores = [
+            rts
+            for rk, rts in right_rows
+            if rk == lk and rk is not None and rts is not None and rts <= lts
+        ]
+        afters = [
+            rts
+            for rk, rts in right_rows
+            if rk == lk and rk is not None and rts is not None and rts > lts
+        ]
+        if befores or afters:
+            out.append(
+                (
+                    lid,
+                    lk,
+                    lts,
+                    max(befores) if befores else None,
+                    min(afters) if afters else None,
+                )
+            )
+    return sorted(out, key=lambda t: (t[0],))
+
+
+@given(left=_asof_rows, right=_asof_rows)
+@settings(**_SETTINGS)
+def test_asof_nearest_core_matches_brute_force(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], "rid long, k long, ts long"
+    )
+    got = sorted(
+        (
+            tuple(r)
+            for r in asof_union_window_nearest(ldf, rdf, "k", "ts", "lid", "rid")
+            .select("lid", "k", "ts", "ts_before", "ts_after")
+            .collect()
+        ),
+        key=lambda t: (t[0],),
+    )
+    assert got == _brute_force_asof_nearest(left, right)
 
 
 @given(rows=_rows)
