@@ -219,6 +219,60 @@ def test_ivf_recall_anchored_to_exact_topk(spark, sf_dir):
     assert len(exact & approx) >= 8, f"recall@10 dropped: {sorted(exact & approx)}"
 
 
+def test_pq_recall_anchored_to_exact_topk(spark, sf_dir):
+    """PQ+ADC is approximate by design; recall@10 after the 100-row
+    shortlist rerank must stay high (measured 10/10/9 at
+    sf0.001/0.01/0.1 with the PQ4x8 codebooks -- the anchor pins >= 8)."""
+    exact = {r["vec_id"] for r in _Q["v_cosine_topk"](spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in _Q["v_ann_pq"](spark, sf_dir).collect()}
+    assert len(exact & approx) >= 8, f"recall@10 dropped: {sorted(exact & approx)}"
+
+
+def test_pq_scoring_pass_prunes_embedding_column(spark, sf_dir):
+    """The ADC scoring scan must NOT shuffle the float vectors: the
+    shortlist ordering is TakeOrderedAndProject over (adc_ip, vec_id),
+    so only shortlist rows carry the embedding into the exact rerank."""
+    text = plans.plan_string(_Q["v_ann_pq"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_pq_encoder_nulls_and_determinism(spark, sf_dir):
+    """The Arrow PQ encoder must NULL-out bad rows (NULL / wrong-length
+    embeddings) instead of crashing the batch, and encode deterministically
+    across invocations."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_stock_pipeline_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _pq_codebooks,
+        _pq_codes_udf,
+    )
+
+    books = _pq_codebooks(spark, sf_dir)
+    udf = _pq_codes_udf(books)
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [0.0] * 64)],
+        "id long, embedding array<float>",
+    ).select("id", udf(F.col("embedding")).alias("codes"))
+    got = {r["id"]: r["codes"] for r in bad.collect()}
+    assert got[1] is None and got[2] is None
+    assert len(got[3]) == _PQ_M and all(0 <= c < _PQ_K for c in got[3])
+
+    from delta_lake_stock_pipeline_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = sorted(
+        (r["vec_id"], tuple(r["c"]))
+        for r in emb.select("vec_id", udf(F.col("embedding")).alias("c")).collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["c"]))
+        for r in emb.select("vec_id", udf(F.col("embedding")).alias("c")).collect()
+    )
+    assert a == b
+
+
 def test_salted_join_actually_shuffles(spark, sf_dir):
     """x_salted_skew_join must take the shuffle-join path: a broadcast of
     the salted dim would never shuffle the fact, so the (user_id, salt)
