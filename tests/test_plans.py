@@ -219,6 +219,26 @@ def test_ivf_recall_anchored_to_exact_topk(spark, sf_dir):
     assert len(exact & approx) >= 8, f"recall@10 dropped: {sorted(exact & approx)}"
 
 
+def test_ivfpq_recall_anchored_to_exact_topk(spark, sf_dir):
+    """IVF-PQ composes two approximations; recall@10 after the shortlist
+    rerank must stay high (measured 9/9/9 at sf0.001/0.01/0.1; the anchor
+    pins >= 8)."""
+    exact = {r["vec_id"] for r in _Q["v_cosine_topk"](spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in _Q["v_ann_ivfpq"](spark, sf_dir).collect()}
+    assert len(exact & approx) >= 8, f"recall@10 dropped: {sorted(exact & approx)}"
+
+
+def test_ivfpq_query_prunes_to_probed_partitions(spark, sf_dir):
+    """The IVF-PQ candidate scan must read ONLY the probed clusters'
+    partition directories of the CODES artifact -- `cluster IN (...)` in
+    PartitionFilters; the pruning multiplying the 64x code compression is
+    the whole point of the composition."""
+    feats = plans.plan_features(_Q["v_ann_ivfpq"](spark, sf_dir))
+    assert any("cluster" in pf and " IN " in pf for pf in feats.partition_filters), (
+        feats.partition_filters
+    )
+
+
 def test_pq_recall_anchored_to_exact_topk(spark, sf_dir):
     """PQ+ADC is approximate by design; recall@10 after the 100-row
     shortlist rerank must stay high (measured 10/10/9 at

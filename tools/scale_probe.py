@@ -202,6 +202,10 @@ def main() -> None:
             "v_semantic_dedup",
             "v_ann_lsh",
             "v_ann_ivf",
+            # PQ caches its codebooks per (session, dir) like IVF: run 1
+            # prices train+encode, run 2 the ADC scoring path; best-of-2
+            # reports the sustained serving cost.
+            "v_ann_pq",
         ]
         emb_sizes = EMB_SIZES[:1] if quick else EMB_SIZES
         for n in emb_sizes:
