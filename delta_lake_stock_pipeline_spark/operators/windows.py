@@ -272,6 +272,41 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the event-value series -- the classic
+    time-series risk metric of the reference's stock domain
+    (``/root/reference/external_table.py:105-122`` queries bar extremes;
+    drawdown is the running-peak generalization): cumulative running max
+    (peak) minus current value, maxed over the series.
+
+    Exact double arithmetic end to end (max / subtract only -- no division
+    or accumulation-order sensitivity), so no rounding tolerance is needed.
+    The peak window and the final aggregate share the ``user_id`` key: the
+    group-by reuses the window's hash partitioning, so the plan has ONE
+    hash exchange (plus the presentation sort's range exchange --
+    plan-gated in tests). Per the window-staging rule, ``peak`` is
+    projected ONCE before the two aggregates that consume it."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.max("value").over(w).alias("peak"),
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
+            F.max("peak").alias("max_peak"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartiles of part retail price within brand + first/last value
     in an unbounded frame."""
@@ -781,9 +816,28 @@ QUERIES = {
     "w_interpolate": window_interpolate,
     "w_backtest_naive": window_backtest_naive,
     "w_ewma": window_ewma,
+    "w_max_drawdown": window_max_drawdown,
 }
 
 ORACLES = {
+    # Running max minus value is exact double math on both engines (no
+    # accumulation-order sensitivity), so the comparison needs no
+    # tolerance and no rounding.
+    "w_max_drawdown": """
+        WITH series AS (
+            SELECT user_id, value,
+                   MAX(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS peak
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(peak - value) AS max_drawdown,
+               MAX(peak) AS max_peak
+        FROM series GROUP BY user_id ORDER BY user_id
+    """,
     "w_ewma": _ewma_oracle(),
     # Same dense-LOCF series as w_gap_fill, same integer-cents error
     # sums, same floor(x+0.5) means -- identical expressions both sides.

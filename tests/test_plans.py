@@ -219,6 +219,17 @@ def test_ivf_recall_anchored_to_exact_topk(spark, sf_dir):
     assert len(exact & approx) >= 8, f"recall@10 dropped: {sorted(exact & approx)}"
 
 
+def test_max_drawdown_aggregate_reuses_window_partitioning(spark, sf_dir):
+    """w_max_drawdown's peak window and final aggregate share user_id; the
+    group-by must reuse the window's hash partitioning -- exactly one
+    hashpartitioning exchange (the presentation sort's rangepartitioning
+    is the only other exchange allowed)."""
+    df = _Q["w_max_drawdown"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plans.plan_features(df).n_exchanges <= 2, plan
+
+
 def test_ivfpq_recall_anchored_to_exact_topk(spark, sf_dir):
     """IVF-PQ composes two approximations; recall@10 after the shortlist
     rerank must stay high (measured 9/9/9 at sf0.001/0.01/0.1; the anchor
