@@ -90,7 +90,33 @@ def ranged_with_offsets(
     for pid, w in totals:
         offsets.append((pid, acc))
         acc += w
-    offs = spark.createDataFrame(offsets, "pid INT, off LONG")
+    # Carry the (pid, off) metadata rows JVM-side: createDataFrame on a
+    # Python list pays a pickled-RDD Python-worker round-trip (~0.4-1.3 s)
+    # for what is a handful of literals. An EMPTY offsets list (empty
+    # input frame) cannot go through array-of-structs -- F.array() with no
+    # children is VOID-typed -- so build the empty relation directly.
+    if not offsets:
+        offs = spark.range(0).select(
+            F.lit(0).cast("int").alias("pid"), F.lit(0).cast("long").alias("off")
+        )
+        return with_pid.join(F.broadcast(offs), "pid")
+    offs = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(pid)).cast("int").alias("pid"),
+                            F.lit(int(off)).cast("long").alias("off"),
+                        )
+                        for pid, off in offsets
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.pid", "s.off")
+    )
     return with_pid.join(F.broadcast(offs), "pid")
 
 
