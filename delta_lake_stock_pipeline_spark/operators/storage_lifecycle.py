@@ -32,6 +32,7 @@ from ..storage import (
     merge_into,
     optimize,
     read_table,
+    snapshot_of,
     write_partitioned,
 )
 
@@ -107,9 +108,69 @@ def time_travel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup(read_table(spark, _mutated_table(spark, sf_dir), version=0))
 
 
+_EVO_MOD = 31
+_EVO_BAND = 10000
+
+
+def _evolved_table(spark: SparkSession, sf_dir: str) -> str:
+    """Two-commit schema-evolution table: v0 writes ``orders`` under
+    ``batch=base``; v1 APPENDS a subset under ``batch=delta`` carrying an
+    ADDED ``o_price_band`` column (the reference has no schema evolution
+    -- `stock_harvester.py:51-61` is fixed -- so this is the Delta-class
+    `mergeSchema` extension). The v1 commit carries v0's partitions by
+    manifest reference (``base_snapshot``), so the append rewrites zero
+    base bytes -- the 100 TB-honest append shape."""
+    key = ("evo", spark.sparkContext.applicationId, sf_dir)
+    if key not in _tables:
+        path = os.path.join(tempfile.mkdtemp(prefix="spark_lifecycle_"), "orders_evo")
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.withColumn("batch", F.lit("base"))
+        write_partitioned(base, path, ["batch"])
+        delta = (
+            orders.filter(F.col("o_orderkey") % _EVO_MOD == 0)
+            .withColumn("batch", F.lit("delta"))
+            .withColumn(
+                "o_price_band",
+                F.floor(F.col("o_totalprice") / _EVO_BAND).cast("int"),
+            )
+        )
+        write_partitioned(
+            delta,
+            path,
+            ["batch"],
+            operation="APPEND",
+            base_snapshot=snapshot_of(path, 0),
+        )
+        _tables[key] = path
+    return _tables[key]
+
+
+def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the LIVE evolved snapshot, which mixes version dirs
+    written BEFORE and AFTER the column add -- ``read_table`` resolves the
+    mix with ``unionByName(allowMissingColumns=True)`` (Delta's read-time
+    schema evolution), so base rows surface NULL ``o_price_band``. The
+    oracle reconstructs the same union relationally; the non-null count
+    and band sum pin that exactly the appended rows carry the column."""
+    df = read_table(spark, _evolved_table(spark, sf_dir))
+    return (
+        df.groupBy("batch")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.count("o_price_band").cast("long").alias("n_banded"),
+            F.sum(F.coalesce(F.col("o_price_band"), F.lit(0)))
+            .cast("long")
+            .alias("sum_band"),
+        )
+        .orderBy("batch")
+    )
+
+
 QUERIES = {
     "st_lifecycle_rollup": lifecycle_rollup,
     "st_time_travel_rollup": time_travel_rollup,
+    "st_schema_evolution_rollup": schema_evolution_rollup,
 }
 
 ORACLES = {
@@ -132,6 +193,26 @@ ORACLES = {
                MIN(o_orderdate) AS first_ts,
                MAX(o_orderdate) AS last_ts
         FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # The evolved snapshot reconstructed relationally: base rows carry a
+    # typed NULL for the added column, appended rows compute it. floor of
+    # the same double division is bit-identical on both engines.
+    "st_schema_evolution_rollup": f"""
+        WITH evo AS (
+            SELECT 'base' AS batch, o_orderkey,
+                   CAST(NULL AS INTEGER) AS o_price_band
+            FROM orders
+            UNION ALL
+            SELECT 'delta', o_orderkey,
+                   CAST(FLOOR(o_totalprice / {_EVO_BAND}) AS INTEGER)
+            FROM orders WHERE o_orderkey % {_EVO_MOD} = 0
+        )
+        SELECT batch,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(COUNT(o_price_band) AS BIGINT) AS n_banded,
+               CAST(SUM(COALESCE(o_price_band, 0)) AS BIGINT) AS sum_band
+        FROM evo GROUP BY batch ORDER BY batch
     """,
     "st_time_travel_rollup": """
         SELECT o_orderpriority,

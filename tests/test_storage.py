@@ -578,6 +578,42 @@ def test_table_changes_spans_schema_evolution(spark, bars, tmp_path_factory):
     assert len(dels) == 1 and dels[0]["quality_flag"] is None
 
 
+def test_schema_evolution_append_rewrites_zero_base_bytes(spark, tmp_path_factory):
+    """The st_schema_evolution_rollup shape: an APPEND commit in a disjoint
+    partition must carry every base partition by manifest reference (zero
+    rewritten), and the mixed-version read must NULL-align the added
+    column for base rows."""
+    from delta_lake_stock_pipeline_spark import storage
+
+    path = str(tmp_path_factory.mktemp("evo") / "t")
+    base = spark.range(10).select(
+        F.col("id"), F.lit("base").alias("batch")
+    )
+    storage.write_partitioned(base, path, ["batch"])
+    delta = spark.range(3).select(
+        F.col("id"),
+        F.lit("delta").alias("batch"),
+        (F.col("id") * 2).cast("int").alias("extra"),
+    )
+    storage.write_partitioned(
+        delta, path, ["batch"], operation="APPEND",
+        base_snapshot=storage.snapshot_of(path, 0),
+    )
+    from delta_lake_stock_pipeline_spark.storage.table import _read_manifest
+
+    m = next(e for e in _read_manifest(path) if e["version"] == 1)[
+        "operationMetrics"
+    ]
+    assert m["numRewrittenPartitions"] == 1  # only batch=delta written
+    assert m["numReferencedPartitions"] == 1  # batch=base carried by ref
+    live = storage.read_table(spark, path)
+    assert "extra" in live.columns
+    rows = {(r["batch"], r["id"]): r["extra"] for r in live.collect()}
+    assert len(rows) == 13
+    assert all(v is None for (b, _), v in rows.items() if b == "base")
+    assert all(v is not None for (b, _), v in rows.items() if b == "delta")
+
+
 def test_restore_and_cdf_reject_nonexistent_versions(spark, bars, tmp_path_factory):
     """restore() to a version that never existed must raise instead of
     committing an empty (unreadable) snapshot; table_changes beyond the
