@@ -933,6 +933,30 @@ def hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q1-class pricing rollup written in Spark 4's SQL PIPE syntax
+    (`FROM ... |> WHERE |> AGGREGATE ... GROUP BY |> EXTEND |> ORDER BY`)
+    -- the composable query dialect Spark 4.0 added; each stage feeds the
+    next top-to-bottom, and Catalyst plans it identically to the classic
+    form (same partial-agg + exchange plan). Exact-decimal sum discipline
+    as everywhere; the oracle is the equivalent classic SQL."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate IS NOT NULL AND l_quantity > 10
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS gross
+           GROUP BY l_returnflag, l_linestatus
+        |> EXTEND ROUND(gross / n_items, 2) AS avg_price
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 QUERIES = {
     "a0_flagship_daily_rollup": flagship_daily_rollup,
     "a1_group_count": group_count,
@@ -948,6 +972,7 @@ QUERIES = {
     "x_histogram": value_histogram,
     "x_rollup": rollup_agg,
     "x_time_rollup": time_rollup,
+    "x_pipe_syntax": pipe_syntax_rollup,
     "x_grouping_sets": grouping_sets_agg,
     "x_cube": cube_agg,
     "x_count_distinct": count_distinct_agg,
@@ -1105,6 +1130,20 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
                ROUND(SUM(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    # The pipe-syntax rollup's classic-SQL equivalent: same aliases, same
+    # exact-decimal sum, same double division before the ROUND.
+    "x_pipe_syntax": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS gross,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE) / COUNT(*), 2) AS avg_price
+        FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_quantity > 10
+        GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
     "x_time_rollup": """
