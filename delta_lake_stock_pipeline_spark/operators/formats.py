@@ -159,11 +159,40 @@ def binary_files_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python DataSource API
+    (``sources/ticks.py``): the engine-hosted analog of the reference's
+    REST ingest (`stock_harvester.py:64-97`), inverted to the distributed
+    shape -- Spark plans one InputPartition per ticker and the
+    fetch/synthesis iterates in the EXECUTORS, not a driver loop. The
+    synthesizer is deterministic integer arithmetic, so the DuckDB oracle
+    recomputes the full result from the same formula; equality proves the
+    connector's planning, options plumbing, and executor-side iteration
+    end to end. (``sf_dir`` unused: a connector demo has no fixture
+    input.)
+
+    Bench note: ~5 s/fresh-session is the Python DataSource API's FIXED
+    toll (pickled class registration ~1.8 s, a Python-worker round-trip
+    for schema/plan ~2.2 s, Python read workers) -- the deliberate
+    slow-path demo class, like ``u_py_udf``. Row throughput is not the
+    point; the partition-per-ticker planning is."""
+    from ..sources.ticks import register_ticks_source
+
+    register_ticks_source(spark)
+    return (
+        spark.read.format("spark_graft_ticks")
+        .option("n", "250")
+        .load()
+        .orderBy("ticker", "seq")
+    )
+
+
 QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
     "src_orc_roundtrip": orc_roundtrip,
     "src_binary_files": binary_files_source,
+    "src_python_datasource": python_datasource,
 }
 
 _AGG_SQL = """
@@ -188,5 +217,23 @@ ORACLES = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
         FROM documents WHERE doc_id < 8 ORDER BY doc_id
+    """,
+    # The connector's deterministic bar formula recomputed relationally:
+    # pure BIGINT arithmetic then one double division -- bit-identical on
+    # both engines (see sources/ticks.py::tick_row).
+    "src_python_datasource": """
+        WITH tickers(idx, ticker) AS (
+            VALUES (0, 'AAPL'), (1, 'MSFT'), (2, 'GOOG'), (3, 'AMZN')
+        ), seqs AS (
+            SELECT unnest(range(250)) AS seq
+        ), bars AS (
+            SELECT t.ticker, s.seq,
+                   (s.seq * 2654435761 + t.idx * 97) % 10007 AS h
+            FROM tickers t CROSS JOIN seqs s
+        )
+        SELECT ticker, CAST(seq AS BIGINT) AS seq,
+               (10000 + h) / 100.0 AS price,
+               CAST(h * 13 % 997 AS BIGINT) AS volume
+        FROM bars ORDER BY ticker, seq
     """,
 }

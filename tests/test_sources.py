@@ -50,3 +50,36 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     got = _roundtrip(events, str(tmp_path / "orc"), "orc")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, events.collect()))
     assert got.schema == events.schema
+
+
+def test_python_datasource_plans_partition_per_ticker(spark):
+    """The custom Python DataSource (Spark 4 connector API) must plan one
+    InputPartition per ticker -- the distributed-fetch shape that replaces
+    the reference's driver-side REST loop -- honor its options, and
+    synthesize deterministically across reads."""
+    from delta_lake_stock_pipeline_spark.sources.ticks import (
+        register_ticks_source,
+    )
+
+    register_ticks_source(spark)
+    df = (
+        spark.read.format("spark_graft_ticks")
+        .option("tickers", "AA,BB,CC")
+        .option("n", "7")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 21
+    assert {r["ticker"] for r in rows} == {"AA", "BB", "CC"}
+    again = sorted(map(tuple, df.collect()))
+    assert again == sorted(map(tuple, rows))
+    # Executor-side rows match the driver-side formula bit-for-bit.
+    from delta_lake_stock_pipeline_spark.sources.ticks import tick_row
+
+    expected = sorted(
+        tick_row(t, i, s)
+        for i, t in enumerate(["AA", "BB", "CC"])
+        for s in range(7)
+    )
+    assert again == expected
