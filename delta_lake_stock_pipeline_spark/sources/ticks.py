@@ -17,7 +17,12 @@ Registered lazily per session (``register_ticks_source``); read via
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _DEFAULT_TICKERS = "AAPL,MSFT,GOOG,AMZN"
 _DEFAULT_N = 250
@@ -53,6 +58,41 @@ class TickReader(DataSourceReader):
             yield tick_row(part.ticker, part.idx, seq)
 
 
+class TickStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same connector: micro-batches of ``batch``
+    bars of one ticker, offset = next seq. ``read`` advances the offset
+    (bounded by ``max_seq`` so tests can drain deterministically with
+    ``availableNow`` -- one micro-batch per run, resumed exactly from the
+    checkpointed offset); ``readBetweenOffsets`` replays a committed range
+    after restart -- both produce ``tick_row`` bars, so replay is
+    bit-identical to first delivery (the exactly-once contract this API
+    asks the source to honor)."""
+
+    def __init__(self, options: dict):
+        self.ticker = options.get("ticker", "AAPL")
+        self.batch = int(options.get("batch", "5"))
+        self.max_seq = int(options.get("max_seq", "1000000"))
+
+    def initialOffset(self):
+        return {"seq": 0}
+
+    def _rows(self, start: int, end: int) -> list:
+        # A LIST, not a generator: the runner pickles the prefetched rows
+        # to replay them in the micro-batch plan, and generators don't
+        # pickle.
+        return [tick_row(self.ticker, 0, s) for s in range(start, end)]
+
+    def read(self, start):
+        s = start["seq"]
+        if s >= self.max_seq:
+            return [], {"seq": s}
+        e = min(s + self.batch, self.max_seq)
+        return self._rows(s, e), {"seq": e}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["seq"], end["seq"])
+
+
 class TickSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -63,6 +103,9 @@ class TickSource(DataSource):
 
     def reader(self, schema):
         return TickReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return TickStreamReader(self.options)
 
 
 _registered: set[str] = set()

@@ -316,3 +316,35 @@ def test_materialized_rollup_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     ops = [r["operation"] for r in storage.history(spark, tbl).collect()]
     assert ops[0].startswith("MATERIALIZE") and "MERGE" in ops
+
+
+def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The custom connector's streaming face (Spark 4
+    SimpleDataSourceStreamReader): each availableNow run drains exactly
+    one micro-batch and commits its offset, so N runs against ONE
+    checkpoint yield N disjoint batches -- no duplicates, no gaps -- and
+    every delivered row matches the deterministic bar formula
+    (readBetweenOffsets replays bit-identically after restart)."""
+    from delta_lake_stock_pipeline_spark.sources.ticks import (
+        register_ticks_source,
+        tick_row,
+    )
+
+    register_ticks_source(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    for _ in range(3):
+        q = (
+            spark.readStream.format("spark_graft_ticks")
+            .option("ticker", "AAPL")
+            .option("batch", "5")
+            .option("max_seq", "1000")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert rows == sorted(tick_row("AAPL", 0, s) for s in range(15))
