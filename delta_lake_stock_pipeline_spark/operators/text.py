@@ -516,6 +516,70 @@ def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BM25: the top-20 (document, term) pairs by the Okapi BM25
+    score (k1=1.2, b=0.75) -- the standard retrieval scorer, used in
+    curation pipelines to rank documents against benchmark/topic probes
+    (the retrieval sibling of ``t_tfidf``'s distinctive-term signal).
+
+    Determinism design: the ONLY transcendental -- ``ln`` of the
+    (N, df)-scalar Robertson idf -- is quantized ``floor(ln(.)*1e6)/1e6``
+    exactly like ``t_tfidf``; every other term (tf, doc length, corpus
+    totals) is an exact BIGINT, and the final score is ONE identically-
+    parenthesized double expression on both engines, so ordering and the
+    rounded emit agree bit-for-bit.
+
+    Scale shape: one corpus explode -> (doc,w) hash-agg; doc length and
+    document frequency are two windows over that same relation (no
+    re-read, no self-join); corpus totals ride as a 1-row broadcast; the
+    top-20 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    staged = tf.select(
+        "doc_id",
+        "w",
+        "tf",
+        F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint").alias("len_d"),
+        F.count("*").over(Window.partitionBy("w")).cast("bigint").alias("df"),
+    )
+    totals = docs.agg(F.count("*").cast("bigint").alias("n_docs")).crossJoin(
+        toks.agg(F.count("*").cast("bigint").alias("total_len"))
+    )
+    nd = F.col("n_docs").cast("double")
+    idf = (
+        F.floor(F.log((nd - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0) * 1000000)
+        / 1000000.0
+    )
+    den = (
+        F.col("tf")
+        + F.lit(0.3)
+        + F.lit(0.9)
+        * (F.col("len_d") * F.col("n_docs"))
+        / F.col("total_len").cast("double")
+    )
+    score = idf * (F.col("tf") * F.lit(2.2)) / den
+    return (
+        staged.crossJoin(F.broadcast(totals))
+        .select("doc_id", "w", "tf", "df", "len_d", score.alias("score_raw"))
+        .orderBy(F.desc("score_raw"), "doc_id", "w")
+        .limit(20)
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            "len_d",
+            F.round(F.col("score_raw"), 6).alias("bm25"),
+        )
+    )
+
+
 QUERIES = {
     "t_token_count": token_count,
     "t_repetition": repetition_stats,
@@ -528,6 +592,7 @@ QUERIES = {
     "t_bigram_frequency": bigram_frequency,
     "t_unigram_logprob": unigram_logprob,
     "t_tfidf": tfidf_top_terms,
+    "t_bm25": bm25_top_terms,
     "t_winnow": winnow_fingerprint,
     "t_gopher_filter": gopher_filter,
 }
@@ -750,6 +815,41 @@ ORACLES = {
     """,
     # Mirrors the engine exactly: one floor(ln(N/df)*1e6) per word, exact
     # LONG tf*idf_q scoring, (score desc, doc_id, w) deterministic order.
+    # BM25: identical parenthesization to the engine expression; the one
+    # transcendental (Robertson idf's ln) is floor-quantized at 1e-6 like
+    # t_tfidf's; everything else is exact BIGINT feeding one double
+    # expression, so ordering and the rounded emit agree bit-for-bit.
+    "t_bm25": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, w
+        ), staged AS (
+            SELECT doc_id, w, tf,
+                   CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS len_d,
+                   CAST(COUNT(*) OVER (PARTITION BY w) AS BIGINT) AS df
+            FROM tf
+        ), totals AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS total_len
+        ), scored AS (
+            SELECT doc_id, w, tf, df, len_d,
+                   (floor(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                             / (df + 0.5) + 1.0) * 1000000) / 1000000.0)
+                   * (tf * 2.2)
+                   / (tf + 0.3 + 0.9 * (len_d * n_docs)
+                      / CAST(total_len AS DOUBLE)) AS score_raw
+            FROM staged, totals
+        )
+        SELECT doc_id, w, tf, df, len_d, ROUND(score_raw, 6) AS bm25
+        FROM scored
+        ORDER BY score_raw DESC, doc_id, w
+        LIMIT 20
+    """,
     "t_tfidf": """
         WITH toks AS (
             SELECT doc_id,
