@@ -330,6 +330,8 @@ _BNLJ_OK = {
     # Corpus-total N rides along as a 1-row broadcast cross join.
     "t_unigram_logprob",
     "t_tfidf",
+    # Same class: (n_docs x total_len) is a 1-row broadcast cross join.
+    "t_bm25",
     # Two 1-row scalar aggregates (exact counts x sketches) meet in a
     # broadcast cross join.
     "x_theta_anchor",
