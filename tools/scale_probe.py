@@ -160,6 +160,7 @@ def main() -> None:
     event_keys = ["a0_flagship_daily_rollup", "w_sessionize", "w_ewma"]
     doc_keys = [
         "t_tfidf",
+        "t_bm25",
         "t_winnow",
         "c_contamination",
         "d_exact_summary",
