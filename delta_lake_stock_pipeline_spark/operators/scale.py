@@ -92,30 +92,27 @@ def ranged_with_offsets(
         acc += w
     # Carry the (pid, off) metadata rows JVM-side: createDataFrame on a
     # Python list pays a pickled-RDD Python-worker round-trip (~0.4-1.3 s)
-    # for what is a handful of literals. An EMPTY offsets list (empty
-    # input frame) cannot go through array-of-structs -- F.array() with no
-    # children is VOID-typed -- so build the empty relation directly.
+    # for what is a handful of literals. The lists ride as TWO single
+    # array Literals zipped (O(1) plan nodes however many partitions --
+    # review finding: a per-partition struct-of-lits CreateArray tree
+    # would regrow the py4j/codegen tax at cluster partition counts, the
+    # same class the PQ ADC tables avoid). An EMPTY offsets list (empty
+    # input frame) cannot go through array literals -- F.lit([]) is
+    # VOID-typed -- so build the empty relation directly.
     if not offsets:
         offs = spark.range(0).select(
             F.lit(0).cast("int").alias("pid"), F.lit(0).cast("long").alias("off")
         )
         return with_pid.join(F.broadcast(offs), "pid")
+    pid_arr = F.lit([int(p) for p, _ in offsets]).alias("pid")
+    off_arr = F.lit([int(o) for _, o in offsets]).alias("off")
     offs = (
         spark.range(1)
+        .select(F.explode(F.arrays_zip(pid_arr, off_arr)).alias("s"))
         .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(pid)).cast("int").alias("pid"),
-                            F.lit(int(off)).cast("long").alias("off"),
-                        )
-                        for pid, off in offsets
-                    ]
-                )
-            ).alias("s")
+            F.col("s.pid").cast("int").alias("pid"),
+            F.col("s.off").cast("long").alias("off"),
         )
-        .select("s.pid", "s.off")
     )
     return with_pid.join(F.broadcast(offs), "pid")
 

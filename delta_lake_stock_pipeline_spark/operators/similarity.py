@@ -391,6 +391,22 @@ def _assign_expr(centroids: list[list[float]]) -> F.Column:
     return F.array_position(sims, F.array_max(sims)).cast("int")
 
 
+def _sweep_stale_tmps(base: str) -> None:
+    """Remove orphaned ``{base}.tmp-{pid}`` build dirs left by interrupted
+    runs (review finding: a crash between the tmp write and the atomic
+    rename leaked a full-size index copy under the system temp dir
+    forever). Only dirs whose builder pid is no longer alive are swept,
+    so a concurrent live builder's tmp is never pulled out from under
+    it."""
+    import glob
+    import shutil
+
+    for tmp in glob.glob(f"{base}.tmp-*"):
+        pid = tmp.rsplit("-", 1)[-1]
+        if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 # (applicationId, sf_dir) -> (index_path, trained_centroids). The index is
 # the session's ingest-time artifact; every ann_ivf query reuses it.
 _ivf_cache: dict[tuple[str, str], tuple[str, list[list[float]]]] = {}
@@ -430,6 +446,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]
     meta = os.path.join(base, "centroids.json")
 
     if not (os.path.exists(os.path.join(idx, "_SUCCESS")) and os.path.exists(meta)):
+        _sweep_stale_tmps(base)
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = [
             list(r["embedding"])
@@ -799,6 +816,16 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     for s in range(_PQ_M):
         x = sample[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
         cents = x[:_PQ_K].copy()
+        if len(cents) < _PQ_K:
+            # Corpus smaller than the codebook (review finding: the bare
+            # slice would crash the books[s] assignment on shape): pad by
+            # repeating the first subvector (zeros for an empty corpus).
+            # Duplicated centroids never win assignments (argmin ties
+            # break to the lowest index), so training and encoding stay
+            # deterministic and exact.
+            seed = cents[:1] if len(cents) else np.zeros((1, _PQ_SUB))
+            pad = np.repeat(seed, _PQ_K - len(cents), axis=0)
+            cents = np.concatenate([cents, pad], axis=0)
         for _ in range(_PQ_TRAIN_ITERS):
             # (n, K) squared L2; argmin ties -> lowest centroid id.
             d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -889,6 +916,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, "np.ndarray"]:
     meta = os.path.join(base, "codebooks.json")
 
     if not (os.path.exists(os.path.join(idx, "_SUCCESS")) and os.path.exists(meta)):
+        _sweep_stale_tmps(base)
         books = _pq_codebooks(spark, sf_dir)
         codes = _pq_codes_udf(books)
         tmp = f"{base}.tmp-{os.getpid()}"
@@ -987,6 +1015,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     idx = os.path.join(base, "codes")
 
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        _sweep_stale_tmps(base)
         _, centroids = _ivf_index(spark, sf_dir)
         books = _pq_codebooks(spark, sf_dir)
         codes = _pq_codes_udf(books)

@@ -531,8 +531,9 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus explode -> (doc,w) hash-agg; doc length and
     document frequency are two windows over that same relation (no
-    re-read, no self-join); corpus totals ride as a 1-row broadcast; the
-    top-20 is TakeOrderedAndProject."""
+    re-read, no self-join); corpus totals come from ONE extra docs
+    aggregate that counts tokens via size() without exploding, riding as
+    a 1-row broadcast; the top-20 is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -548,8 +549,14 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint").alias("len_d"),
         F.count("*").over(Window.partitionBy("w")).cast("bigint").alias("df"),
     )
-    totals = docs.agg(F.count("*").cast("bigint").alias("n_docs")).crossJoin(
-        toks.agg(F.count("*").cast("bigint").alias("total_len"))
+    # ONE 1-row aggregate over docs: total_len counts tokens via size()
+    # of the filtered array -- no second explode of the corpus (review
+    # finding: a toks.agg here re-ran the tokenize scan end to end).
+    totals = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')")))
+        .cast("bigint")
+        .alias("total_len"),
     )
     nd = F.col("n_docs").cast("double")
     idf = (

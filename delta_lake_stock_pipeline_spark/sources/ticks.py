@@ -108,12 +108,18 @@ class TickSource(DataSource):
         return TickStreamReader(self.options)
 
 
-_registered: set[str] = set()
+import weakref
+
+_registered: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def register_ticks_source(spark: SparkSession) -> None:
-    """Idempotent per-session registration of the custom format."""
-    key = spark.sparkContext.applicationId
-    if key not in _registered:
+    """Idempotent per-SESSION registration of the custom format.
+    DataSource registration lives in the session's DataSourceManager, not
+    the SparkContext, so the memo must key on the session object (an
+    applicationId key would wrongly skip `spark.newSession()` siblings;
+    review finding). Registration costs ~1.8 s (pickled class shipment),
+    hence memoized at all; re-registering is a safe replace."""
+    if spark not in _registered:
         spark.dataSource.register(TickSource)
-        _registered.add(key)
+        _registered.add(spark)
