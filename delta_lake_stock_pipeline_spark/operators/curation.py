@@ -213,11 +213,66 @@ def blocklist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_BUCKETS = 1_000_000
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (the XLM-R / mT5 multilingual
+    alpha-sampling recipe, alpha = 0.5): high-resource languages are
+    downsampled so sampling shares follow p_i^alpha instead of the raw
+    corpus shares. With a fixed corpus the per-language keep rate that
+    realizes those shares (scaled so the rarest language keeps
+    everything) is ``(n_min / n_lang)^(1 - alpha)`` = ``sqrt(n_min /
+    n_lang)`` -- computed with ``sqrt`` specifically because IEEE sqrt is
+    correctly rounded on both engines, unlike ``pow``.
+
+    Membership is the engine-portable md5 bucket (mod 1e6 for continuous
+    rates), same family as ``domain_mix``/``r_hash_split``: exact,
+    reproducible, and resampling one language never reshuffles another.
+    Scale: one tiny per-language aggregate broadcasts; the corpus pass is
+    a narrow pushdown-friendly filter. ``sum_doc_id`` pins per-row
+    membership."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
+    rated = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_lang",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_lang").cast("double")).alias(
+            "rate"
+        ),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _TEMP_BUCKETS
+    )
+    return (
+        docs.withColumn("b", bucket)
+        .join(F.broadcast(rated), "lang")
+        .filter(F.col("b") < F.col("rate") * float(_TEMP_BUCKETS))
+        .groupBy("lang", "n_lang", "rate")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .select(
+            "lang",
+            "n_lang",
+            F.round(F.col("rate"), 6).alias("rate"),
+            "n_kept",
+            "sum_doc_id",
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "c_contamination": contamination_check,
     "c_seq_packing": sequence_packing,
     "c_domain_mix": domain_mix,
     "c_blocklist_redaction": blocklist_redaction,
+    "c_temperature_mix": temperature_mix,
 }
 
 ORACLES = {
@@ -270,6 +325,32 @@ ORACLES = {
         FROM documents
         WHERE len(regexp_extract_all(text, '\b(slow|big)\b')) > 0
         ORDER BY doc_id
+    """,
+    # Temperature mixing recomputed relationally: same sqrt rate (IEEE
+    # correctly rounded on both engines), same md5 bucket idiom as
+    # c_domain_mix, continuous rates via the 1e6 modulus.
+    "c_temperature_mix": """
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+            FROM documents GROUP BY lang
+        ), m AS (
+            SELECT MIN(n_lang) AS n_min FROM counts
+        ), rated AS (
+            SELECT lang, n_lang,
+                   sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE)) AS rate
+            FROM counts, m
+        ), b AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 1000000 AS b
+            FROM documents
+        )
+        SELECT r.lang, r.n_lang, ROUND(r.rate, 6) AS rate,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(d.doc_id) AS BIGINT) AS sum_doc_id
+        FROM b d JOIN rated r USING (lang)
+        WHERE d.b < r.rate * 1000000.0
+        GROUP BY r.lang, r.n_lang, r.rate ORDER BY r.lang
     """,
     "c_domain_mix": """
         SELECT source,

@@ -332,6 +332,8 @@ _BNLJ_OK = {
     "t_tfidf",
     # Same class: (n_docs x total_len) is a 1-row broadcast cross join.
     "t_bm25",
+    # Same class: the 1-row n_min total meets the per-language counts.
+    "c_temperature_mix",
     # Two 1-row scalar aggregates (exact counts x sketches) meet in a
     # broadcast cross join.
     "x_theta_anchor",
