@@ -245,6 +245,36 @@ def py_udtf_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@F.udtf(returnType="word string, pos int", useArrow=True)
+class _WordSplitArrow:
+    """The SAME fan-out as ``_WordSplit`` but Arrow-optimized
+    (``useArrow=True``): rows cross the Python boundary in Arrow batches
+    instead of pickled one-at-a-time -- the UDTF rung of the ladder's
+    pickle-vs-Arrow story (plan-gated: ArrowEvalPythonUDTF, not
+    BatchEvalPythonUDTF)."""
+
+    def eval(self, text: str):  # noqa: D102 - contract fixed by Spark
+        if text is not None:
+            for i, w in enumerate(text.split(" ")):
+                yield w, i + 1
+
+
+def arrow_udtf_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow UDTF twin of ``u_py_udtf``: identical semantics and oracle,
+    different transport -- completing the UDF ladder's demonstration that
+    every Python escape hatch has an Arrow-batched form."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("udtf_docs_arrow")
+    spark.udtf.register("word_split_arrow", _WordSplitArrow)
+    return spark.sql(
+        """
+        SELECT doc_id, s.word AS word, s.pos AS pos
+        FROM udtf_docs_arrow, LATERAL word_split_arrow(text) s
+        ORDER BY doc_id, pos
+        """
+    )
+
+
 def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-AGGREGATE pandas UDF (a UDAF): quantity-weighted mean price
     per returnflag. The whole group's columns arrive as Series; Spark still
@@ -315,6 +345,7 @@ QUERIES = {
     "u_py_udf": py_udf_priority_code,
     "u_pandas_udaf": pandas_udaf_weighted_mean,
     "u_map_in_arrow": map_in_arrow_scaled,
+    "u_arrow_udtf": arrow_udtf_word_split,
     "u_pandas_udf": pandas_udf_net_revenue,
     "u_apply_in_pandas": apply_in_pandas_group_zscores,
     "u_map_in_pandas": map_in_pandas_json_props,
@@ -396,6 +427,16 @@ ORACLES = {
                ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
                MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "u_arrow_udtf": """
+        SELECT doc_id, word, CAST(pos AS INTEGER) AS pos
+        FROM (
+            SELECT doc_id,
+                   UNNEST(string_split(text, ' ')) AS word,
+                   UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents WHERE doc_id < 50
+        )
+        ORDER BY doc_id, pos
     """,
     "u_py_udtf": """
         SELECT doc_id, word, CAST(pos AS INTEGER) AS pos
