@@ -167,10 +167,87 @@ def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_db(spark: SparkSession, sf_dir: str) -> str:
+    """Once per session+fixture: a catalog database at an explicit temp
+    LOCATION (so a vanilla driver session never writes a spark-warehouse
+    dir into its cwd) holding orders and lineitem BUCKETED by the join
+    key -- the write-time physical design that makes every later join on
+    that key shuffle-free."""
+    import hashlib as _hashlib
+
+    key = ("bucketed", spark.sparkContext.applicationId, sf_dir)
+    if key not in _tables:
+        from ..storage import write_bucketed
+
+        tag = _hashlib.md5(
+            f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+        ).hexdigest()[:10]
+        db = f"spark_graft_bucketed_{tag}"
+        loc = tempfile.mkdtemp(prefix="spark_bucketed_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        write_bucketed(orders, f"{db}.orders_b", "o_orderkey")
+        write_bucketed(li, f"{db}.lineitem_b", "l_orderkey")
+        _tables[key] = loc
+        _bucketed_dbs[key] = db
+    return _bucketed_dbs[key]
+
+
+_bucketed_dbs: dict[tuple, str] = {}
+
+
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per priority over the BUCKETED orders x lineitem join --
+    the biggest shuffle a warehouse workload has (fact x fact on the
+    order key), eliminated at write time: both tables are bucketed+sorted
+    on the key, so the sort-merge join reads co-located bucket files with
+    ZERO Exchange below the join (plan-gated in tests; the only
+    exchanges left are the post-join aggregate's and the presentation
+    sort's). The oracle computes the same rollup from the raw tables, so
+    the driver independently proves the bucketed layout returns the
+    identical relation."""
+    db = _bucketed_db(spark, sf_dir)
+    # hint("merge"): at fixture scale the optimizer would broadcast the
+    # tiny orders side (bypassing the bucketed scan); the hint pins the
+    # sort-merge plan a 100 TB fact-fact join gets, query-scoped instead
+    # of mutating the session's autoBroadcastJoinThreshold.
+    joined = (
+        spark.table(f"{db}.orders_b")
+        .hint("merge")
+        .join(
+            spark.table(f"{db}.lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "st_lifecycle_rollup": lifecycle_rollup,
     "st_time_travel_rollup": time_travel_rollup,
     "st_schema_evolution_rollup": schema_evolution_rollup,
+    "st_bucketed_join_rollup": bucketed_join_rollup,
 }
 
 ORACLES = {
@@ -193,6 +270,18 @@ ORACLES = {
                MIN(o_orderdate) AS first_ts,
                MAX(o_orderdate) AS last_ts
         FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # Bucketed layout is physical only: the oracle computes the same
+    # rollup from the raw tables, so a match proves the layout changed
+    # nothing.
+    "st_bucketed_join_rollup": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     # The evolved snapshot reconstructed relationally: base rows carry a
     # typed NULL for the added column, appended rows compute it. floor of

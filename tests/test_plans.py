@@ -219,6 +219,23 @@ def test_ivf_recall_anchored_to_exact_topk(spark, sf_dir):
     assert len(exact & approx) >= 8, f"recall@10 dropped: {sorted(exact & approx)}"
 
 
+def test_bucketed_join_rollup_has_no_exchange_below_join(spark, sf_dir):
+    """st_bucketed_join_rollup's fact-fact join must consume the bucketed
+    layout: SortMergeJoin directly over the sorted bucket scans, ZERO
+    Exchange below the join -- the only exchanges allowed are the
+    post-join aggregate's and the presentation sort's."""
+    plan = plans.plan_string(_Q["st_bucketed_join_rollup"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    join_pos = plan.find("SortMergeJoin")
+    tree = plan[: plan.find("(1) Scan")]
+    # In the formatted tree the join's subtree follows its node; assert no
+    # Exchange line appears after the join line within the tree section.
+    assert "Exchange" not in tree[join_pos:], plan
+    assert plans.plan_features(
+        _Q["st_bucketed_join_rollup"](spark, sf_dir)
+    ).n_exchanges == 2, plan
+
+
 def test_max_drawdown_aggregate_reuses_window_partitioning(spark, sf_dir):
     """w_max_drawdown's peak window and final aggregate share user_id; the
     group-by must reuse the window's hash partitioning -- exactly one
