@@ -70,76 +70,69 @@ DRIVER_WINDOW_SIZE = 50
 # The external driver verifies only the FIRST 50 keys of queries() in
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
-# correctness row. Round-6 window (round 5 was cut short and re-ran the
-# round-4 window): the two keys whose last driver rows are red -- repairs
-# landed in r3/r4 but never driver-confirmed -- then 48 of the 59 oracled
-# keys with no driver row in any round. The 11 deferred to round 7 each
-# share their engine path AND oracle shape with a key inside this window
-# (listed in ROUND6_NOTES.md). All 50 are DuckDB-oracled. Rotation
-# history: ROUND4_NOTES.md, ROUND6_NOTES.md.
+# correctness row. Round-7 window (per ROUND6_NOTES.md / VERDICT r6 task 1):
+# the 30 oracled keys with NO driver row in any round (the 11 round-6
+# deferrals + the 19 keys added during round 6 itself), then 20 evidence-
+# freshness re-proofs of the keys whose newest green row is oldest (r2/r3
+# era, `tools/driver_ledger.py` order) -- re-proving them under current
+# code. All 50 are DuckDB-oracled (rows-only keys are excluded by policy:
+# their guarantees are driver-witnessed through oracled anchor twins).
+# Rotation history: ROUND4_NOTES.md, ROUND6_NOTES.md, ROUND7_NOTES.md.
 _DRIVER_WINDOW_ROTATION = [
-    # repairs first: last driver rows are red
-    "src_json_roundtrip",  # r3 FAIL (HUGEINT hash) -- BIGINT cast landed r4
-    "j_asof",  # r1 ERR (crash in asof_join) -- fixed r1-post, never re-run
-    # aggregates: r4 additions + sketch anchors
-    "a9_ohlc_resample",
-    "x_retention_cohorts",
-    "x_funnel",
-    "x_histogram",
-    "x_rolling_mau_anchor",
-    "x_hll_anchor",
-    "x_theta_anchor",
-    "x_kll_anchor",
-    "x_percentile_approx_anchor",
-    # joins: asof-forward / bloom / lateral
-    "j_asof_forward",
-    "j_bloom_pruned",
-    "j_lateral_topn",
-    # scale techniques
-    "x_salted_skew_join",
-    "x_global_row_ids",
-    # reshape (samplers deferred: md5-determinism path shared w/ r_hash_split)
-    "r_pivot",
-    # windows r4 family
-    "w_sessionize",
-    "w_gap_fill",
-    "w_backtest_naive",
-    # text family
-    "t_token_count",
-    "t_word_frequency",
-    "t_quality_score",
-    "t_lang_id",
-    "t_fingerprint",
-    "t_repetition",
-    "t_unigram_logprob",
-    "t_tfidf",
-    "t_winnow",
-    "t_gopher_filter",
-    "t_curation_pipeline",
-    # dedup: span-level + simhash anchor
-    "d_span_dedup",
-    "d_simhash_anchor",
-    # vector similarity: blocked pair graphs + ANN anchors
-    "v_pairwise_neardup",
-    "v_semantic_dedup",
-    "v_ann_ivf_anchor",
-    "v_ann_lsh_anchor",
-    # multimodal (resize/audio-chunks deferred: share codec path w/ these)
-    "m_binary_metadata",
-    "m_image_features",
-    "m_frame_sample",
-    "m_audio_features",
-    # UDF ladder
-    "u_pandas_udf",
-    "u_pandas_udaf",
-    "u_apply_in_pandas",
-    "u_map_in_pandas",
-    "u_py_udtf",
-    # streaming batch twins
-    "s_tumbling_daily",
-    "s_sliding_2d_1d",
-    "s_session_window",
-    "s_interval_join",
+    # --- 30 never-driver-checked oracled keys ---
+    # round-6 deferrals (twins went green in r6)
+    "t_bigram_frequency",
+    "t_doc_stats",
+    "r_sample_bottomk",
+    "r_sample_systematic",
+    "r_unpivot",
+    "v_knn_per_query",
+    "m_image_resize",
+    "m_audio_chunks",
+    "u_map_in_arrow",
+    "u_py_udf",
+    "w_interpolate",
+    # round-6 additions, never checked
+    "r_sample_bernoulli_anchor",
+    "r_sample_stratified_anchor",
+    "w_ewma",
+    "r_epoch_shuffle",
+    "j_asof_tolerance",
+    "v_ann_ivf_batch",
+    "x_approx_topk_anchor",
+    "src_binary_files",
+    "j_asof_nearest",
+    "v_ann_pq_anchor",
+    "v_ann_ivfpq_anchor",
+    "w_max_drawdown",
+    "st_schema_evolution_rollup",
+    "x_pipe_syntax",
+    "src_python_datasource",
+    "t_bm25",
+    "c_temperature_mix",
+    "u_arrow_udtf",
+    "st_bucketed_join_rollup",
+    # --- 20 freshness re-proofs: oldest green rows (r2/r3), ledger order ---
+    "j_theta_binned",
+    "p1_projection",
+    "p4_derived_projection",
+    "p5_field_mapping",
+    "f_filter_eq",
+    "f_filter_range",
+    "f_filter_compound",
+    "f_filter_isin",
+    "f_filter_null",
+    "o1_sort_single",
+    "o2_sort_multi",
+    "o4_topk",
+    "u_set_union",
+    "u_set_intersect",
+    "u_set_except",
+    "fn_json_extract",
+    "fn_variant_json",
+    "fn_string_funcs",
+    "a0_flagship_daily_rollup",
+    "a1_group_count",
 ]
 
 

@@ -114,9 +114,13 @@ def _binary_dir(spark: SparkSession, sf_dir: str) -> str:
     are written by producers, not the engine)."""
     key = (spark.sparkContext.applicationId, sf_dir, "binfiles")
     if key not in _written:
+        # text IS NOT NULL on BOTH sides (write here, oracle WHERE): a
+        # NULL among doc_id<8 would otherwise be written as the literal
+        # bytes "None" while the oracle emits NULL md5/octet_length -- a
+        # guaranteed driver mismatch instead of fixture-dependent luck.
         rows = (
             load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 8)
+            .filter((F.col("doc_id") < 8) & F.col("text").isNotNull())
             .select("doc_id", "text")
             .orderBy("doc_id")
             .collect()
@@ -125,7 +129,7 @@ def _binary_dir(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(path)
         for r in rows:
             with open(os.path.join(path, f"{int(r[0]):04d}.bin"), "wb") as fh:
-                fh.write(str(r[1]).encode("utf-8"))
+                fh.write(r[1].encode("utf-8"))
         _written[key] = path
     return _written[key]
 
@@ -216,7 +220,8 @@ ORACLES = {
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
-        FROM documents WHERE doc_id < 8 ORDER BY doc_id
+        FROM documents WHERE doc_id < 8 AND text IS NOT NULL
+        ORDER BY doc_id
     """,
     # The connector's deterministic bar formula recomputed relationally:
     # pure BIGINT arithmetic then one double division -- bit-identical on

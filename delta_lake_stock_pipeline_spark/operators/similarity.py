@@ -268,7 +268,16 @@ def _lsh_sigs_udf():
 
 def _query_sigs(qvec: list[float]) -> list[int]:
     """Driver-side signatures for the query vector -- same numpy matmul
-    as the row kernel so bucket assignment is arithmetic-identical."""
+    FORM as the row kernel. Caveat (not a guarantee): BLAS may dispatch
+    a (1,dim)@(dim,64) product to a GEMV-shaped kernel while the
+    executor's (n,dim) batch rides GEMM, and reduction order can differ
+    by shape/threading -- so a hyperplane dot sitting exactly at 0.0
+    could in principle sign-flip between the two sides (same class of
+    near-tie assumption as the PQ encoder's argmin). Harmless here:
+    candidate membership is Hamming-distance<=1 over 8 tables and the
+    anchor pins recall/candidate-rate, not exact bucket ids; a
+    bit-exactness-critical deployment would push query signing through
+    the executor kernel path instead."""
     bits = (np.asarray([qvec], dtype=np.float64) @ _lsh_plane_matrix()) >= 0.0
     shifts = 1 << np.arange(_ANN_PLANES, dtype=np.int64)
     packed = (bits.reshape(1, _LSH_TABLES, _ANN_PLANES) * shifts).sum(axis=2)
@@ -395,15 +404,31 @@ def _sweep_stale_tmps(base: str) -> None:
     """Remove orphaned ``{base}.tmp-{pid}`` build dirs left by interrupted
     runs (review finding: a crash between the tmp write and the atomic
     rename leaked a full-size index copy under the system temp dir
-    forever). Only dirs whose builder pid is no longer alive are swept,
-    so a concurrent live builder's tmp is never pulled out from under
-    it."""
+    forever). Liveness is decided two ways: ``/proc/<pid>`` where procfs
+    exists (Linux), else an mtime age threshold -- on non-procfs
+    platforms the pid probe would read every live builder as dead and
+    sweep its tmp out from under it. The age threshold also bounds the
+    pid-reuse hole (a recycled pid could otherwise protect an orphaned
+    full-size index copy indefinitely): anything older than an hour is
+    swept regardless of pid liveness -- no real build takes that long,
+    interrupted or not."""
     import glob
     import shutil
+    import sys
+    import time
 
+    max_age_s = 3600.0
     for tmp in glob.glob(f"{base}.tmp-*"):
         pid = tmp.rsplit("-", 1)[-1]
-        if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+        try:
+            age = time.time() - os.path.getmtime(tmp)
+        except OSError:
+            continue  # raced with another sweeper
+        if sys.platform.startswith("linux"):
+            alive = pid.isdigit() and os.path.exists(f"/proc/{pid}")
+        else:
+            alive = True  # no procfs: age threshold alone decides
+        if not alive or age > max_age_s:
             shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -826,6 +826,9 @@ ORACLES = {
     # transcendental (Robertson idf's ln) is floor-quantized at 1e-6 like
     # t_tfidf's; everything else is exact BIGINT feeding one double
     # expression, so ordering and the rounded emit agree bit-for-bit.
+    # k1/b literals are CAST(... AS DOUBLE): DuckDB types bare 2.2/0.9/0.3
+    # as DECIMAL and would evaluate tf*2.2 decimal-exact, a last-ulp drift
+    # vs Spark's double arithmetic at near-tie boundaries.
     "t_bm25": """
         WITH toks AS (
             SELECT doc_id,
@@ -847,8 +850,9 @@ ORACLES = {
             SELECT doc_id, w, tf, df, len_d,
                    (floor(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
                              / (df + 0.5) + 1.0) * 1000000) / 1000000.0)
-                   * (tf * 2.2)
-                   / (tf + 0.3 + 0.9 * (len_d * n_docs)
+                   * (tf * CAST(2.2 AS DOUBLE))
+                   / (tf + CAST(0.3 AS DOUBLE)
+                      + CAST(0.9 AS DOUBLE) * (len_d * n_docs)
                       / CAST(total_len AS DOUBLE)) AS score_raw
             FROM staged, totals
         )

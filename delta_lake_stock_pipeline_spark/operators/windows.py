@@ -705,6 +705,17 @@ def window_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pow() at query time, which IEEE does not pin across libm builds).
 _EWMA_K = 20
 _EWMA_W = [int(0.9**k * 1_000_000 + 0.5) for k in range(_EWMA_K)]
+# PRECONDITION for the bit-identical oracle contract: the numerator
+# max(|vm|) * sum(_EWMA_W) must stay below 2^53. Below it, num is exact
+# in a double, so Spark's `num * 1.0 / den` and DuckDB's decimal-exact
+# `num * 1.0` both see the same value; beyond it DuckDB's exact decimal
+# path demonstrably diverges from double division (verified: DuckDB
+# floor(num*1.0/den+0.5) != Python double for num=1.23e16). The fixture
+# domain (|value| < 1000 => |vm| <= 1e9) satisfies it with ~2.5% margin;
+# tests/test_properties.py asserts the bound statically and drives the
+# brute-force parity up to vm = 1e9.
+_EWMA_WSUM = sum(_EWMA_W)
+_EWMA_VM_SAFE_MAX = (2**53 - 1) // _EWMA_WSUM  # |vm| bound, ~1.026e9
 
 
 def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +759,10 @@ def trailing_ewma(
     whole frame is NULL gets NULL. Positions are ROW positions: a NULL
     value still occupies its lag slot (its weight is skipped, not
     shifted).
+
+    PRECONDITION: ``max(|vm|) <= _EWMA_VM_SAFE_MAX`` (~1.026e9) so the
+    long numerator stays below 2^53 -- see the note at ``_EWMA_W``.
+    Callers with a wider value domain must rescale vm first.
 
     Plan shape (measured round 6, 1M rows): the lags are materialized as
     NAMED COLUMNS first and the num/den/ewma arithmetic references those

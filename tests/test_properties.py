@@ -629,7 +629,15 @@ _ewma_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),  # key
         st.integers(min_value=0, max_value=9),  # ts
-        st.one_of(st.none(), st.integers(min_value=0, max_value=500)),  # vm
+        # vm spans the full safe domain up to 1e9 (the fixture bound and
+        # ~97.5% of _EWMA_VM_SAFE_MAX) so the brute-force parity covers
+        # numerators approaching the 2^53 exactness boundary, not just
+        # toy magnitudes.
+        st.one_of(
+            st.none(),
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=999_000_000, max_value=1_000_000_000),
+        ),  # vm
     ),
     min_size=0,
     max_size=30,
@@ -683,6 +691,21 @@ def test_trailing_ewma_matches_brute_force(spark, rows):
         .collect()
     )
     assert got == _brute_ewma(rows)
+
+
+def test_ewma_fixture_domain_below_exactness_boundary():
+    """The oracle contract's precondition (see _EWMA_W note): the fixture
+    domain |value| < 1000 => |vm| <= 1e9 must keep the worst-case long
+    numerator below 2^53, where Spark's double division and DuckDB's
+    decimal-exact path agree bit-for-bit."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        _EWMA_VM_SAFE_MAX,
+        _EWMA_WSUM,
+    )
+
+    fixture_vm_max = 1_000 * 1_000_000  # |value| < 1000, micros scaling
+    assert fixture_vm_max <= _EWMA_VM_SAFE_MAX
+    assert fixture_vm_max * _EWMA_WSUM < 2**53
 
 
 # --- as-of with tolerance (j_asof_tolerance core) -------------------------
