@@ -50,9 +50,54 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # Ingest-time artifacts, priced as explicit setup lines. The ANN index
+    # builds (IVF k-means partitioned write, PQ codebook training, IVF-PQ
+    # composite) and the dedup shingle-posting/pair materializations are
+    # one-time per-corpus costs -- on a fresh host they would otherwise
+    # land on whichever family key runs first (v_ann_ivf read 8.98 s in
+    # BENCH_r06 purely because the sandbox /tmp was cold) and read as a
+    # per-query regression. Building them here keeps per-key timings
+    # meaning "warm query cost" while the build cost stays visible in the
+    # JSON under "setup". Totals remain honest: suite wall includes setup.
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     t_total = time.time()
+    setup: dict[str, float] = {}
+
+    def _setup(name: str, fn) -> None:
+        t0 = time.time()
+        try:
+            fn()
+            setup[name] = round(time.time() - t0, 3)
+            print(f"setup {name} {setup[name]:.2f}s", file=sys.stderr, flush=True)
+        except Exception as exc:
+            failures[f"setup:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"SETUP-FAIL {name}: {exc}", file=sys.stderr, flush=True)
+
+    names = set(queries)
+    if names & {"v_ann_ivf", "v_ann_ivf_anchor", "v_ann_ivf_batch"}:
+        from delta_lake_stock_pipeline_spark.operators.similarity import _ivf_index
+
+        _setup("ann_ivf_index", lambda: _ivf_index(spark, sf_dir))
+    if names & {"v_ann_pq", "v_ann_pq_anchor"}:
+        from delta_lake_stock_pipeline_spark.operators.similarity import _pq_index
+
+        _setup("ann_pq_index", lambda: _pq_index(spark, sf_dir))
+    if names & {"v_ann_ivfpq", "v_ann_ivfpq_anchor"}:
+        from delta_lake_stock_pipeline_spark.operators.similarity import _ivfpq_index
+
+        _setup("ann_ivfpq_index", lambda: _ivfpq_index(spark, sf_dir))
+    if any(k.startswith("d_") for k in names):
+        from delta_lake_stock_pipeline_spark.operators.dedup import (
+            _dup_pairs,
+            _shingle_posts,
+        )
+
+        _setup("dedup_postings", lambda: _shingle_posts(spark, sf_dir).count())
+        _setup("dedup_pairs", lambda: _dup_pairs(spark, sf_dir))
+
+    t_queries = time.time()
     for name in sorted(queries):
         t0 = time.time()
         try:
@@ -73,6 +118,12 @@ def main() -> int:
         "sf": sf_num,
         "n_queries": len(timings),
         "n_failures": len(failures),
+        # One-time ingest artifacts (ANN indexes, dedup postings) priced
+        # separately so per-key timings read as warm query cost; included
+        # in "value" and broken out in "queries_wall_seconds".
+        "setup": setup,
+        "setup_wall_seconds": round(sum(setup.values()), 3),
+        "queries_wall_seconds": round(total - (t_queries - t_total), 3),
     }
     if failures:
         out["failures"] = failures
