@@ -549,3 +549,49 @@ def test_coverage_doc_counts_match_registry():
     assert int(m.group(3)) == len(set(q) - set(o)), (
         f"doc says {m.group(3)} rows-only, registry {len(set(q) - set(o))}"
     )
+
+
+def test_driver_window_rotation_policy():
+    """Encodes the rotation POLICY, not just the size (round-6 verdict
+    task 6): (a) every rotation key names a real registry entry with no
+    duplicates; (b) no window slot re-proves a key that already has a
+    cumulative green driver row while any oracled key still lacks one.
+    The cumulative ledger is rebuilt from the committed CORRECTNESS_r*.json
+    files via tools/driver_ledger.py, so registering a new oracled key
+    without giving it a window slot fails this test until a freshness
+    re-proof slot is displaced for it."""
+    import importlib.util
+    import os
+
+    from delta_lake_stock_pipeline_spark.operators import (
+        DRIVER_WINDOW_SIZE,
+        _DRIVER_WINDOW_ROTATION,
+        all_oracles,
+    )
+
+    q, o = all_queries(), all_oracles()
+    window = _DRIVER_WINDOW_ROTATION
+    assert len(window) == DRIVER_WINDOW_SIZE
+    assert len(set(window)) == len(window), "duplicate rotation keys"
+    unknown = [k for k in window if k not in q]
+    assert not unknown, f"rotation names unknown keys: {unknown}"
+    unoracled = [k for k in window if k not in o]
+    assert not unoracled, f"rotation contains rows-only keys: {unoracled}"
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_ledger",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "driver_ledger.py"),
+    )
+    ledger_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ledger_mod)
+    ledger = ledger_mod.build_ledger()
+
+    lacking = {
+        k for k in q if k in o and ledger.get(k, ("", 0))[0] != "pass"
+    }
+    missing = sorted(lacking - set(window))
+    repeats = sorted(k for k in window if k not in lacking)
+    assert not (missing and repeats), (
+        f"window re-proves already-green keys {repeats[:5]}... while "
+        f"oracled keys still lack a green driver row: {missing}"
+    )
