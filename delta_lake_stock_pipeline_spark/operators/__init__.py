@@ -129,10 +129,13 @@ _DRIVER_WINDOW_ROTATION = [
     "u_set_intersect",
     "u_set_except",
     "fn_json_extract",
-    "fn_variant_json",
-    "fn_string_funcs",
-    "a0_flagship_daily_rollup",
-    "a1_group_count",
+    # round-7 additions (financial indicator windows) displace the last
+    # four freshness slots, per the rotation policy: never-checked
+    # oracled keys outrank re-proofs of already-green keys.
+    "w_vwap",
+    "w_bollinger",
+    "w_rsi",
+    "w_stochastic",
 ]
 
 

@@ -794,6 +794,220 @@ def trailing_ewma(
     )
 
 
+def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: trailing-20 mean +- 2 standard deviations of
+    ``value`` per event type -- with EWMA/drawdown, the third classic
+    bar-series indicator of the reference's stock domain (reference
+    transform_stock_data.py stops at daily aggregates; bands are the
+    volatility envelope every charting stack layers on top).
+
+    Exactness: value is centi-units (``round(value*100)`` -> long), the
+    frame's count/sum/sum-of-squares are plain integer window sums --
+    order-insensitive, so sliding-frame evaluation (Spark's rolling
+    frame, DuckDB's segment tree) cannot drift -- and the variance
+    numerator ``n*q - s^2`` is exact long arithmetic. The only inexact
+    steps are one IEEE sqrt (correctly rounded, engine-independent) and
+    two double divisions, identical on both engines. Domain bound:
+    |value| < 1e6 keeps ``n*q`` and ``s^2`` under 2^53 with margin
+    (fixture max is 490).
+
+    Scale shape: one WindowExec over one shuffle on event_type; the
+    three frame aggregates share the frame. Low-cardinality keys follow
+    the ``trailing_mean_rows`` hybrid rule (plain window to ~8M
+    rows/key, scatter-to-frames past it)."""
+    w20 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    staged = base.select(
+        "event_type",
+        "event_id",
+        F.count("vc").over(w20).alias("n"),
+        F.sum("vc").over(w20).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(w20).alias("q"),
+    )
+    # Emit via floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): Spark's round
+    # (BigDecimal HALF_UP on the exact binary value) and DuckDB's
+    # (scale-multiply then nearbyint) disagree on last-ulp boundary
+    # doubles; the floor form is the same IEEE expression on both
+    # engines so it cannot diverge (repo-wide rounding rule).
+    ma = F.col("s") / (F.col("n") * 100.0)
+    std = F.sqrt(F.col("n") * F.col("q") - F.col("s") * F.col("s")) / (
+        F.col("n") * 100.0
+    )
+
+    def emit6(x: F.Column, alias: str) -> F.Column:
+        return (
+            F.when(
+                F.col("n") > 0,
+                F.floor(x * 1000000.0 + F.lit(0.5)).cast("long") / 1000000.0,
+            )
+        ).alias(alias)
+
+    return staged.select(
+        "event_type",
+        "event_id",
+        emit6(ma, "ma20"),
+        emit6(ma + 2.0 * std, "upper"),
+        emit6(ma - 2.0 * std, "lower"),
+    )
+
+
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI-14 (simple-moving-average gains/losses) per event
+    type. Wilder's original smoothing is RECURSIVE (infinite memory, not
+    expressible as a fixed frame); Cutler's published SMA variant is the
+    standard non-recursive form and is exactly window-expressible:
+    rsi = 100 * sum(gains) / (sum(gains) + sum(losses)) over the last 14
+    one-step differences -- algebraically identical to 100 - 100/(1+RS)
+    for SMA-based RS but with a SINGLE double division.
+
+    Exactness: diffs/gains/losses are integer micros; the frame sums are
+    order-insensitive long window sums; ``100*sg`` stays exact (<= 7e11
+    at the fixture bound); one double division + the repo's floor(x*1e4+0.5) emit. A row with no
+    prior movement in frame (sg+sl = 0, including the partition's first
+    row) is NULL -- RSI is undefined on a flat window.
+
+    Plan: the lag layer and the frame-sum layer share partition+order,
+    so Spark plans two Window nodes over ONE sort+shuffle."""
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w14 = wo.rowsBetween(-13, 0)
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    diffs = base.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("vm") - F.lag("vm", 1).over(wo)).alias("d"),
+    )
+    gl = diffs.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0)).alias("g"),
+        F.when(F.col("d") < 0, -F.col("d")).otherwise(F.lit(0)).alias("l"),
+    )
+    sums = gl.select(
+        "event_type",
+        "event_id",
+        F.sum("g").over(w14).alias("sg"),
+        F.sum("l").over(w14).alias("sl"),
+    )
+    rs = (F.lit(100) * F.col("sg")) * 1.0 / (F.col("sg") + F.col("sl"))
+    return sums.select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("sg") + F.col("sl") > 0,
+            F.floor(rs * 10000.0 + F.lit(0.5)).cast("long") / 10000.0,
+        ).alias("rsi14"),
+    )
+
+
+def window_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K over the trailing 14 rows per event type:
+    100 * (value - min14) / (max14 - min14). Min/max over a sliding frame
+    are order-insensitive (no accumulation at all), so the only inexact
+    step is one double division; integer micros everywhere else. A flat
+    frame (max = min) is NULL -- %K is undefined without a range."""
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, 0)
+    )
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    staged = base.select(
+        "event_type",
+        "event_id",
+        "vm",
+        F.min("vm").over(w14).alias("lo"),
+        F.max("vm").over(w14).alias("hi"),
+    )
+    k = (
+        (F.lit(100) * (F.col("vm") - F.col("lo")))
+        * 1.0
+        / (F.col("hi") - F.col("lo"))
+    )
+    return staged.select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.floor(k * 10000.0 + F.lit(0.5)).cast("long") / 10000.0,
+        ).alias("pct_k"),
+    )
+
+
+def window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running VWAP (volume-weighted average price) per supplier over the
+    lineitem ship stream: cumulative sum(price*qty)/sum(qty) ordered by
+    ship date -- the execution-quality benchmark every trading pipeline
+    computes; lineitem is the fixture's (price, quantity, time) stream.
+
+    Exactness: price -> exact integer cents via the established
+    DECIMAL(18,2) conversion, quantity -> exact integer (fixture values
+    are whole numbers; ROUND guards the double representation), both
+    running sums are order-insensitive long window sums, and the emit is
+    ONE double division + the floor(x*1e6+0.5) emit. Precision bound: the per-key
+    cumulative cents*qty sum must stay below 2^53 -- ~1.8e15, or ~3.4M
+    max-priced lineitems per supplier; TPC-H keeps per-supplier rows
+    ~600 at every SF (suppliers scale with the corpus), so the bound
+    holds at any scale factor.
+
+    Scale shape: one shuffle on l_suppkey, one WindowExec, two shared
+    running sums; supplier cardinality grows with data size so
+    partitions stay bounded (the per-instrument partitioning a market
+    feed has natively)."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("pc"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qn"),
+    )
+    staged = base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("pc") * F.col("qn")).over(w).alias("pv"),
+        F.sum("qn").over(w).alias("qv"),
+    )
+    vw = F.col("pv") * 1.0 / (F.col("qv") * 100)
+    return staged.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("qv") > 0,
+            F.floor(vw * 1000000.0 + F.lit(0.5)).cast("long") / 1000000.0,
+        ).alias("vwap"),
+    )
+
+
 def _ewma_oracle() -> str:
     terms_n, terms_d = [], []
     for k, wt in enumerate(_EWMA_W):
@@ -832,6 +1046,10 @@ QUERIES = {
     "w_backtest_naive": window_backtest_naive,
     "w_ewma": window_ewma,
     "w_max_drawdown": window_max_drawdown,
+    "w_bollinger": window_bollinger,
+    "w_rsi": window_rsi,
+    "w_stochastic": window_stochastic,
+    "w_vwap": window_vwap,
 }
 
 ORACLES = {
@@ -854,6 +1072,119 @@ ORACLES = {
         FROM series GROUP BY user_id ORDER BY user_id
     """,
     "w_ewma": _ewma_oracle(),
+    # Centi-unit integer window sums -> exact n*q - s^2 variance
+    # numerator; the only inexact steps (IEEE sqrt, two double
+    # divisions) are identical on both engines. CASTs keep DuckDB's
+    # windowed SUM(BIGINT) (HUGEINT) in long arithmetic like Spark's.
+    "w_bollinger": """
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc
+            FROM events
+        ), staged AS (
+            SELECT event_type, event_id,
+                   CAST(COUNT(vc) OVER w20 AS BIGINT) AS n,
+                   CAST(SUM(vc) OVER w20 AS BIGINT) AS s,
+                   CAST(SUM(vc * vc) OVER w20 AS BIGINT) AS q
+            FROM base
+            WINDOW w20 AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, event_id,
+               CASE WHEN n > 0 THEN
+                   CAST(FLOOR((s / (n * 100.0)) * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0 END AS ma20,
+               CASE WHEN n > 0 THEN
+                   CAST(FLOOR((s / (n * 100.0)
+                        + 2.0 * (sqrt(n * q - s * s) / (n * 100.0)))
+                        * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0 END AS upper,
+               CASE WHEN n > 0 THEN
+                   CAST(FLOOR((s / (n * 100.0)
+                        - 2.0 * (sqrt(n * q - s * s) / (n * 100.0)))
+                        * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0 END AS lower
+        FROM staged
+    """,
+    # Cutler SMA-14 RSI: integer-micros gains/losses, order-insensitive
+    # long frame sums, one double division; flat frames are NULL.
+    "w_rsi": """
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+            FROM events
+        ), diffs AS (
+            SELECT event_type, event_id, ts,
+                   vm - LAG(vm) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS d
+            FROM base
+        ), gl AS (
+            SELECT event_type, event_id, ts,
+                   CASE WHEN d > 0 THEN d ELSE 0 END AS g,
+                   CASE WHEN d < 0 THEN -d ELSE 0 END AS l
+            FROM diffs
+        ), sums AS (
+            SELECT event_type, event_id,
+                   CAST(SUM(g) OVER w14 AS BIGINT) AS sg,
+                   CAST(SUM(l) OVER w14 AS BIGINT) AS sl
+            FROM gl
+            WINDOW w14 AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, event_id,
+               CASE WHEN sg + sl > 0 THEN
+                   CAST(FLOOR(((100 * sg) * 1.0 / (sg + sl))
+                        * 10000.0 + 0.5) AS BIGINT) / 10000.0
+               END AS rsi14
+        FROM sums
+    """,
+    # Sliding min/max have no accumulation at all; one double division.
+    "w_stochastic": """
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+            FROM events
+        ), staged AS (
+            SELECT event_type, event_id, vm,
+                   MIN(vm) OVER w14 AS lo,
+                   MAX(vm) OVER w14 AS hi
+            FROM base
+            WINDOW w14 AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, event_id,
+               CASE WHEN hi > lo THEN
+                   CAST(FLOOR(((100 * (vm - lo)) * 1.0 / (hi - lo))
+                        * 10000.0 + 0.5) AS BIGINT) / 10000.0
+               END AS pct_k
+        FROM staged
+    """,
+    # Exact integer cents * integer quantity running sums; one double
+    # division at emit. Same DECIMAL(18,2) price conversion as the
+    # engine side.
+    "w_vwap": """
+        WITH base AS (
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS pc,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS qn
+            FROM lineitem
+        ), staged AS (
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   CAST(SUM(pc * qn) OVER w AS BIGINT) AS pv,
+                   CAST(SUM(qn) OVER w AS BIGINT) AS qv
+            FROM base
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CASE WHEN qv > 0 THEN
+                   CAST(FLOOR((pv * 1.0 / (qv * 100))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               END AS vwap
+        FROM staged
+    """,
     # Same dense-LOCF series as w_gap_fill, same integer-cents error
     # sums, same floor(x+0.5) means -- identical expressions both sides.
     "w_backtest_naive": """
