@@ -128,14 +128,15 @@ _DRIVER_WINDOW_ROTATION = [
     "u_set_union",
     "u_set_intersect",
     "u_set_except",
-    "fn_json_extract",
-    # round-7 additions (financial indicator windows) displace the last
-    # four freshness slots, per the rotation policy: never-checked
-    # oracled keys outrank re-proofs of already-green keys.
+    # round-7 additions (financial indicator windows + the hashing-trick
+    # featurizer) displace the last five freshness slots, per the
+    # rotation policy: never-checked oracled keys outrank re-proofs of
+    # already-green keys.
     "w_vwap",
     "w_bollinger",
     "w_rsi",
     "w_stochastic",
+    "t_feature_hash",
 ]
 
 

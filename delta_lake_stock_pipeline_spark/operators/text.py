@@ -60,6 +60,46 @@ def word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009; the Vowpal
+    Wabbit / scikit-learn ``HashingVectorizer`` primitive): each doc's
+    tokens are folded into a fixed 64-bucket signed-count vector --
+    bucket and sign from md5 of the token, weight = sum of signs. The
+    point at scale is O(1) featurizer state: NO vocabulary build, no
+    fit pass, no broadcast dictionary -- the million-feature corpus
+    costs the same plan as the toy one (narrow ops + ONE shuffle on the
+    (doc, bucket) hash-agg).
+
+    Engine-portable by the same md5 contract as ``r_hash_split``
+    (`operators/reshape.py:211`): md5 is md5 everywhere, so bucket,
+    sign, and every weight are EXACT integers the oracle recomputes
+    bit-for-bit. Zero-sum buckets are dropped on both sides (the sparse
+    vector's natural form). md5 is staged as a named column so the two
+    substring consumers share one evaluation."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", F.md5("w").alias("h"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % 64)
+            .cast("int")
+            .alias("bucket"),
+            (
+                F.lit(1)
+                - F.lit(2) * (F.conv(F.substring("h", 9, 8), 16, 10).cast("long") % 2)
+            ).alias("sign"),
+        )
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )
+
+
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stats per (lang, source): count + avg size metrics."""
     return (
@@ -602,6 +642,7 @@ QUERIES = {
     "t_bm25": bm25_top_terms,
     "t_winnow": winnow_fingerprint,
     "t_gopher_filter": gopher_filter,
+    "t_feature_hash": feature_hash,
 }
 
 _MARKER_SQL = {
@@ -611,6 +652,28 @@ _MARKER_SQL = {
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
 
 ORACLES = {
+    # Same md5-derived bucket/sign contract as r_hash_split's oracle:
+    # every weight is an exact integer, compared bit-for-bit.
+    "t_feature_hash": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64
+                        AS INT) AS bucket,
+                   1 - 2 * (CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) % 2)
+                       AS sign
+            FROM toks
+        )
+        SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+        FROM hashed
+        GROUP BY doc_id, bucket
+        HAVING SUM(sign) <> 0
+        ORDER BY doc_id, bucket
+    """,
     "t_curation_pipeline": """
         WITH scored AS (
             SELECT doc_id, lang, n_chars,
