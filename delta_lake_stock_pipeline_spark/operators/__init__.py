@@ -112,7 +112,7 @@ _DRIVER_WINDOW_ROTATION = [
     "c_temperature_mix",
     "u_arrow_udtf",
     "st_bucketed_join_rollup",
-    # --- 20 freshness re-proofs: oldest green rows (r2/r3), ledger order ---
+    # --- freshness re-proofs: oldest green rows (r2/r3), ledger order ---
     "j_theta_binned",
     "p1_projection",
     "p4_derived_projection",
@@ -126,12 +126,12 @@ _DRIVER_WINDOW_ROTATION = [
     "o2_sort_multi",
     "o4_topk",
     "u_set_union",
-    "u_set_intersect",
-    "u_set_except",
-    # round-7 additions (financial indicator windows + the hashing-trick
-    # featurizer) displace the last five freshness slots, per the
-    # rotation policy: never-checked oracled keys outrank re-proofs of
-    # already-green keys.
+    # round-7 additions (financial indicator windows incl. MACD, the
+    # hashing-trick featurizer, DSIR selection) displace the last seven
+    # freshness slots, per the rotation policy: never-checked oracled
+    # keys outrank re-proofs of already-green keys.
+    "w_macd",
+    "c_dsir",
     "w_vwap",
     "w_bollinger",
     "w_rsi",

@@ -267,15 +267,135 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169): score every raw
+    document by its importance weight under bag-of-hashed-ngram unigram
+    models of a TARGET domain vs the RAW pool, and keep the top-k. The
+    target here is ``source = 'src0'`` (the fixture's wiki-like slice);
+    features are the same md5 64-bucket fold as ``t_feature_hash``, i.e.
+    DSIR's hashed-feature trick: model state is two 64-cell count vectors
+    regardless of corpus size.
+
+    log w(x) = sum over tokens of ln(p_target(bucket)/p_raw(bucket)) with
+    add-one smoothing. Determinism design (the `unigram_logprob`
+    discipline): the per-BUCKET log-ratio is ONE ln of a ratio of exact
+    long products, floor-quantized at 1e-6 -- so each doc's score is an
+    exact LONG sum, order- and partition-independent, and the emitted
+    ``logw_micro`` column is integer micro-nats needing no float compare
+    at all. The paper's Gumbel-noise resampling step is rendered as the
+    deterministic top-k (seeded Gumbel draws are not engine-portable;
+    determinism is what makes the oracle exact).
+
+    Scale shape: one explode + two 64-row count vectors (broadcastable at
+    any corpus size -- THE point of hashed features), per-doc scoring is
+    a 64-row broadcast join + map-side partial sum, then
+    TakeOrderedAndProject. The two 1-row totals ride broadcast cross
+    joins (allowlisted BNLJ class, like t_tfidf's)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("w"),
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 64).alias(
+            "b"
+        ),
+    )
+    tgt = bucketed.filter(F.col("source") == "src0")
+    raw = bucketed.filter(F.col("source") != "src0")
+    ct = tgt.groupBy("b").agg(F.count("*").alias("ct"))
+    cr = raw.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = tgt.agg(F.count("*").alias("nt"))
+    nr = raw.agg(F.count("*").alias("nr"))
+    # Full 64-bucket spine: buckets unseen in either corpus still get the
+    # smoothed ratio, so scoring never drops a token.
+    spine = spark.range(64).select(F.col("id").alias("b"))
+    lrq = F.floor(
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("nr") + 64))
+            * 1.0
+            / ((F.coalesce(F.col("cr"), F.lit(0)) + 1) * (F.col("nt") + 64))
+        )
+        * 1000000
+    ).cast("long")
+    lr = (
+        spine.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("b", lrq.alias("lrq"))
+    )
+    return (
+        raw.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum("lrq").cast("bigint").alias("logw_micro"),
+        )
+        .orderBy(F.desc("logw_micro"), "doc_id")
+        .limit(25)
+    )
+
+
 QUERIES = {
     "c_contamination": contamination_check,
     "c_seq_packing": sequence_packing,
     "c_domain_mix": domain_mix,
     "c_blocklist_redaction": blocklist_redaction,
     "c_temperature_mix": temperature_mix,
+    "c_dsir": dsir_selection,
 }
 
 ORACLES = {
+    # Same md5 bucket fold and the single-ln quantization: every
+    # logw_micro is an exact integer, compared bit-for-bit.
+    "c_dsir": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ), bucketed AS (
+            SELECT doc_id, source,
+                   CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS b
+            FROM toks
+        ), ct AS (
+            SELECT b, COUNT(*) AS ct FROM bucketed
+            WHERE source = 'src0' GROUP BY b
+        ), cr AS (
+            SELECT b, COUNT(*) AS cr FROM bucketed
+            WHERE source <> 'src0' GROUP BY b
+        ), tot AS (
+            SELECT (SELECT COUNT(*) FROM bucketed
+                    WHERE source = 'src0') AS nt,
+                   (SELECT COUNT(*) FROM bucketed
+                    WHERE source <> 'src0') AS nr
+        ), lr AS (
+            SELECT s.b,
+                   CAST(FLOOR(ln(
+                       ((COALESCE(ct.ct, 0) + 1) * (tot.nr + 64)) * 1.0
+                       / ((COALESCE(cr.cr, 0) + 1) * (tot.nt + 64))
+                   ) * 1000000) AS BIGINT) AS lrq
+            FROM range(64) AS s(b)
+            LEFT JOIN ct ON ct.b = s.b
+            LEFT JOIN cr ON cr.b = s.b
+            CROSS JOIN tot
+        )
+        SELECT r.doc_id, r.source,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(lr.lrq) AS BIGINT) AS logw_micro
+        FROM bucketed r JOIN lr ON lr.b = r.b
+        WHERE r.source <> 'src0'
+        GROUP BY r.doc_id, r.source
+        ORDER BY logw_micro DESC, doc_id
+        LIMIT 25
+    """,
     # Gram membership by STRING on the oracle side vs xxhash64 on the engine
     # side: equality modulo hash collisions, which the match itself verifies.
     "c_contamination": """

@@ -794,6 +794,106 @@ def trailing_ewma(
     )
 
 
+# MACD weights: truncated-EMA (1-alpha)^k ladders for spans 12/26 and the
+# 9-span signal line, frozen as exact integer weights at 1e5 scale (the
+# EWMA discipline: computed ONCE here, never pow() at query time). Scale
+# 1e5, not 1e6: the slow 25/27 decay summed over 26 terms at 1e6 would
+# push the worst-case numerator (|vm| <= 1e9) past 2^53; at 1e5 every
+# numerator stays below ~1.2e15 with the same precondition class as
+# _EWMA_W (asserted in tests/test_properties.py).
+_MACD_K = 26
+
+
+def _decay_weights(alpha_num: int, alpha_den: int) -> list[int]:
+    r = 1.0 - alpha_num / alpha_den
+    return [int(r**j * 100_000 + 0.5) for j in range(_MACD_K)]
+
+
+_MACD_W12 = _decay_weights(2, 13)
+_MACD_W26 = _decay_weights(2, 27)
+_MACD_W9 = _decay_weights(2, 10)
+
+
+def _wavg_micros_expr(weights: list[int], cur: F.Column, lag_col) -> F.Column:
+    """Frozen-weight trailing average of an integer-micros column, emitted
+    in the SAME integer scale: floor(num/den + 0.5) as a long, NULL when
+    the whole frame is NULL. ``lag_col(k)`` must return the k-lagged
+    attribute (staged ONCE by the caller -- the window-staging rule)."""
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k, wt in enumerate(weights):
+        lv = cur if k == 0 else lag_col(k)
+        num = num + F.coalesce(lv * F.lit(wt), F.lit(0))
+        den = den + F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return F.when(den > 0, F.floor(num * 1.0 / den + F.lit(0.5)).cast("long"))
+
+
+def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD per event type: truncated-EMA(12) minus truncated-EMA(26) of
+    integer-micros value, plus the 9-span signal line (a SECOND truncated
+    EMA over the derived MACD series) and the histogram -- the momentum
+    indicator completing the family beside EWMA/Bollinger/RSI. The
+    textbook EMA recursion has infinite memory; the 26-term truncation
+    (matching ``trailing_ewma``'s design) captures >98% of each span's
+    mass and is exactly frame-expressible.
+
+    Exactness: frozen integer weights (see ``_MACD_W12``), long
+    num/den sums, one double division + floor(x+0.5) per EMA, all three
+    emitted columns are integer MICROS (``macd_micro`` etc.) so the
+    oracle compares exact longs -- no float columns at all.
+
+    Plan shape: vm's 25 lags staged ONCE and shared by both spans (one
+    WindowExec), then the signal's 25 lags over the derived macd column
+    (second WindowExec, SAME partition+order => one sort+shuffle total).
+    Per the staging rule each lag is a named column consumed by
+    attribute, never a re-expanded window call."""
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nlag = _MACD_K - 1
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    staged1 = ev.select(
+        "*",
+        *[F.lag("vm", k).over(wo).alias(f"__v{k}") for k in range(1, nlag + 1)],
+    )
+    vlag = lambda k: F.col(f"__v{k}")  # noqa: E731
+    m = staged1.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (
+            _wavg_micros_expr(_MACD_W12, F.col("vm"), vlag)
+            - _wavg_micros_expr(_MACD_W26, F.col("vm"), vlag)
+        ).alias("macd_micro"),
+    )
+    staged2 = m.select(
+        "*",
+        *[
+            F.lag("macd_micro", k).over(wo).alias(f"__m{k}")
+            for k in range(1, nlag + 1)
+        ],
+    )
+    mlag = lambda k: F.col(f"__m{k}")  # noqa: E731
+    out = staged2.select(
+        "event_type",
+        "event_id",
+        "macd_micro",
+        _wavg_micros_expr(_MACD_W9, F.col("macd_micro"), mlag).alias(
+            "signal_micro"
+        ),
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        "macd_micro",
+        "signal_micro",
+        (F.col("macd_micro") - F.col("signal_micro")).alias("hist_micro"),
+    )
+
+
 def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands: trailing-20 mean +- 2 standard deviations of
     ``value`` per event type -- with EWMA/drawdown, the third classic
@@ -1008,6 +1108,48 @@ def window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _macd_oracle() -> str:
+    """Mirror of window_macd: the same frozen weight lists generate the
+    LAG-term SQL, so engine and oracle share every constant."""
+
+    def wavg_sql(weights: list[int], cur: str, lag_fmt: str) -> str:
+        tn, td = [], []
+        for k, wt in enumerate(weights):
+            lv = cur if k == 0 else lag_fmt.format(k=k)
+            tn.append(f"COALESCE({lv} * {wt}, 0)")
+            td.append(f"CASE WHEN {lv} IS NOT NULL THEN {wt} ELSE 0 END")
+        num = " + ".join(tn)
+        den = " + ".join(td)
+        return (
+            f"CASE WHEN ({den}) > 0 THEN "
+            f"CAST(FLOOR(({num}) * 1.0 / ({den}) + 0.5) AS BIGINT) END"
+        )
+
+    e12 = wavg_sql(_MACD_W12, "vm", "LAG(vm, {k}) OVER win")
+    e26 = wavg_sql(_MACD_W26, "vm", "LAG(vm, {k}) OVER win")
+    sig = wavg_sql(_MACD_W9, "macd_micro", "LAG(macd_micro, {k}) OVER win")
+    return f"""
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+            FROM events
+        ), m AS (
+            SELECT event_type, event_id, ts,
+                   ({e12}) - ({e26}) AS macd_micro
+            FROM base
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ), s AS (
+            SELECT event_type, event_id, macd_micro,
+                   ({sig}) AS signal_micro
+            FROM m
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type, event_id, macd_micro, signal_micro,
+               macd_micro - signal_micro AS hist_micro
+        FROM s
+    """
+
+
 def _ewma_oracle() -> str:
     terms_n, terms_d = [], []
     for k, wt in enumerate(_EWMA_W):
@@ -1050,6 +1192,7 @@ QUERIES = {
     "w_rsi": window_rsi,
     "w_stochastic": window_stochastic,
     "w_vwap": window_vwap,
+    "w_macd": window_macd,
 }
 
 ORACLES = {
@@ -1072,6 +1215,7 @@ ORACLES = {
         FROM series GROUP BY user_id ORDER BY user_id
     """,
     "w_ewma": _ewma_oracle(),
+    "w_macd": _macd_oracle(),
     # Centi-unit integer window sums -> exact n*q - s^2 variance
     # numerator; the only inexact steps (IEEE sqrt, two double
     # divisions) are identical on both engines. CASTs keep DuckDB's

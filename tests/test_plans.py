@@ -351,6 +351,9 @@ _BNLJ_OK = {
     "t_bm25",
     # Same class: the 1-row n_min total meets the per-language counts.
     "c_temperature_mix",
+    # Two 1-row corpus totals (nt, nr) ride broadcast cross joins into the
+    # 64-row log-ratio table.
+    "c_dsir",
     # Two 1-row scalar aggregates (exact counts x sketches) meet in a
     # broadcast cross join.
     "x_theta_anchor",

@@ -707,6 +707,19 @@ def test_ewma_fixture_domain_below_exactness_boundary():
     assert fixture_vm_max <= _EWMA_VM_SAFE_MAX
     assert fixture_vm_max * _EWMA_WSUM < 2**53
 
+    # Same precondition class for the MACD weight ladders (1e5 scale was
+    # chosen exactly so the slow 25/27 decay stays under 2^53; the signal
+    # line consumes macd_micro, bounded by |vm| since it is a difference
+    # of two convex averages of vm).
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        _MACD_W9,
+        _MACD_W12,
+        _MACD_W26,
+    )
+
+    for ws in (_MACD_W12, _MACD_W26, _MACD_W9):
+        assert fixture_vm_max * sum(ws) < 2**53
+
 
 # --- as-of with tolerance (j_asof_tolerance core) -------------------------
 @given(left=_asof_rows, right=_asof_rows)
