@@ -846,7 +846,17 @@ def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowExec), then the signal's 25 lags over the derived macd column
     (second WindowExec, SAME partition+order => one sort+shuffle total).
     Per the staging rule each lag is a named column consumed by
-    attribute, never a re-expanded window call."""
+    attribute, never a re-expanded window call.
+
+    Cost shape (measured r7, sf0.1): ~1.4 s fixed plan/compile + ~3 s
+    data cost -- the Window-heavy plan runs interpreted (no
+    WholeStageCodegen around WindowExec), and MACD is ~EWMA x 3 weight
+    ladders x 2 passes, consistent with w_ewma's per-row cost. Past
+    ~1M rows/key the 100 TB path is the same hybrid rule as
+    ``trailing_mean_rows``: scatter-to-frames, or an Arrow
+    ``applyInPandas`` numpy convolution per key-bucket (one vectorized
+    O(n*k) pass) -- the frame decomposition carries 25 boundary rows
+    exactly like the EWMA case."""
     wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
     nlag = _MACD_K - 1
     ev = load_table(spark, sf_dir, "events").select(
