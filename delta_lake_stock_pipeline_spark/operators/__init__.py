@@ -125,11 +125,11 @@ _DRIVER_WINDOW_ROTATION = [
     "o1_sort_single",
     "o2_sort_multi",
     "o4_topk",
-    "u_set_union",
-    # round-7 additions (financial indicator windows incl. MACD, the
-    # hashing-trick featurizer, DSIR selection) displace the last seven
-    # freshness slots, per the rotation policy: never-checked oracled
-    # keys outrank re-proofs of already-green keys.
+    # round-7 additions (financial indicator windows incl. MACD and its
+    # Arrow physical twin, the hashing-trick featurizer, DSIR selection)
+    # displace the last eight freshness slots, per the rotation policy:
+    # never-checked oracled keys outrank re-proofs of already-green keys.
+    "w_macd_arrow",
     "w_macd",
     "c_dsir",
     "w_vwap",

@@ -857,14 +857,21 @@ def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandas`` numpy convolution per key-bucket (one vectorized
     O(n*k) pass) -- the frame decomposition carries 25 boundary rows
     exactly like the EWMA case."""
-    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    nlag = _MACD_K - 1
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         "ts",
         F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
     )
+    return macd_catalyst(ev)
+
+
+def macd_catalyst(ev: DataFrame) -> DataFrame:
+    """Core of ``w_macd`` over an (event_type, event_id, ts, vm) relation
+    -- separated so the hypothesis test can drive it on arbitrary inputs
+    against the Arrow variant below."""
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nlag = _MACD_K - 1
     staged1 = ev.select(
         "*",
         *[F.lag("vm", k).over(wo).alias(f"__v{k}") for k in range(1, nlag + 1)],
@@ -901,6 +908,88 @@ def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "macd_micro",
         "signal_micro",
         (F.col("macd_micro") - F.col("signal_micro")).alias("hist_micro"),
+    )
+
+
+def window_macd_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``w_macd``'s vectorized PHYSICAL variant: the same truncated-EMA
+    12/26 + signal-9 semantics computed as exact int64 numpy
+    convolutions inside an Arrow ``applyInPandas`` grouped map — the
+    scale path ``window_macd``'s docstring names for >1M rows/key, here
+    as a first-class key proving the two strategies are bit-identical
+    (it shares ``w_macd``'s oracle verbatim).
+
+    Why this is the 100 TB shape: the Catalyst form pays ~50 interpreted
+    lag frame processors per row; here each group is ONE
+    ``np.convolve`` per weight ladder — a C-speed O(n*k) pass over
+    Arrow-transferred int64 arrays. Exactness: values, masks, and
+    weights are all int64, so every numerator/denominator is an exact
+    integer convolution (NULL slots contribute to neither, exactly the
+    frame semantics); the only float steps are the same
+    ``floor(num/den + 0.5)`` doubles as the expression form. Grouping is
+    by event_type at fixture scale; past memory-bound groups the
+    decomposition is the ``trailing_mean_rows`` scatter (25 carry rows
+    per bucket boundary). Property-tested against ``window_macd`` on
+    random NULL-bearing inputs (tests/test_properties.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    return macd_arrow(ev)
+
+
+def macd_arrow(ev: DataFrame) -> DataFrame:
+    """Core of ``w_macd_arrow`` (same (event_type, event_id, ts, vm)
+    input contract as ``macd_catalyst``)."""
+    import pandas as pd
+
+    def _trailing(vals: "np.ndarray", mask: "np.ndarray", w: "np.ndarray"):
+        # Exact int64 convolution numerator/denominator; the float steps
+        # are the SAME floor(num/den + 0.5) doubles as the Catalyst form.
+        import numpy as np
+
+        n = len(vals)
+        num = np.convolve(vals * mask, w)[:n]
+        den = np.convolve(mask, w)[:n]
+        ok = den > 0
+        out = np.zeros(n, dtype="int64")
+        out[ok] = np.floor(
+            num[ok] * 1.0 / den[ok] + 0.5
+        ).astype("int64")
+        return out, ok
+
+    def macd_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        mask = (~pdf["vm"].isna()).to_numpy().astype("int64")
+        vals = pdf["vm"].fillna(0).to_numpy(dtype="int64")
+        e12, _ = _trailing(vals, mask, np.array(_MACD_W12, dtype="int64"))
+        e26, ok_m = _trailing(vals, mask, np.array(_MACD_W26, dtype="int64"))
+        macd = np.where(ok_m, e12 - e26, 0)
+        sig, ok_s = _trailing(
+            macd, ok_m.astype("int64"), np.array(_MACD_W9, dtype="int64")
+        )
+
+        def ia(v: "np.ndarray", ok: "np.ndarray"):
+            return pd.arrays.IntegerArray(v.astype("int64"), mask=~ok)
+
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "event_id": pdf["event_id"],
+                "macd_micro": ia(macd, ok_m),
+                "signal_micro": ia(sig, ok_s),
+                "hist_micro": ia(macd - sig, ok_m & ok_s),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        macd_group,
+        schema="event_type string, event_id long, "
+        "macd_micro long, signal_micro long, hist_micro long",
     )
 
 
@@ -1203,6 +1292,7 @@ QUERIES = {
     "w_stochastic": window_stochastic,
     "w_vwap": window_vwap,
     "w_macd": window_macd,
+    "w_macd_arrow": window_macd_arrow,
 }
 
 ORACLES = {
@@ -1226,6 +1316,9 @@ ORACLES = {
     """,
     "w_ewma": _ewma_oracle(),
     "w_macd": _macd_oracle(),
+    # The Arrow physical variant shares the Catalyst form's oracle
+    # VERBATIM: one SQL truth, two execution strategies, both exact.
+    "w_macd_arrow": _macd_oracle(),
     # Centi-unit integer window sums -> exact n*q - s^2 variance
     # numerator; the only inexact steps (IEEE sqrt, two double
     # divisions) are identical on both engines. CASTs keep DuckDB's

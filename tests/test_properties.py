@@ -721,6 +721,44 @@ def test_ewma_fixture_domain_below_exactness_boundary():
         assert fixture_vm_max * sum(ws) < 2**53
 
 
+# --- MACD: Catalyst vs Arrow physical variants ----------------------------
+_macd_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=9),  # ts
+        st.one_of(
+            st.none(),
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=999_000_000, max_value=1_000_000_000),
+        ),  # vm (same boundary coverage as the EWMA generator)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=_macd_rows)
+@settings(**_SETTINGS)
+def test_macd_arrow_matches_catalyst(spark, rows):
+    """w_macd and w_macd_arrow are two physical strategies for ONE
+    semantics (they share the oracle verbatim); this drives both on
+    random NULL-bearing inputs, including thin partitions, and demands
+    bit-identical integer output."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        macd_arrow,
+        macd_catalyst,
+    )
+
+    df = spark.createDataFrame(
+        [(str(k), i, t, v) for i, (k, t, v) in enumerate(rows)],
+        "event_type string, event_id long, ts long, vm long",
+    ).repartition(5)
+    cols = ["event_type", "event_id", "macd_micro", "signal_micro", "hist_micro"]
+    got_c = sorted(tuple(r) for r in macd_catalyst(df).select(cols).collect())
+    got_a = sorted(tuple(r) for r in macd_arrow(df).select(cols).collect())
+    assert got_c == got_a
+
+
 # --- as-of with tolerance (j_asof_tolerance core) -------------------------
 @given(left=_asof_rows, right=_asof_rows)
 @settings(**_SETTINGS)
