@@ -88,13 +88,24 @@ def main() -> int:
         from delta_lake_stock_pipeline_spark.operators.similarity import _ivfpq_index
 
         _setup("ann_ivfpq_index", lambda: _ivfpq_index(spark, sf_dir))
-    if any(k.startswith("d_") for k in names):
-        from delta_lake_stock_pipeline_spark.operators.dedup import (
-            _dup_pairs,
-            _shingle_posts,
-        )
+    # Gate on the keys that actually CONSUME each artifact (not the d_
+    # prefix): an isolated `SPARK_GRAFT_BENCH_ONLY=d_keep_latest` rerun
+    # must not pay the posting build for an events-table query.
+    posts_keys = {
+        "d_ngram_jaccard",
+        "d_minhash_lsh",
+        "d_minhash_lsh_anchor",
+        "d_dup_clusters",
+        "d_dup_clusters_sql",
+    }
+    pairs_keys = {"d_dup_clusters", "d_dup_clusters_sql"}
+    if names & posts_keys:
+        from delta_lake_stock_pipeline_spark.operators.dedup import _shingle_posts
 
         _setup("dedup_postings", lambda: _shingle_posts(spark, sf_dir).count())
+    if names & pairs_keys:
+        from delta_lake_stock_pipeline_spark.operators.dedup import _dup_pairs
+
         _setup("dedup_pairs", lambda: _dup_pairs(spark, sf_dir))
 
     t_queries = time.time()

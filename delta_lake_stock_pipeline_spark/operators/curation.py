@@ -300,19 +300,22 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(lower(text), ' '), x -> x <> '')")
         ).alias("w"),
     )
+    from .reshape import md5_bucket
+
     bucketed = toks.select(
         "doc_id",
         "source",
-        (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 64).alias(
-            "b"
-        ),
+        md5_bucket(F.col("w"), 64).alias("b"),
     )
     tgt = bucketed.filter(F.col("source") == "src0")
     raw = bucketed.filter(F.col("source") != "src0")
     ct = tgt.groupBy("b").agg(F.count("*").alias("ct"))
     cr = raw.groupBy("b").agg(F.count("*").alias("cr"))
-    nt = tgt.agg(F.count("*").alias("nt"))
-    nr = raw.agg(F.count("*").alias("nr"))
+    # Corpus totals derived from the 64-row count vectors, NOT fresh
+    # whole-corpus scans (review finding: the naive nt/nr aggregates
+    # re-ran the explode+md5 pipeline twice more for two scalars).
+    nt = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    nr = cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
     # Full 64-bucket spine: buckets unseen in either corpus still get the
     # smoothed ratio, so scoring never drops a token.
     spine = spark.range(64).select(F.col("id").alias("b"))
@@ -352,10 +355,13 @@ QUERIES = {
     "c_dsir": dsir_selection,
 }
 
+from .reshape import md5_bucket_sql as _mb_sql
+
 ORACLES = {
-    # Same md5 bucket fold and the single-ln quantization: every
-    # logw_micro is an exact integer, compared bit-for-bit.
-    "c_dsir": """
+    # Same md5 bucket fold (the SHARED md5_bucket_sql fragment) and the
+    # single-ln quantization: every logw_micro is an exact integer,
+    # compared bit-for-bit.
+    "c_dsir": f"""
         WITH toks AS (
             SELECT doc_id, source,
                    unnest(list_filter(string_split(lower(text), ' '),
@@ -363,7 +369,7 @@ ORACLES = {
             FROM documents
         ), bucketed AS (
             SELECT doc_id, source,
-                   CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS b
+                   {_mb_sql("w", 64)} AS b
             FROM toks
         ), ct AS (
             SELECT b, COUNT(*) AS ct FROM bucketed

@@ -208,6 +208,21 @@ def sample_stratified_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def md5_bucket(col: F.Column, n: int) -> F.Column:
+    """The engine-portable md5 fold shared by the hashing-trick
+    featurizer (`t_feature_hash`) and DSIR (`c_dsir`): first 32 bits of
+    md5, mod ``n``. ONE definition on each side (see ``md5_bucket_sql``)
+    so the two keys' documented 'same fold' contract cannot silently
+    diverge; `hash_split_columns` below is the older mod-100 instance of
+    the same idea."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n
+
+
+def md5_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB rendering of ``md5_bucket`` -- interpolate into oracle SQL."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT) % {n}"
+
+
 def hash_split_columns(key: F.Column) -> tuple[F.Column, F.Column]:
     """The engine's ONE definition of the reproducible 80/10/10 holdout:
     ``(bucket, split_label)`` from md5 of a key column (first 32 bits mod

@@ -404,31 +404,42 @@ def _sweep_stale_tmps(base: str) -> None:
     """Remove orphaned ``{base}.tmp-{pid}`` build dirs left by interrupted
     runs (review finding: a crash between the tmp write and the atomic
     rename leaked a full-size index copy under the system temp dir
-    forever). Liveness is decided two ways: ``/proc/<pid>`` where procfs
-    exists (Linux), else an mtime age threshold -- on non-procfs
-    platforms the pid probe would read every live builder as dead and
-    sweep its tmp out from under it. The age threshold also bounds the
-    pid-reuse hole (a recycled pid could otherwise protect an orphaned
-    full-size index copy indefinitely): anything older than an hour is
-    swept regardless of pid liveness -- no real build takes that long,
-    interrupted or not."""
+    forever). Decision ladder, most-certain first:
+
+    * OUR OWN pid's tmp is always swept -- the sweep runs before this
+      process starts a build, so any same-pid leftover is a failed
+      earlier attempt in THIS process (review finding: the retry would
+      otherwise hit Spark's errorifexists on its own debris forever).
+    * Other pids: swept when ``/proc/<pid>`` says dead (Linux). On
+      non-procfs platforms the pid probe would read every live builder
+      as dead, so liveness is not consulted there.
+    * A conservative 24 h age cap backstops the two unprovable cases --
+      pid reuse protecting an orphan (Linux) and the no-procfs platforms
+      -- WITHOUT racing real builds: a genuine index build that takes a
+      day is outside this engine's design envelope, while the earlier
+      1 h cap could have rmtree'd a live large-corpus build mid-write
+      (second review finding)."""
     import glob
     import shutil
     import sys
     import time
 
-    max_age_s = 3600.0
+    max_age_s = 24 * 3600.0
+    own_pid = str(os.getpid())
     for tmp in glob.glob(f"{base}.tmp-*"):
         pid = tmp.rsplit("-", 1)[-1]
+        if pid == own_pid:
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
         try:
             age = time.time() - os.path.getmtime(tmp)
         except OSError:
             continue  # raced with another sweeper
         if sys.platform.startswith("linux"):
-            alive = pid.isdigit() and os.path.exists(f"/proc/{pid}")
+            dead = not (pid.isdigit() and os.path.exists(f"/proc/{pid}"))
         else:
-            alive = True  # no procfs: age threshold alone decides
-        if not alive or age > max_age_s:
+            dead = False  # no procfs: only the age cap decides
+        if dead or age > max_age_s:
             shutil.rmtree(tmp, ignore_errors=True)
 
 

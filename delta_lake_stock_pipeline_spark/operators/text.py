@@ -74,21 +74,23 @@ def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/reshape.py:211`): md5 is md5 everywhere, so bucket,
     sign, and every weight are EXACT integers the oracle recomputes
     bit-for-bit. Zero-sum buckets are dropped on both sides (the sparse
-    vector's natural form). md5 is staged as a named column so the two
-    substring consumers share one evaluation."""
+    vector's natural form). The bucket fold is the SHARED
+    ``reshape.md5_bucket`` definition (one contract with ``c_dsir``);
+    the two md5 textual uses in one projection are deduplicated by
+    codegen subexpression elimination (deterministic expression)."""
+    from .reshape import md5_bucket
+
     docs = load_table(spark, sf_dir, "documents")
     hashed = (
         docs.select("doc_id", F.explode(_tokens()).alias("w"))
         .filter(F.col("w") != "")
-        .select("doc_id", F.md5("w").alias("h"))
         .select(
             "doc_id",
-            (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % 64)
-            .cast("int")
-            .alias("bucket"),
+            md5_bucket(F.col("w"), 64).cast("int").alias("bucket"),
             (
                 F.lit(1)
-                - F.lit(2) * (F.conv(F.substring("h", 9, 8), 16, 10).cast("long") % 2)
+                - F.lit(2)
+                * (F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long") % 2)
             ).alias("sign"),
         )
     )
@@ -651,10 +653,12 @@ _MARKER_SQL = {
 }
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
 
+from .reshape import md5_bucket_sql as _mb_sql
+
 ORACLES = {
-    # Same md5-derived bucket/sign contract as r_hash_split's oracle:
-    # every weight is an exact integer, compared bit-for-bit.
-    "t_feature_hash": """
+    # Same md5-derived bucket/sign contract as r_hash_split's oracle;
+    # the bucket fragment is the SHARED md5_bucket_sql definition.
+    "t_feature_hash": f"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(list_filter(string_split(lower(text), ' '),
@@ -662,8 +666,7 @@ ORACLES = {
             FROM documents
         ), hashed AS (
             SELECT doc_id,
-                   CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64
-                        AS INT) AS bucket,
+                   CAST({_mb_sql("w", 64)} AS INT) AS bucket,
                    1 - 2 * (CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) % 2)
                        AS sign
             FROM toks

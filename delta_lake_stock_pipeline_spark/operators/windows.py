@@ -1007,8 +1007,11 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator ``n*q - s^2`` is exact long arithmetic. The only inexact
     steps are one IEEE sqrt (correctly rounded, engine-independent) and
     two double divisions, identical on both engines. Domain bound:
-    |value| < 1e6 keeps ``n*q`` and ``s^2`` under 2^53 with margin
-    (fixture max is 490).
+    ``n*q <= 20 * (20*vc_max^2)`` and ``s^2 <= (20*vc_max)^2`` both stay
+    under 2^53 iff |value| <= ~4.7e4 (vc_max = 4.7e6 centi-units);
+    asserted statically in tests/test_properties.py with the fixture max
+    (490) at ~1% of the bound. Beyond it the variance numerator needs
+    the micros->decimal ladder instead.
 
     Scale shape: one WindowExec over one shuffle on event_type; the
     three frame aggregates share the frame. Low-cardinality keys follow
@@ -1069,8 +1072,9 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for SMA-based RS but with a SINGLE double division.
 
     Exactness: diffs/gains/losses are integer micros; the frame sums are
-    order-insensitive long window sums; ``100*sg`` stays exact (<= 7e11
-    at the fixture bound); one double division + the repo's floor(x*1e4+0.5) emit. A row with no
+    order-insensitive long window sums; ``100*sg`` stays exact (sg <= 14
+    diffs x 2e9 micros = 2.8e10, so 100*sg <= 2.8e12 << 2^53 at the
+    fixture bound); one double division + the repo's floor(x*1e4+0.5) emit. A row with no
     prior movement in frame (sg+sl = 0, including the partition's first
     row) is NULL -- RSI is undefined on a flat window.
 

@@ -720,6 +720,15 @@ def test_ewma_fixture_domain_below_exactness_boundary():
     for ws in (_MACD_W12, _MACD_W26, _MACD_W9):
         assert fixture_vm_max * sum(ws) < 2**53
 
+    # Bollinger (w_bollinger) variance-numerator bound: n*q and s^2 in
+    # centi-units must stay under 2^53 at the fixture domain, and the
+    # documented safe bound |value| <= 4.7e4 must itself hold (review
+    # finding: an earlier comment claimed 1e6, off by ~440x).
+    for vmax in (1_000, 47_000):
+        vc = vmax * 100
+        assert 20 * (20 * vc * vc) < 2**53, vmax
+        assert (20 * vc) ** 2 < 2**53, vmax
+
 
 # --- MACD: Catalyst vs Arrow physical variants ----------------------------
 _macd_rows = st.lists(
