@@ -224,8 +224,58 @@ def dedup_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def indicator_probe(spark) -> None:
+    """Financial-indicator window family (round 7) at 1M/4M/16M events:
+    the integer-frame-sum indicators (Bollinger/RSI/stochastic), the two
+    MACD physical strategies (Catalyst staged-lags vs Arrow int64
+    convolution), and w_ewma as the family baseline. The interesting
+    ratio is macd vs macd_arrow as rows/key grow: the Catalyst form pays
+    ~50 interpreted lag processors per row, the Arrow form one C-speed
+    convolution per ladder per group."""
+    from delta_lake_stock_pipeline_spark.operators import all_queries
+
+    q = all_queries()
+    keys = [
+        "w_bollinger",
+        "w_rsi",
+        "w_stochastic",
+        "w_ewma",
+        "w_macd",
+        "w_macd_arrow",
+    ]
+    results: dict[str, list[tuple[int, float]]] = {}
+    try:
+        for n in EVENT_SIZES:
+            d = f"{BASE}/ind_{n}"
+            synth_events(spark, n, f"{d}/events.parquet")
+            for k in keys:
+                sec = time_query(q[k], spark, d)
+                results.setdefault(k, []).append((n, sec))
+                print(f"{k:>16} n={n:>10,}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+        print("\nGrowth ratios (time ratio per size step):")
+        for k, rows in results.items():
+            parts = []
+            for (n0, t0), (n1, t1) in zip(rows, rows[1:]):
+                parts.append(f"{n1 // n0}x rows -> {t1 / t0:.2f}x time")
+            print(f"{k:>16}  " + ("; ".join(parts) or "(single size)"))
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    if "--indicators" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        indicator_probe(spark)
+        return
     if "--dedup" in sys.argv:
         spark = (
             SparkSession.builder.master("local[32]")
