@@ -124,11 +124,12 @@ _DRIVER_WINDOW_ROTATION = [
     "f_filter_null",
     "o1_sort_single",
     "o2_sort_multi",
-    "o4_topk",
-    # round-7 additions (financial indicator windows incl. MACD and its
-    # Arrow physical twin, the hashing-trick featurizer, DSIR selection)
-    # displace the last eight freshness slots, per the rotation policy:
-    # never-checked oracled keys outrank re-proofs of already-green keys.
+    # round-7 additions (financial indicator windows incl. MACD, its
+    # Arrow physical twin, and ATR; the hashing-trick featurizer; DSIR
+    # selection) displace the last nine freshness slots, per the
+    # rotation policy: never-checked oracled keys outrank re-proofs of
+    # already-green keys.
+    "w_atr",
     "w_macd_arrow",
     "w_macd",
     "c_dsir",

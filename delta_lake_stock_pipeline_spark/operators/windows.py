@@ -1211,6 +1211,75 @@ def window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR-14 (average true range) over daily OHLC bars -- the composite
+    the reference's bar model exists for: resample ticks to (type, day)
+    OHLC exactly like ``a9_ohlc_resample`` (same deterministic
+    min_by/max_by ordering key), then TR = greatest(high-low,
+    |high-prev_close|, |low-prev_close|) and ATR = trailing-14 simple
+    average (Cutler form, like ``w_rsi`` -- Wilder's recursion is not
+    frame-expressible). First bar of a series has no prev close: TR
+    degrades to high-low, the standard convention.
+
+    Exactness: bars are integer micros (round is monotone, so max/min
+    commute with the conversion), TR is pure long min/max/abs
+    arithmetic, the ATR numerator/denominator are order-insensitive long
+    frame sums, and both emitted columns are integer micros -- the
+    oracle compares exact longs, no float columns. ``prev_close`` is
+    staged once (the window-staging rule; the TR expression consumes it
+    three times).
+
+    Scale shape: one hash-agg shuffle to bars (map-side partial), then
+    ONE sort/shuffle on event_type for the lag + frame-sum layers; bar
+    count is |types| x |days| -- thousands of rows per instrument-year,
+    so the window side is never data-scale."""
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    bars = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("vm").alias("hm"),
+            F.min("vm").alias("lm"),
+            F.max_by("vm", F.col("ord")).alias("cm"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    w14 = wo.rowsBetween(-13, 0)
+    staged = bars.select(
+        "event_type", "day", "hm", "lm", F.lag("cm", 1).over(wo).alias("pc")
+    )
+    tr = F.when(F.col("pc").isNull(), F.col("hm") - F.col("lm")).otherwise(
+        F.greatest(
+            F.col("hm") - F.col("lm"),
+            F.abs(F.col("hm") - F.col("pc")),
+            F.abs(F.col("lm") - F.col("pc")),
+        )
+    )
+    trs = staged.select("event_type", "day", tr.alias("tr_micro"))
+    return trs.select(
+        "event_type",
+        "day",
+        "tr_micro",
+        F.floor(
+            F.sum("tr_micro").over(w14)
+            * 1.0
+            / F.count("tr_micro").over(w14)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("atr_micro"),
+    )
+
+
 def _macd_oracle() -> str:
     """Mirror of window_macd: the same frozen weight lists generate the
     LAG-term SQL, so engine and oracle share every constant."""
@@ -1297,6 +1366,7 @@ QUERIES = {
     "w_vwap": window_vwap,
     "w_macd": window_macd,
     "w_macd_arrow": window_macd_arrow,
+    "w_atr": window_atr,
 }
 
 ORACLES = {
@@ -1323,6 +1393,36 @@ ORACLES = {
     # The Arrow physical variant shares the Catalyst form's oracle
     # VERBATIM: one SQL truth, two execution strategies, both exact.
     "w_macd_arrow": _macd_oracle(),
+    # Same a9-style deterministic bar selection, pure long TR/ATR
+    # arithmetic, integer-micros output compared exactly.
+    "w_atr": """
+        WITH bars AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   MAX(CAST(ROUND(value * 1000000) AS BIGINT)) AS hm,
+                   MIN(CAST(ROUND(value * 1000000) AS BIGINT)) AS lm,
+                   arg_max(CAST(ROUND(value * 1000000) AS BIGINT),
+                           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                       AS cm
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), trs AS (
+            SELECT event_type, day,
+                   CASE WHEN LAG(cm) OVER win IS NULL THEN hm - lm
+                        ELSE GREATEST(hm - lm,
+                                      ABS(hm - LAG(cm) OVER win),
+                                      ABS(lm - LAG(cm) OVER win))
+                   END AS tr_micro
+            FROM bars
+            WINDOW win AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day, tr_micro,
+               CAST(FLOOR(CAST(SUM(tr_micro) OVER w14 AS BIGINT) * 1.0
+                    / CAST(COUNT(tr_micro) OVER w14 AS BIGINT) + 0.5)
+                    AS BIGINT) AS atr_micro
+        FROM trs
+        WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
     # Centi-unit integer window sums -> exact n*q - s^2 variance
     # numerator; the only inexact steps (IEEE sqrt, two double
     # divisions) are identical on both engines. CASTs keep DuckDB's
