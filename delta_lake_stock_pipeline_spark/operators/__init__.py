@@ -122,14 +122,14 @@ _DRIVER_WINDOW_ROTATION = [
     "f_filter_compound",
     "f_filter_isin",
     "f_filter_null",
-    "o1_sort_single",
-    "o2_sort_multi",
     # round-7 additions (financial indicator windows incl. MACD, its
     # Arrow physical twin, and ATR; the hashing-trick featurizer; DSIR
     # selection) displace the last nine freshness slots, per the
     # rotation policy: never-checked oracled keys outrank re-proofs of
     # already-green keys.
     "w_atr",
+    "w_obv",
+    "w_corr_matrix",
     "w_macd_arrow",
     "w_macd",
     "c_dsir",

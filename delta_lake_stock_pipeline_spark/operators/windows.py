@@ -1280,6 +1280,190 @@ def window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per supplier over the lineitem ship stream: the
+    running sum of signed quantity, where the sign is the direction of
+    the price change versus the previous fill (up -> +qty, down -> -qty,
+    flat or first fill -> 0) -- Granville's classic volume-flow
+    indicator, the standard companion to VWAP in an execution pipeline
+    (the reference's bar model carries volume per bar,
+    stock_harvester.py:51-61, exactly so consumers can derive flows like
+    this).
+
+    Exactness: price -> exact integer cents (the established
+    DECIMAL(18,2) conversion), quantity -> exact integer, the direction
+    is pure integer comparison, and OBV is an order-insensitive long
+    running sum -- every emitted column is an exact BIGINT, no float
+    anywhere. Overflow is impossible: |OBV| <= sum(qty) per supplier
+    (~600 rows x qty<=50 at any TPC-H SF).
+
+    Scale shape: ONE sort/shuffle on l_suppkey feeds both window layers
+    (the lag stage and the running sum reuse the same sort order, the
+    w_macd pattern); supplier cardinality grows with the corpus so
+    partitions stay bounded -- the per-instrument partitioning a market
+    feed has natively."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("pc"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qn"),
+    )
+    return obv_core(
+        base, "l_suppkey", ["l_shipdate", "l_orderkey", "l_linenumber"]
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "obv")
+
+
+def obv_core(fills: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """OBV over any fill stream: ``fills`` carries ``key``, the
+    deterministic ``order_cols``, ``pc`` (price, exact long units) and
+    ``qn`` (quantity, long). Appends ``obv``. Two window layers (the
+    price-change lag must be staged before the running sum -- nested
+    window functions are not expressible in one layer) over ONE
+    sort/shuffle: both specs share the same partitioning and ordering,
+    so the second WindowExec reuses the first's sort."""
+    wo = Window.partitionBy(key).orderBy(*order_cols)
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = fills.select(
+        key,
+        *order_cols,
+        "qn",
+        (F.col("pc") - F.lag("pc", 1).over(wo)).alias("d"),
+    )
+    flows = staged.select(
+        key,
+        *order_cols,
+        F.when(F.col("d").isNull() | (F.col("d") == 0), F.lit(0).cast("long"))
+        .when(F.col("d") > 0, F.col("qn"))
+        .otherwise(-F.col("qn"))
+        .alias("flow"),
+    )
+    return flows.select(
+        key, *order_cols, F.sum("flow").over(wc).alias("obv")
+    )
+
+
+def window_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily close-to-close returns
+    between every pair of event-type series -- the cross-sectional
+    correlation matrix a stock engine computes for portfolio risk, and a
+    plan shape nothing else in the registry has: align two series on
+    their shared time axis via an equi-self-join, then reduce each pair
+    to co-moments.
+
+    Exactness: daily closes are exact integer cents selected by the
+    a9-style deterministic ``max_by`` ordering key; returns are cent
+    differences (exact longs); the six co-moments (n, Sx, Sy, Sxy, Sxx,
+    Syy) are order-insensitive integer sums; and the Pearson numerator
+    n*Sxy - Sx*Sy and the two variance radicands are computed in exact
+    long arithmetic. The only inexact steps -- one long->double
+    conversion per term, two IEEE sqrts, one division, the
+    floor(x*1e6+0.5) emit -- are correctly-rounded operations written
+    textually identically on both engines. Precision bound
+    (static-asserted in tests): |value| <= 2,000 (close cents <= 2e5,
+    |return| <= 4e5) and <= 4,000 aligned days keep n*Sxy <= 2.6e18 <
+    2^63; the fixture is |value| < ~600 over 30 days.
+
+    Scale shape: the naive form is a self-join of the return series on
+    day -- but a DataFrame self-join re-computes the whole
+    scan->bars->returns subtree on both sides (verified in the physical
+    plan: two parquet scans), which doubles the raw-stream read at
+    100 TB. Instead the returns are computed ONCE, grouped per day into
+    a bounded |types|-entry array, and the pairs are generated by a
+    double explode with the a<b filter -- structurally one scan, no
+    reliance on adaptive exchange reuse. The per-day array is |types|
+    entries and the pair stream is O(|types|^2) rows per day flowing
+    straight into a map-side partial aggregation on (type_a, type_b) --
+    that quadratic IS the correlation matrix's own output size. Two
+    shuffles to bars+returns, one day-keyed regroup, one pair-keyed
+    agg."""
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    bars = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cc"),
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max_by("cc", F.col("ord")).alias("cc"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    rets = bars.select(
+        "event_type",
+        "day",
+        (F.col("cc") - F.lag("cc", 1).over(wo)).alias("rc"),
+    ).where(F.col("rc").isNotNull())
+    return corr_from_returns(rets)
+
+
+def corr_from_returns(rets: DataFrame) -> DataFrame:
+    """Pairwise Pearson over aligned return series: ``rets`` carries
+    (event_type, day, rc) with rc an exact long and at most one row per
+    (event_type, day). Emits (type_a, type_b, n_days, corr_ret) for every
+    unordered pair, correlating only the days BOTH series cover. See
+    window_corr_matrix for the exactness and scale notes."""
+    day_rows = rets.groupBy("day").agg(
+        F.collect_list(F.struct("event_type", "rc")).alias("xs")
+    )
+    pairs = (
+        day_rows.select("day", "xs", F.explode("xs").alias("a"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("a.rc").alias("ra"),
+            F.explode("xs").alias("b"),
+        )
+        .where(F.col("type_a") < F.col("b.event_type"))
+        .select(
+            "type_a",
+            F.col("b.event_type").alias("type_b"),
+            "ra",
+            F.col("b.rc").alias("rb"),
+        )
+    )
+    stats = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("ra").alias("sx"),
+        F.sum("rb").alias("sy"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+        F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+    )
+    staged = stats.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "num"
+        ),
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "dx"
+        ),
+        (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "dy"
+        ),
+    )
+    corr = F.col("num").cast("double") / (
+        F.sqrt(F.col("dx").cast("double")) * F.sqrt(F.col("dy").cast("double"))
+    )
+    return staged.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.when(
+            (F.col("dx") > 0) & (F.col("dy") > 0),
+            F.floor(corr * 1000000.0 + F.lit(0.5)).cast("long") / 1000000.0,
+        ).alias("corr_ret"),
+    )
+
+
 def _macd_oracle() -> str:
     """Mirror of window_macd: the same frozen weight lists generate the
     LAG-term SQL, so engine and oracle share every constant."""
@@ -1367,6 +1551,8 @@ QUERIES = {
     "w_macd": window_macd,
     "w_macd_arrow": window_macd_arrow,
     "w_atr": window_atr,
+    "w_obv": window_obv,
+    "w_corr_matrix": window_corr_matrix,
 }
 
 ORACLES = {
@@ -1422,6 +1608,79 @@ ORACLES = {
         FROM trs
         WINDOW w14 AS (PARTITION BY event_type ORDER BY day
                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    # Signed-quantity running sum: every column is an exact BIGINT (no
+    # float arithmetic anywhere), compared exactly.
+    "w_obv": """
+        WITH base AS (
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS pc,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS qn
+            FROM lineitem
+        ), staged AS (
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, qn,
+                   pc - LAG(pc) OVER wo AS d
+            FROM base
+            WINDOW wo AS (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        ), flows AS (
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                   CASE WHEN d IS NULL OR d = 0 THEN CAST(0 AS BIGINT)
+                        WHEN d > 0 THEN qn ELSE -qn END AS flow
+            FROM staged
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(flow) OVER wc AS BIGINT) AS obv
+        FROM flows
+        WINDOW wc AS (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    # Exact long co-moments (CASTs keep DuckDB's HUGEINT sums in long
+    # arithmetic like Spark's); the Pearson emit's long->double casts,
+    # sqrts, division, and floor form are correctly-rounded operations
+    # written identically on both engines.
+    "w_corr_matrix": """
+        WITH bars AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   arg_max(CAST(ROUND(value * 100) AS BIGINT),
+                           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                       AS cc
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), rets AS (
+            SELECT event_type, day,
+                   cc - LAG(cc) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rc
+            FROM bars
+        ), stats AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(a.rc) AS BIGINT) AS sx,
+                   CAST(SUM(b.rc) AS BIGINT) AS sy,
+                   CAST(SUM(a.rc * b.rc) AS BIGINT) AS sxy,
+                   CAST(SUM(a.rc * a.rc) AS BIGINT) AS sxx,
+                   CAST(SUM(b.rc * b.rc) AS BIGINT) AS syy
+            FROM rets a JOIN rets b
+              ON a.day = b.day AND a.event_type < b.event_type
+            WHERE a.rc IS NOT NULL AND b.rc IS NOT NULL
+            GROUP BY a.event_type, b.event_type
+        ), staged AS (
+            SELECT type_a, type_b, n_days,
+                   n_days * sxy - sx * sy AS num,
+                   n_days * sxx - sx * sx AS dx,
+                   n_days * syy - sy * sy AS dy
+            FROM stats
+        )
+        SELECT type_a, type_b, n_days,
+               CASE WHEN dx > 0 AND dy > 0 THEN
+                   CAST(FLOOR(CAST(num AS DOUBLE)
+                        / (sqrt(CAST(dx AS DOUBLE))
+                           * sqrt(CAST(dy AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               END AS corr_ret
+        FROM staged
     """,
     # Centi-unit integer window sums -> exact n*q - s^2 variance
     # numerator; the only inexact steps (IEEE sqrt, two double

@@ -932,3 +932,140 @@ def test_min_label_components_matches_union_find(spark, edges):
         for r in min_label_components(pairs).collect()
     )
     assert got == _brute_components(edges)
+
+
+# --- OBV (w_obv core) -----------------------------------------------------
+_obv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # supplier
+        st.integers(min_value=0, max_value=9),  # order position
+        st.integers(min_value=0, max_value=500),  # price (long units)
+        st.integers(min_value=0, max_value=50),  # quantity
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _brute_obv(rows):
+    """Serial OBV: per supplier in (pos, seq) order, signed running qty."""
+    out = []
+    by_key: dict[int, list] = {}
+    for seq, (k, pos, pc, qn) in enumerate(rows):
+        by_key.setdefault(k, []).append((pos, seq, pc, qn))
+    for k, fills in by_key.items():
+        fills.sort()
+        prev, obv = None, 0
+        for pos, seq, pc, qn in fills:
+            if prev is not None and pc != prev:
+                obv += qn if pc > prev else -qn
+            prev = pc
+            out.append((k, pos, seq, obv))
+    return sorted(out)
+
+
+@given(rows=_obv_rows)
+@settings(**_SETTINGS)
+def test_obv_core_matches_serial(spark, rows):
+    """Random fill streams with duplicate positions, flat runs, and
+    zero quantities, forced across thin partitions, must reproduce the
+    serial signed running sum exactly."""
+    from delta_lake_stock_pipeline_spark.operators.windows import obv_core
+
+    df = spark.createDataFrame(
+        [(k, pos, seq, pc, qn) for seq, (k, pos, pc, qn) in enumerate(rows)],
+        "k long, pos long, seq long, pc long, qn long",
+    ).repartition(5)
+    got = sorted(
+        tuple(r)
+        for r in obv_core(df, "k", ["pos", "seq"])
+        .select("k", "pos", "seq", "obv")
+        .collect()
+    )
+    assert got == _brute_obv(rows)
+
+
+# --- cross-series correlation (w_corr_matrix core) ------------------------
+# Unique (series, day) pairs; values cover sign changes and constant runs
+# (constant series => zero variance => NULL corr, the guarded branch).
+_corr_series = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # series id
+        st.integers(min_value=0, max_value=7),  # day
+    ),
+    st.integers(min_value=-400_000, max_value=400_000),  # return (long)
+    min_size=0,
+    max_size=28,
+)
+
+
+def _brute_corr(cells):
+    """Serial pairwise Pearson over the shared days, exact-int co-moments
+    (Python ints are unbounded -- the engine's documented domain keeps
+    the same arithmetic inside int64), then the identical double emit."""
+    import math
+
+    series: dict[int, dict[int, int]] = {}
+    for (s, d), rc in cells.items():
+        series.setdefault(s, {})[d] = rc
+    out = []
+    ids = sorted(series)
+    for i, sa in enumerate(ids):
+        for sb in ids[i + 1 :]:
+            days = sorted(set(series[sa]) & set(series[sb]))
+            if not days:
+                continue
+            xs = [series[sa][d] for d in days]
+            ys = [series[sb][d] for d in days]
+            n = len(days)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx = sum(x * x for x in xs)
+            syy = sum(y * y for y in ys)
+            num = n * sxy - sx * sy
+            dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+            if dx > 0 and dy > 0:
+                corr = float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+                emit = math.floor(corr * 1000000.0 + 0.5) / 1000000.0
+            else:
+                emit = None
+            out.append((str(sa), str(sb), n, emit))
+    return sorted(out)
+
+
+@given(cells=_corr_series)
+@settings(**_SETTINGS)
+def test_corr_from_returns_matches_serial(spark, cells):
+    """Random sparse return panels -- misaligned coverage, constant
+    (zero-variance) series, negative correlation -- across thin
+    partitions must match the serial exact-int Pearson bit-for-bit,
+    including the NULL guard on degenerate pairs."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        corr_from_returns,
+    )
+
+    df = spark.createDataFrame(
+        [(str(s), d, rc) for (s, d), rc in cells.items()],
+        "event_type string, day long, rc long",
+    ).repartition(5)
+    got = sorted(
+        tuple(r)
+        for r in corr_from_returns(df)
+        .select("type_a", "type_b", "n_days", "corr_ret")
+        .collect()
+    )
+    assert got == _brute_corr(cells)
+
+
+def test_corr_matrix_domain_bound():
+    """The w_corr_matrix docstring's precondition: |value| <= 2,000
+    (close cents <= 2e5, |day-over-day return| <= 4e5) across <= 4,000
+    aligned days keeps every long product -- n*Sxy and the variance
+    radicands -- inside int64. The fixture is |value| < ~600 over 30
+    days, far inside."""
+    cc_max = 2_000 * 100
+    rc_max = 2 * cc_max
+    n_max = 4_000
+    sxy_max = n_max * rc_max * rc_max  # also bounds Sxx, Syy
+    assert n_max * sxy_max < 2**63
+    assert (n_max * rc_max) ** 2 < 2**63  # the Sx*Sy term
