@@ -120,8 +120,6 @@ _DRIVER_WINDOW_ROTATION = [
     "f_filter_eq",
     "f_filter_range",
     "f_filter_compound",
-    "f_filter_isin",
-    "f_filter_null",
     # round-7 additions (financial indicator windows incl. MACD, its
     # Arrow physical twin, and ATR; the hashing-trick featurizer; DSIR
     # selection) displace the last nine freshness slots, per the
@@ -130,6 +128,8 @@ _DRIVER_WINDOW_ROTATION = [
     "w_atr",
     "w_obv",
     "w_corr_matrix",
+    "w_xsec_zscore",
+    "w_beta",
     "w_macd_arrow",
     "w_macd",
     "c_dsir",

@@ -1380,6 +1380,16 @@ def window_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     that quadratic IS the correlation matrix's own output size. Two
     shuffles to bars+returns, one day-keyed regroup, one pair-keyed
     agg."""
+    return corr_from_returns(_daily_returns(spark, sf_dir))
+
+
+def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily close-to-close returns per event-type series, in exact
+    integer cents: a9-style deterministic close selection (max_by over
+    the zero-padded (micros, event_id) key), then a lag difference per
+    series. One scan, two shuffles (bar agg, series window). Shared by
+    the cross-sectional family (w_corr_matrix / w_xsec_zscore /
+    w_beta) and mirrored verbatim by each key's oracle CTEs."""
     ord_key = F.concat(
         F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 20, "0"),
@@ -1396,12 +1406,11 @@ def window_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("cc", F.col("ord")).alias("cc"))
     )
     wo = Window.partitionBy("event_type").orderBy("day")
-    rets = bars.select(
+    return bars.select(
         "event_type",
         "day",
         (F.col("cc") - F.lag("cc", 1).over(wo)).alias("rc"),
     ).where(F.col("rc").isNotNull())
-    return corr_from_returns(rets)
 
 
 def corr_from_returns(rets: DataFrame) -> DataFrame:
@@ -1462,6 +1471,162 @@ def corr_from_returns(rets: DataFrame) -> DataFrame:
             F.floor(corr * 1000000.0 + F.lit(0.5)).cast("long") / 1000000.0,
         ).alias("corr_ret"),
     )
+
+
+def window_xsec_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional z-score: each series' daily return standardized
+    against THAT DAY's cross-section of all series -- the factor-model
+    neutralization every quant pipeline applies before ranking signals,
+    and the registry's only window family partitioned by TIME rather
+    than by series (the day is the peer group; the instrument is the
+    observation).
+
+    Exactness: returns are exact cents (shared ``_daily_returns``); the
+    per-day count/sum/sum-of-squares are order-insensitive long window
+    sums over the unordered day partition; the z numerator n*rc - s and
+    the variance radicand n*q - s*s are exact long arithmetic (the
+    Bollinger n*q - s^2 form, cross-sectionally); and the emit is one
+    long->double cast each, one IEEE sqrt, one division, the
+    floor(x*1e6+0.5) form -- identical text both engines. Degenerate
+    days (single series, or all returns equal) emit NULL. Domain bound
+    (static-asserted): <= 5,000 series per day at |value| <= 2,000 keeps
+    n*q under 2^63; the fixture is 5 series.
+
+    Scale shape: one scan; bars + series-lag as in ``_daily_returns``;
+    then ONE extra hash shuffle on day whose partitions hold at most
+    |series| rows each -- day cardinality grows with history so the
+    shuffle fans out, and no partition ever exceeds the universe size."""
+    return zscore_from_returns(_daily_returns(spark, sf_dir))
+
+
+def zscore_from_returns(rets: DataFrame) -> DataFrame:
+    """Cross-sectional z-score over any (event_type, day, rc) panel with
+    exact-long rc; see window_xsec_zscore for the contract."""
+    wd = Window.partitionBy("day")
+    staged = rets.select(
+        "event_type",
+        "day",
+        "rc",
+        F.count("rc").over(wd).alias("n"),
+        F.sum("rc").over(wd).alias("s"),
+        F.sum(F.col("rc") * F.col("rc")).over(wd).alias("q"),
+    )
+    num = F.col("n") * F.col("rc") - F.col("s")
+    den2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = num.cast("double") / F.sqrt(den2.cast("double"))
+    return staged.select(
+        "event_type",
+        "day",
+        "rc",
+        F.when(
+            den2 > 0,
+            F.floor(z * 1000000.0 + F.lit(0.5)).cast("long") / 1000000.0,
+        ).alias("zscore"),
+    )
+
+
+def window_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series market beta and alpha: OLS regression of each series'
+    daily return against the cross-sectional mean-return index (the
+    equal-weight "market" -- each day's mean return across all series,
+    floored to whole cents so the index itself is an exact long). The
+    CAPM decomposition a portfolio pipeline runs nightly; the index is
+    derived from the SAME single scan via a day-partitioned window, not
+    a plan-doubling self-join against a designated benchmark series.
+
+    Exactness: the only non-integer step building the index is
+    floor(s/n) on two exact longs cast to double -- IEEE division and
+    floor, identical both engines; after that x (index, cents) and y
+    (series return, cents) feed exact long co-moments, and beta's
+    numerator/denominator are exact long arithmetic cast once to
+    double. alpha = (Sy - beta*Sx)/n is staged on the named beta column
+    so both engines evaluate the same expression tree. Domain bound
+    (static-asserted): |value| <= 2,000 and <= 4,000 days keep every
+    product under 2^63.
+
+    Scale shape: one scan; bars + series-lag; one day-keyed window
+    shuffle (bounded partitions, as w_xsec_zscore); one final
+    series-keyed aggregation with map-side partials."""
+    return beta_from_returns(_daily_returns(spark, sf_dir))
+
+
+def beta_from_returns(rets: DataFrame) -> DataFrame:
+    """Beta/alpha vs the per-day mean-cents index over any
+    (event_type, day, rc) panel; see window_beta for the contract."""
+    wd = Window.partitionBy("day")
+    with_index = rets.select(
+        "event_type",
+        "day",
+        "rc",
+        F.floor(
+            F.sum("rc").over(wd).cast("double")
+            / F.count("rc").over(wd).cast("double")
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    stats = with_index.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("rc").alias("sy"),
+        F.sum(F.col("x") * F.col("rc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    staged = stats.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+    )
+    with_beta = staged.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        F.when(
+            F.col("dx") > 0, F.col("num").cast("double") / F.col("dx").cast("double")
+        ).alias("beta"),
+    )
+    alpha = (
+        F.col("sy").cast("double") - F.col("beta") * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return with_beta.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(
+            F.col("beta").isNotNull(),
+            F.floor(F.col("beta") * 1000000.0 + F.lit(0.5)).cast("long")
+            / 1000000.0,
+        ).alias("beta"),
+        F.when(
+            F.col("beta").isNotNull(),
+            F.floor(alpha * 1000000.0 + F.lit(0.5)).cast("long") / 1000000.0,
+        ).alias("alpha_cents"),
+    )
+
+
+# Shared oracle CTE mirroring _daily_returns -- ONE definition consumed by
+# every cross-sectional oracle so the close selection and lag difference
+# cannot drift between keys (the md5_bucket_sql stance).
+_RETS_CTE = """
+        bars AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   arg_max(CAST(ROUND(value * 100) AS BIGINT),
+                           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                       AS cc
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), rets AS (
+            SELECT event_type, day, rc FROM (
+                SELECT event_type, day,
+                       cc - LAG(cc) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS rc
+                FROM bars
+            ) WHERE rc IS NOT NULL
+        )
+"""
 
 
 def _macd_oracle() -> str:
@@ -1553,6 +1718,8 @@ QUERIES = {
     "w_atr": window_atr,
     "w_obv": window_obv,
     "w_corr_matrix": window_corr_matrix,
+    "w_xsec_zscore": window_xsec_zscore,
+    "w_beta": window_beta,
 }
 
 ORACLES = {
@@ -1641,20 +1808,8 @@ ORACLES = {
     # arithmetic like Spark's); the Pearson emit's long->double casts,
     # sqrts, division, and floor form are correctly-rounded operations
     # written identically on both engines.
-    "w_corr_matrix": """
-        WITH bars AS (
-            SELECT event_type, CAST(ts AS DATE) AS day,
-                   arg_max(CAST(ROUND(value * 100) AS BIGINT),
-                           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
-                       AS cc
-            FROM events GROUP BY event_type, CAST(ts AS DATE)
-        ), rets AS (
-            SELECT event_type, day,
-                   cc - LAG(cc) OVER (PARTITION BY event_type
-                                      ORDER BY day) AS rc
-            FROM bars
-        ), stats AS (
+    "w_corr_matrix": f"""
+        WITH {_RETS_CTE}, stats AS (
             SELECT a.event_type AS type_a, b.event_type AS type_b,
                    CAST(COUNT(*) AS BIGINT) AS n_days,
                    CAST(SUM(a.rc) AS BIGINT) AS sx,
@@ -1664,7 +1819,6 @@ ORACLES = {
                    CAST(SUM(b.rc * b.rc) AS BIGINT) AS syy
             FROM rets a JOIN rets b
               ON a.day = b.day AND a.event_type < b.event_type
-            WHERE a.rc IS NOT NULL AND b.rc IS NOT NULL
             GROUP BY a.event_type, b.event_type
         ), staged AS (
             SELECT type_a, type_b, n_days,
@@ -1681,6 +1835,66 @@ ORACLES = {
                         * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
                END AS corr_ret
         FROM staged
+    """,
+    # Cross-sectional n*rc - s over sqrt(n*q - s*s): exact long
+    # arithmetic until one cast-sqrt-divide-floor emit, identical text.
+    "w_xsec_zscore": f"""
+        WITH {_RETS_CTE}, staged AS (
+            SELECT event_type, day, rc,
+                   CAST(COUNT(rc) OVER wd AS BIGINT) AS n,
+                   CAST(SUM(rc) OVER wd AS BIGINT) AS s,
+                   CAST(SUM(rc * rc) OVER wd AS BIGINT) AS q
+            FROM rets
+            WINDOW wd AS (PARTITION BY day)
+        )
+        SELECT event_type, day, rc,
+               CASE WHEN n * q - s * s > 0 THEN
+                   CAST(FLOOR(CAST(n * rc - s AS DOUBLE)
+                        / sqrt(CAST(n * q - s * s AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               END AS zscore
+        FROM staged
+    """,
+    # The index is floor(Sum/Count) on two exact longs -- IEEE division
+    # and floor, identical both engines -- then exact long co-moments;
+    # alpha is evaluated over the staged beta column on both sides.
+    "w_beta": f"""
+        WITH {_RETS_CTE}, wi AS (
+            SELECT event_type, day, rc,
+                   CAST(FLOOR(CAST(CAST(SUM(rc) OVER wd AS BIGINT) AS DOUBLE)
+                        / CAST(CAST(COUNT(rc) OVER wd AS BIGINT) AS DOUBLE))
+                        AS BIGINT) AS x
+            FROM rets
+            WINDOW wd AS (PARTITION BY day)
+        ), stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(rc) AS BIGINT) AS sy,
+                   CAST(SUM(x * rc) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM wi GROUP BY event_type
+        ), staged AS (
+            SELECT event_type, n, sx, sy,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS dx
+            FROM stats
+        ), wb AS (
+            SELECT event_type, n, sx, sy,
+                   CASE WHEN dx > 0 THEN
+                       CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) END AS beta
+            FROM staged
+        )
+        SELECT event_type, n AS n_days,
+               CASE WHEN beta IS NOT NULL THEN
+                   CAST(FLOOR(beta * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               END AS beta,
+               CASE WHEN beta IS NOT NULL THEN
+                   CAST(FLOOR((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0
+               END AS alpha_cents
+        FROM wb
     """,
     # Centi-unit integer window sums -> exact n*q - s^2 variance
     # numerator; the only inexact steps (IEEE sqrt, two double

@@ -1069,3 +1069,121 @@ def test_corr_matrix_domain_bound():
     sxy_max = n_max * rc_max * rc_max  # also bounds Sxx, Syy
     assert n_max * sxy_max < 2**63
     assert (n_max * rc_max) ** 2 < 2**63  # the Sx*Sy term
+
+
+# --- cross-sectional z-score / beta (w_xsec_zscore, w_beta cores) ---------
+def _brute_zscore(cells):
+    import math
+
+    days: dict[int, list] = {}
+    for (s, d), rc in cells.items():
+        days.setdefault(d, []).append((s, rc))
+    out = []
+    for d, rows in days.items():
+        n = len(rows)
+        ssum = sum(rc for _, rc in rows)
+        q = sum(rc * rc for _, rc in rows)
+        den2 = n * q - ssum * ssum
+        for s, rc in rows:
+            if den2 > 0:
+                z = float(n * rc - ssum) / math.sqrt(float(den2))
+                emit = math.floor(z * 1000000.0 + 0.5) / 1000000.0
+            else:
+                emit = None
+            out.append((str(s), d, rc, emit))
+    return sorted(out)
+
+
+def _brute_beta(cells):
+    import math
+
+    days: dict[int, list] = {}
+    series: dict[int, list] = {}
+    for (s, d), rc in cells.items():
+        days.setdefault(d, []).append(rc)
+    x_by_day = {
+        d: math.floor(float(sum(rs)) / float(len(rs)))
+        for d, rs in days.items()
+    }
+    for (s, d), rc in cells.items():
+        series.setdefault(s, []).append((x_by_day[d], rc))
+    out = []
+    for s, pts in series.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num, dx = n * sxy - sx * sy, n * sxx - sx * sx
+        if dx > 0:
+            beta = float(num) / float(dx)
+            alpha = (float(sy) - beta * float(sx)) / float(n)
+            out.append(
+                (
+                    str(s),
+                    n,
+                    math.floor(beta * 1000000.0 + 0.5) / 1000000.0,
+                    math.floor(alpha * 1000000.0 + 0.5) / 1000000.0,
+                )
+            )
+        else:
+            out.append((str(s), n, None, None))
+    return sorted(out)
+
+
+@given(cells=_corr_series)
+@settings(**_SETTINGS)
+def test_zscore_from_returns_matches_serial(spark, cells):
+    """Random sparse panels -- single-series days (den=0), all-equal
+    days, negative returns -- across thin partitions must match the
+    serial exact-int cross-sectional z bit-for-bit."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        zscore_from_returns,
+    )
+
+    df = spark.createDataFrame(
+        [(str(s), d, rc) for (s, d), rc in cells.items()],
+        "event_type string, day long, rc long",
+    ).repartition(5)
+    got = sorted(
+        tuple(r)
+        for r in zscore_from_returns(df)
+        .select("event_type", "day", "rc", "zscore")
+        .collect()
+    )
+    assert got == _brute_zscore(cells)
+
+
+@given(cells=_corr_series)
+@settings(**_SETTINGS)
+def test_beta_from_returns_matches_serial(spark, cells):
+    """Beta/alpha vs the per-day floored mean index: the brute force
+    rebuilds the index serially (math.floor of the same IEEE division)
+    and the exact-long co-moments; constant-index series (dx=0) must be
+    NULL on both sides."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        beta_from_returns,
+    )
+
+    df = spark.createDataFrame(
+        [(str(s), d, rc) for (s, d), rc in cells.items()],
+        "event_type string, day long, rc long",
+    ).repartition(5)
+    got = sorted(
+        tuple(r)
+        for r in beta_from_returns(df)
+        .select("event_type", "n_days", "beta", "alpha_cents")
+        .collect()
+    )
+    assert got == _brute_beta(cells)
+
+
+def test_xsec_domain_bounds():
+    """w_xsec_zscore: <= 5,000 series per day at |return| <= 4e5 cents
+    keeps n*q inside int64. w_beta: the index |x| <= 4e5 (a mean of
+    bounded returns), so its co-moments satisfy the same corr-matrix
+    bounds."""
+    rc_max, t_max, n_max = 400_000, 5_000, 4_000
+    assert t_max * (t_max * rc_max * rc_max) < 2**63  # n*q
+    assert (t_max * rc_max) ** 2 < 2**63  # s*s
+    assert n_max * (n_max * rc_max * rc_max) < 2**63  # beta: n*sxx, n*sxy

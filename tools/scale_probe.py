@@ -47,9 +47,30 @@ _TYPES = ["click", "view", "purchase", "signup", "error"]
 _SOURCES = ["wiki", "web", "books", "code", "news"]
 
 
-def synth_events(spark, n: int, out: str) -> None:
-    """n events, ~20 per user, 5 types, 90 days of microsecond timestamps."""
+def synth_events(spark, n: int, out: str, n_types: int | None = None) -> None:
+    """n events, ~20 per user, 90 days of microsecond timestamps. Types:
+    the 5 fixture names by default; ``n_types`` switches to synthetic
+    ids ("t0007", ...) for probes whose axis is SERIES CARDINALITY (the
+    correlation matrix's quadratic dimension)."""
     day_us = 86_400 * 1_000_000
+    if n_types is None:
+        type_col = F.element_at(
+            F.array(*[F.lit(t) for t in _TYPES]),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(5)) + 1).cast(
+                "int"
+            ),
+        )
+    else:
+        type_col = F.concat(
+            F.lit("t"),
+            F.lpad(
+                F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(n_types)).cast(
+                    "string"
+                ),
+                4,
+                "0",
+            ),
+        )
     (
         spark.range(n)
         .select(
@@ -61,12 +82,7 @@ def synth_events(spark, n: int, out: str) -> None:
             F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(max(n // 20, 1))).alias(
                 "user_id"
             ),
-            F.element_at(
-                F.array(*[F.lit(t) for t in _TYPES]),
-                (F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(5)) + 1).cast(
-                    "int"
-                ),
-            ).alias("event_type"),
+            type_col.alias("event_type"),
             (
                 F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(1_000_000)).cast(
                     "double"
@@ -263,8 +279,57 @@ def indicator_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def corr_probe(spark) -> None:
+    """Cross-series correlation matrix (w_corr_matrix) scale probe. Two
+    independent axes:
+
+    * ROWS (T fixed at 400): the raw-stream scan + bars aggregation is
+      the linear part; the pair stage is constant because bars =
+      T x days doesn't grow with rows. Expect ~linear.
+    * SERIES T (rows fixed at 4M): bars grow as T x days and the pair
+      stream as ~T^2/2 x days -- the output's own quadratic, the shape
+      the double-explode form must stream through map-side partial
+      aggregation without materializing. Expect ~T^2 growth of the
+      MARGINAL cost over the fixed scan, with no OOM and no shuffle of
+      the pair stream itself (only its T^2/2-row aggregate).
+    """
+    from delta_lake_stock_pipeline_spark.operators import all_queries
+
+    q = all_queries()
+    fn = q["w_corr_matrix"]
+    results: list[tuple[str, float]] = []
+    try:
+        for n in [4_000_000, 16_000_000]:
+            d = f"{BASE}/corr_rows_{n}"
+            synth_events(spark, n, f"{d}/events.parquet", n_types=400)
+            sec = time_query(fn, spark, d)
+            results.append((f"rows={n:,} T=400", sec))
+            print(f"{results[-1][0]:>24}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+        for t in [100, 400, 1600]:
+            d = f"{BASE}/corr_T_{t}"
+            synth_events(spark, 4_000_000, f"{d}/events.parquet", n_types=t)
+            sec = time_query(fn, spark, d)
+            results.append((f"rows=4,000,000 T={t}", sec))
+            print(f"{results[-1][0]:>24}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    if "--corr" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        corr_probe(spark)
+        return
     if "--indicators" in sys.argv:
         spark = (
             SparkSession.builder.master("local[32]")
