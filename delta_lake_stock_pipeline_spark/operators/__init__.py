@@ -115,11 +115,6 @@ _DRIVER_WINDOW_ROTATION = [
     # --- freshness re-proofs: oldest green rows (r2/r3), ledger order ---
     "j_theta_binned",
     "p1_projection",
-    "p4_derived_projection",
-    "p5_field_mapping",
-    "f_filter_eq",
-    "f_filter_range",
-    "f_filter_compound",
     # round-7 additions (financial indicator windows incl. MACD, its
     # Arrow physical twin, and ATR; the hashing-trick featurizer; DSIR
     # selection) displace the last nine freshness slots, per the
@@ -138,6 +133,11 @@ _DRIVER_WINDOW_ROTATION = [
     "w_rsi",
     "w_stochastic",
     "t_feature_hash",
+    "w_sharpe",
+    "w_roc",
+    "w_donchian",
+    "w_rolling_median",
+    "w_rolling_median_arrow",
 ]
 
 

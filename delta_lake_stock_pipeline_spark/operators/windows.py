@@ -1211,6 +1211,34 @@ def window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily (high, low, close) per event-type series in exact integer
+    micros: max/min commute with the monotone micros conversion, and
+    the close is the a9-style max_by over the zero-padded (micros,
+    event_id) key. ONE definition shared by ``window_atr`` and
+    ``window_donchian``, mirrored verbatim by ``_OHLC_CTE``. One scan,
+    one hash-agg shuffle with map-side partials."""
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("vm").alias("hm"),
+            F.min("vm").alias("lm"),
+            F.max_by("vm", F.col("ord")).alias("cm"),
+        )
+    )
+
+
 def window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ATR-14 (average true range) over daily OHLC bars -- the composite
     the reference's bar model exists for: resample ticks to (type, day)
@@ -1233,25 +1261,7 @@ def window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE sort/shuffle on event_type for the lag + frame-sum layers; bar
     count is |types| x |days| -- thousands of rows per instrument-year,
     so the window side is never data-scale."""
-    ord_key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
-    bars = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
-            ord_key.alias("ord"),
-        )
-        .groupBy("event_type", "day")
-        .agg(
-            F.max("vm").alias("hm"),
-            F.min("vm").alias("lm"),
-            F.max_by("vm", F.col("ord")).alias("cm"),
-        )
-    )
+    bars = _daily_ohlc_bars(spark, sf_dir)
     wo = Window.partitionBy("event_type").orderBy("day")
     w14 = wo.rowsBetween(-13, 0)
     staged = bars.select(
@@ -1383,18 +1393,18 @@ def window_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_from_returns(_daily_returns(spark, sf_dir))
 
 
-def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily close-to-close returns per event-type series, in exact
-    integer cents: a9-style deterministic close selection (max_by over
-    the zero-padded (micros, event_id) key), then a lag difference per
-    series. One scan, two shuffles (bar agg, series window). Shared by
-    the cross-sectional family (w_corr_matrix / w_xsec_zscore /
-    w_beta) and mirrored verbatim by each key's oracle CTEs."""
+def _daily_close_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic daily close per event-type series in exact integer
+    cents: a9-style close selection (max_by over the zero-padded
+    (micros, event_id) key). ONE definition shared by ``_daily_returns``
+    (hence the whole cross-sectional family) and ``window_roc``,
+    mirrored verbatim by ``_CLOSE_BARS_CTE``. One scan, one hash-agg
+    shuffle with map-side partials."""
     ord_key = F.concat(
         F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
-    bars = (
+    return (
         load_table(spark, sf_dir, "events")
         .select(
             "event_type",
@@ -1405,6 +1415,16 @@ def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.max_by("cc", F.col("ord")).alias("cc"))
     )
+
+
+def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily close-to-close returns per event-type series, in exact
+    integer cents: the shared close bars, then a lag difference per
+    series. One scan, two shuffles (bar agg, series window). Shared by
+    the cross-sectional family (w_corr_matrix / w_xsec_zscore /
+    w_beta / w_sharpe) and mirrored verbatim by each key's oracle
+    CTEs."""
+    bars = _daily_close_bars(spark, sf_dir)
     wo = Window.partitionBy("event_type").orderBy("day")
     return bars.select(
         "event_type",
@@ -1607,10 +1627,304 @@ def beta_from_returns(rets: DataFrame) -> DataFrame:
     )
 
 
-# Shared oracle CTE mirroring _daily_returns -- ONE definition consumed by
-# every cross-sectional oracle so the close selection and lag difference
-# cannot drift between keys (the md5_bucket_sql stance).
-_RETS_CTE = """
+def window_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratio per event-type series over
+    daily close-to-close returns (shared ``_daily_returns``) -- the
+    risk-adjusted performance summary a stock pipeline computes from
+    exactly the bar series the reference materializes
+    (stock_harvester.py:51-61). Sharpe = mean/sample-stddev * sqrt(252);
+    Sortino replaces the denominator with downside deviation around a
+    zero MAR (sqrt of mean squared negative return), the standard form.
+
+    Exactness: the per-series moments (n, sum, sum-of-squares, downside
+    sum-of-squares) are order-insensitive exact long sums; the variance
+    numerator n*q - s^2 and the scale n*(n-1) are exact longs. The only
+    inexact steps -- long->double casts, two IEEE sqrts, divisions, the
+    sqrt(252.0) constant, and the floor(x*1e6 + 0.5) emit -- are
+    correctly-rounded operations written textually identically on both
+    engines, so the comparison is exact. Domain bound (static-asserted
+    in tests, same budget as w_corr_matrix): |rc| <= 4e5 cents over
+    n <= 4,000 days keeps n*q < 2.6e18 < 2^63.
+
+    Scale shape: one scan, the two bar/window shuffles of
+    ``_daily_returns``, then ONE map-side-partial hash-agg to |types|
+    rows -- nothing downstream of the raw stream is data-scale."""
+    return sharpe_from_returns(_daily_returns(spark, sf_dir))
+
+
+def sharpe_from_returns(rets: DataFrame) -> DataFrame:
+    """Per-series Sharpe/Sortino over an exact-long return panel
+    (event_type, day, rc); see window_sharpe for the contract."""
+    stats = rets.groupBy("event_type").agg(
+        F.count("rc").cast("long").alias("n_days"),
+        F.sum("rc").alias("sx"),
+        F.sum(F.col("rc") * F.col("rc")).alias("q"),
+        F.sum(
+            F.when(F.col("rc") < 0, F.col("rc") * F.col("rc")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("dq"),
+    )
+    staged = stats.select(
+        "event_type",
+        "n_days",
+        F.col("sx").alias("sum_ret_cents"),
+        "q",
+        "dq",
+        (F.col("n_days") * F.col("q") - F.col("sx") * F.col("sx")).alias(
+            "var_num"
+        ),
+    )
+    mean = F.col("sum_ret_cents").cast("double") / F.col("n_days").cast(
+        "double"
+    )
+    sd = F.sqrt(
+        F.col("var_num").cast("double")
+        / (F.col("n_days") * (F.col("n_days") - 1)).cast("double")
+    )
+    dd = F.sqrt(F.col("dq").cast("double") / F.col("n_days").cast("double"))
+    ann = F.sqrt(F.lit(252.0))
+    return staged.select(
+        "event_type",
+        "n_days",
+        "sum_ret_cents",
+        F.when(
+            (F.col("n_days") > 1) & (F.col("var_num") > 0),
+            F.floor(mean / sd * ann * 1000000.0 + F.lit(0.5)).cast("long")
+            / 1000000.0,
+        ).alias("sharpe_ann"),
+        F.when(
+            F.col("dq") > 0,
+            F.floor(mean / dd * ann * 1000000.0 + F.lit(0.5)).cast("long")
+            / 1000000.0,
+        ).alias("sortino_ann"),
+    )
+
+
+def window_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-day momentum and rate-of-change per event-type series over the
+    shared daily close bars (``_daily_close_bars``): mom = close -
+    close_5_bars_ago in exact cents, roc = mom / close_5_bars_ago --
+    the classic ROC oscillator, the simplest member of the indicator
+    family (w_rsi / w_macd measure the same displacement smoothed).
+
+    Exactness: closes and the momentum difference are exact longs; the
+    ROC emit is one long->double division and the floor(x*1e6 + 0.5)
+    form, written identically on both engines (the prior close is
+    nonzero-guarded on both sides; the fixture's value domain is
+    strictly positive). Rows without a 5-back predecessor are dropped,
+    like ``_daily_returns`` drops the first bar.
+
+    Scale shape: identical to ``_daily_returns`` -- one scan, one bar
+    hash-agg shuffle, ONE series sort/shuffle for the lag."""
+    return roc_from_bars(_daily_close_bars(spark, sf_dir))
+
+
+def roc_from_bars(bars: DataFrame, k: int = 5) -> DataFrame:
+    """k-bar momentum/ROC over an exact-cents close-bar panel
+    (event_type, day, cc); see window_roc for the contract."""
+    wo = Window.partitionBy("event_type").orderBy("day")
+    staged = bars.select(
+        "event_type", "day", "cc", F.lag("cc", k).over(wo).alias("pc")
+    ).where(F.col("pc").isNotNull())
+    return staged.select(
+        "event_type",
+        "day",
+        F.col("cc").alias("close_cents"),
+        (F.col("cc") - F.col("pc")).alias("mom_cents"),
+        F.when(
+            F.col("pc") != 0,
+            F.floor(
+                (F.col("cc") - F.col("pc")).cast("double")
+                / F.col("pc").cast("double")
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("long")
+            / 1000000.0,
+        ).alias("roc"),
+    )
+
+
+def window_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian-20 channel with breakout signal over the shared daily
+    OHLC bars (``_daily_ohlc_bars``): upper = max(high) and lower =
+    min(low) over the PRIOR 20 bars (20 preceding .. 1 preceding --
+    excluding the current bar, so a breakout compares today's close
+    against yesterday's channel, the turtle-trading convention), and
+    breakout = +1 / -1 / 0 for close above the upper band, below the
+    lower band, or inside. The first bar of each series has an empty
+    prior frame -> NULL channel, signal 0.
+
+    Exactness: every column is exact integer micros or an integer
+    signal -- sliding max/min over longs and pure integer comparisons,
+    no float arithmetic anywhere; the oracle compares exact values.
+
+    Scale shape: one bar hash-agg shuffle, then ONE sort/shuffle on
+    event_type feeds both frame extrema (same window spec, one
+    WindowExec); bar count is |types| x |days|, never data-scale."""
+    bars = _daily_ohlc_bars(spark, sf_dir)
+    return donchian_core(bars)
+
+
+def donchian_core(bars: DataFrame) -> DataFrame:
+    """Donchian-20 over an exact-micros OHLC panel (event_type, day,
+    hm, lm, cm); see window_donchian for the contract."""
+    wp = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-20, -1)
+    )
+    staged = bars.select(
+        "event_type",
+        "day",
+        F.col("cm").alias("close_micro"),
+        F.max("hm").over(wp).alias("upper_micro"),
+        F.min("lm").over(wp).alias("lower_micro"),
+    )
+    breakout = (
+        F.when(F.col("upper_micro").isNull(), F.lit(0))
+        .when(F.col("close_micro") > F.col("upper_micro"), F.lit(1))
+        .when(F.col("close_micro") < F.col("lower_micro"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return staged.select(
+        "event_type",
+        "day",
+        "close_micro",
+        "upper_micro",
+        "lower_micro",
+        breakout.cast("int").alias("breakout"),
+    )
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-15 rolling median of the tick value per event-type
+    series -- the robust-center companion to w_moving_avg (a sliding
+    mean is skew-sensitive; a median filter is the standard despike for
+    market data). No window-frame median exists as a built-in on either
+    engine, so the frame is materialized explicitly: collect the 15-row
+    frame into an array, sort it, and emit the two middle elements'
+    SUM -- ``med_x2_micro`` = lower-middle + upper-middle (equal for odd
+    frames), i.e. twice the median, kept as an exact BIGINT so the
+    comparison never divides.
+
+    Exactness: values are exact integer micros; array sort and middle
+    selection are integer operations; both engines compute 1-based
+    integer indices (n+1) div 2 and n div 2 + 1 over the same sorted
+    long array. No float anywhere.
+
+    Scale shape: one scan, ONE sort/shuffle on event_type; the per-row
+    state is a bounded 15-long array (120 bytes), so memory is O(frame)
+    per row regardless of partition size -- the explicit-frame cost is
+    bounded by construction, unlike a naive collect-whole-partition."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    return rolling_median_core(base)
+
+
+def rolling_median_core(base: DataFrame) -> DataFrame:
+    """Trailing-15 exact median-x2 over (event_type, event_id, ts, vm)
+    tick rows; see window_rolling_median for the contract."""
+    w15 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, 0)
+    )
+    framed = base.select(
+        "event_type",
+        "event_id",
+        F.sort_array(F.collect_list("vm").over(w15)).alias("l"),
+        F.count("vm").over(w15).cast("long").alias("n_win"),
+    )
+    return framed.select(
+        "event_type",
+        "event_id",
+        "n_win",
+        F.expr(
+            "element_at(l, CAST((n_win + 1) DIV 2 AS INT))"
+            " + element_at(l, CAST(n_win DIV 2 + 1 AS INT))"
+        ).alias("med_x2_micro"),
+    )
+
+
+def window_rolling_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``w_rolling_median``'s vectorized PHYSICAL variant: the same
+    trailing-15 exact median-x2 computed as one batched numpy
+    sliding-window sort inside an Arrow ``applyInPandas`` grouped map --
+    the w_macd_arrow pattern (one SQL truth, two execution strategies;
+    it shares ``w_rolling_median``'s oracle VERBATIM).
+
+    Why this is the 100 TB shape: the Catalyst form re-materializes and
+    re-sorts a 15-element array object per row in interpreted window
+    code (collect_list + sort_array are CodegenFallback); here each
+    group is ONE ``sliding_window_view`` + one C-speed row-wise
+    ``np.sort`` over Arrow-transferred int64 arrays -- no per-row object
+    churn. Exactness: values are exact int64 micros; missing leading
+    slots are filled with an int64-max sentinel that sorts after every
+    real value, so the first n_win sorted slots are exactly the frame,
+    and the two-middle SUM is the same integer arithmetic as the
+    Catalyst form (bit-identity hypothesis-tested on random
+    thin-partition inputs). Input contract: non-null vm (events.value
+    is non-null; both strategies share the same degenerate all-null
+    frame edge otherwise). Grouping is by event_type at fixture scale;
+    past memory-bound groups the decomposition is the
+    ``trailing_mean_rows`` scatter (14 carry rows per bucket)."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    return rolling_median_arrow(base)
+
+
+def rolling_median_arrow(base: DataFrame) -> DataFrame:
+    """Core of ``window_rolling_median_arrow`` (same (event_type,
+    event_id, ts, vm) input contract as ``rolling_median_core``, vm
+    non-null)."""
+    import pandas as pd
+
+    def med_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        vals = pdf["vm"].to_numpy(dtype="int64")
+        n = len(vals)
+        sent = np.iinfo(np.int64).max
+        padded = np.concatenate(
+            [np.full(14, sent, dtype="int64"), vals]
+        )
+        win = np.sort(
+            np.lib.stride_tricks.sliding_window_view(padded, 15), axis=1
+        )
+        n_win = np.minimum(np.arange(n, dtype="int64") + 1, 15)
+        rows = np.arange(n)
+        med = (
+            win[rows, (n_win + 1) // 2 - 1] + win[rows, n_win // 2]
+        )
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "event_id": pdf["event_id"],
+                "n_win": n_win,
+                "med_x2_micro": med,
+            }
+        )
+
+    return base.groupBy("event_type").applyInPandas(
+        med_group,
+        schema="event_type string, event_id long, "
+        "n_win long, med_x2_micro long",
+    )
+
+
+# Shared oracle CTE mirroring _daily_close_bars -- ONE definition consumed
+# by every close-bar oracle (the cross-sectional rets family plus
+# window_roc) so the close selection cannot drift between keys (the
+# md5_bucket_sql stance).
+_CLOSE_BARS_CTE = """
         bars AS (
             SELECT event_type, CAST(ts AS DATE) AS day,
                    arg_max(CAST(ROUND(value * 100) AS BIGINT),
@@ -1618,7 +1932,47 @@ _RETS_CTE = """
                            || lpad(CAST(event_id AS VARCHAR), 20, '0'))
                        AS cc
             FROM events GROUP BY event_type, CAST(ts AS DATE)
-        ), rets AS (
+        )
+"""
+
+_ROLLING_MEDIAN_ORACLE = """
+        WITH base AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+            FROM events
+        ), framed AS (
+            SELECT event_type, event_id,
+                   list_sort(list(vm) OVER win) AS l,
+                   CAST(COUNT(vm) OVER win AS BIGINT) AS n_win
+            FROM base
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, event_id, n_win,
+               l[CAST((n_win + 1) // 2 AS BIGINT)]
+               + l[CAST(n_win // 2 + 1 AS BIGINT)] AS med_x2_micro
+        FROM framed
+    """
+
+# Shared oracle CTE mirroring _daily_ohlc_bars -- ONE definition consumed
+# by the OHLC-bar oracles (w_atr, w_donchian).
+_OHLC_CTE = """
+        bars AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   MAX(CAST(ROUND(value * 1000000) AS BIGINT)) AS hm,
+                   MIN(CAST(ROUND(value * 1000000) AS BIGINT)) AS lm,
+                   arg_max(CAST(ROUND(value * 1000000) AS BIGINT),
+                           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                       AS cm
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        )
+"""
+
+# Shared oracle CTE mirroring _daily_returns, composed over the shared
+# close-bar definition.
+_RETS_CTE = f"""
+        {_CLOSE_BARS_CTE}, rets AS (
             SELECT event_type, day, rc FROM (
                 SELECT event_type, day,
                        cc - LAG(cc) OVER (PARTITION BY event_type
@@ -1720,6 +2074,11 @@ QUERIES = {
     "w_corr_matrix": window_corr_matrix,
     "w_xsec_zscore": window_xsec_zscore,
     "w_beta": window_beta,
+    "w_sharpe": window_sharpe,
+    "w_roc": window_roc,
+    "w_donchian": window_donchian,
+    "w_rolling_median": window_rolling_median,
+    "w_rolling_median_arrow": window_rolling_median_arrow,
 }
 
 ORACLES = {
@@ -1748,17 +2107,8 @@ ORACLES = {
     "w_macd_arrow": _macd_oracle(),
     # Same a9-style deterministic bar selection, pure long TR/ATR
     # arithmetic, integer-micros output compared exactly.
-    "w_atr": """
-        WITH bars AS (
-            SELECT event_type, CAST(ts AS DATE) AS day,
-                   MAX(CAST(ROUND(value * 1000000) AS BIGINT)) AS hm,
-                   MIN(CAST(ROUND(value * 1000000) AS BIGINT)) AS lm,
-                   arg_max(CAST(ROUND(value * 1000000) AS BIGINT),
-                           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
-                       AS cm
-            FROM events GROUP BY event_type, CAST(ts AS DATE)
-        ), trs AS (
+    "w_atr": f"""
+        WITH {_OHLC_CTE}, trs AS (
             SELECT event_type, day,
                    CASE WHEN LAG(cm) OVER win IS NULL THEN hm - lm
                         ELSE GREATEST(hm - lm,
@@ -1896,6 +2246,85 @@ ORACLES = {
                END AS alpha_cents
         FROM wb
     """,
+    # Exact long moments to |types| rows; the Sharpe/Sortino emits'
+    # casts, sqrts, divisions, and floor form are correctly-rounded
+    # operations written textually identically on both engines.
+    "w_sharpe": f"""
+        WITH {_RETS_CTE}, stats AS (
+            SELECT event_type,
+                   CAST(COUNT(rc) AS BIGINT) AS n_days,
+                   CAST(SUM(rc) AS BIGINT) AS sx,
+                   CAST(SUM(rc * rc) AS BIGINT) AS q,
+                   CAST(SUM(CASE WHEN rc < 0 THEN rc * rc ELSE 0 END)
+                        AS BIGINT) AS dq
+            FROM rets GROUP BY event_type
+        ), staged AS (
+            SELECT event_type, n_days, sx AS sum_ret_cents, q, dq,
+                   n_days * q - sx * sx AS var_num
+            FROM stats
+        )
+        SELECT event_type, n_days, sum_ret_cents,
+               CASE WHEN n_days > 1 AND var_num > 0 THEN
+                   CAST(FLOOR(
+                        (CAST(sum_ret_cents AS DOUBLE)
+                         / CAST(n_days AS DOUBLE))
+                        / sqrt(CAST(var_num AS DOUBLE)
+                               / CAST(n_days * (n_days - 1) AS DOUBLE))
+                        * sqrt(252.0) * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0
+               END AS sharpe_ann,
+               CASE WHEN dq > 0 THEN
+                   CAST(FLOOR(
+                        (CAST(sum_ret_cents AS DOUBLE)
+                         / CAST(n_days AS DOUBLE))
+                        / sqrt(CAST(dq AS DOUBLE) / CAST(n_days AS DOUBLE))
+                        * sqrt(252.0) * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0
+               END AS sortino_ann
+        FROM staged
+    """,
+    # Exact-cents momentum; the ROC emit is one long->double division
+    # and the floor form, identical text both engines.
+    "w_roc": f"""
+        WITH {_CLOSE_BARS_CTE}, staged AS (
+            SELECT event_type, day, cc,
+                   LAG(cc, 5) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS pc
+            FROM bars
+        )
+        SELECT event_type, day, cc AS close_cents,
+               cc - pc AS mom_cents,
+               CASE WHEN pc <> 0 THEN
+                   CAST(FLOOR(CAST(cc - pc AS DOUBLE) / CAST(pc AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               END AS roc
+        FROM staged WHERE pc IS NOT NULL
+    """,
+    # Sliding integer extrema over the PRIOR-20 frame plus pure integer
+    # comparisons: every column exact, no float anywhere.
+    "w_donchian": f"""
+        WITH {_OHLC_CTE}, staged AS (
+            SELECT event_type, day, cm AS close_micro,
+                   MAX(hm) OVER wp AS upper_micro,
+                   MIN(lm) OVER wp AS lower_micro
+            FROM bars
+            WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day, close_micro, upper_micro, lower_micro,
+               CAST(CASE WHEN upper_micro IS NULL THEN 0
+                         WHEN close_micro > upper_micro THEN 1
+                         WHEN close_micro < lower_micro THEN -1
+                         ELSE 0 END AS INTEGER) AS breakout
+        FROM staged
+    """,
+    # Explicit-frame exact median: both engines sort the same 15-long
+    # frame array and sum the two middle elements -- all-BIGINT, the
+    # emit never divides.
+    "w_rolling_median": _ROLLING_MEDIAN_ORACLE,
+    # The Arrow physical variant shares the Catalyst form's oracle
+    # VERBATIM: one SQL truth, two execution strategies, both exact.
+    "w_rolling_median_arrow": _ROLLING_MEDIAN_ORACLE,
     # Centi-unit integer window sums -> exact n*q - s^2 variance
     # numerator; the only inexact steps (IEEE sqrt, two double
     # divisions) are identical on both engines. CASTs keep DuckDB's

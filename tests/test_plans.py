@@ -5,6 +5,8 @@ that became a shuffle) before any benchmark would."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from delta_lake_stock_pipeline_spark import plans
@@ -245,6 +247,36 @@ def test_max_drawdown_aggregate_reuses_window_partitioning(spark, sf_dir):
     plan = plans.plan_string(df)
     assert plan.count("hashpartitioning") == 1, plan
     assert plans.plan_features(df).n_exchanges <= 2, plan
+
+
+def test_donchian_extrema_share_one_window_exec(spark, sf_dir):
+    """w_donchian's upper/lower bands use the same PRIOR-20 window spec;
+    both frame extrema must land in ONE WindowExec over one series
+    sort/shuffle (the bar agg's exchange is the only other one)."""
+    df = _Q["w_donchian"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert plans.plan_features(df).n_exchanges == 2, plan
+
+
+def test_rolling_median_is_single_shuffle_single_window(spark, sf_dir):
+    """w_rolling_median materializes the frame explicitly; collect_list
+    and count share one window spec -> ONE WindowExec, and the whole
+    query is ONE exchange (tick-level, no bar stage)."""
+    df = _Q["w_rolling_median"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert plans.plan_features(df).n_exchanges == 1, plan
+
+
+def test_sharpe_aggregate_reuses_window_partitioning(spark, sf_dir):
+    """w_sharpe's final moment aggregate groups by event_type, the same
+    key the returns window partitioned by -- the partial/final agg pair
+    must sit directly on the window output with no third exchange."""
+    df = _Q["w_sharpe"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert plans.plan_features(df).n_exchanges == 2, plan
+    assert "partial_count" in plan, plan  # map-side partials present
 
 
 def test_ivfpq_recall_anchored_to_exact_topk(spark, sf_dir):

@@ -1187,3 +1187,274 @@ def test_xsec_domain_bounds():
     assert t_max * (t_max * rc_max * rc_max) < 2**63  # n*q
     assert (t_max * rc_max) ** 2 < 2**63  # s*s
     assert n_max * (n_max * rc_max * rc_max) < 2**63  # beta: n*sxx, n*sxy
+
+
+# --- Sharpe/Sortino (w_sharpe core) ---------------------------------------
+def _brute_sharpe(cells):
+    import math
+
+    series: dict[int, list] = {}
+    for (s, _d), rc in cells.items():
+        series.setdefault(s, []).append(rc)
+    out = []
+    for s, rcs in series.items():
+        n = len(rcs)
+        sx = sum(rcs)
+        q = sum(rc * rc for rc in rcs)
+        dq = sum(rc * rc for rc in rcs if rc < 0)
+        var_num = n * q - sx * sx
+        mean = float(sx) / float(n)
+        ann = math.sqrt(252.0)
+        if n > 1 and var_num > 0:
+            sd = math.sqrt(float(var_num) / float(n * (n - 1)))
+            sharpe = math.floor(mean / sd * ann * 1000000.0 + 0.5) / 1000000.0
+        else:
+            sharpe = None
+        if dq > 0:
+            dd = math.sqrt(float(dq) / float(n))
+            sortino = math.floor(mean / dd * ann * 1000000.0 + 0.5) / 1000000.0
+        else:
+            sortino = None
+        out.append((str(s), n, sx, sharpe, sortino))
+    return sorted(out)
+
+
+@given(cells=_corr_series)
+@settings(**_SETTINGS)
+def test_sharpe_from_returns_matches_serial(spark, cells):
+    """Random return panels -- single-observation series (NULL Sharpe),
+    constant series (var_num=0), all-positive series (NULL Sortino) --
+    across thin partitions must match the serial exact-moment
+    Sharpe/Sortino bit-for-bit."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        sharpe_from_returns,
+    )
+
+    df = spark.createDataFrame(
+        [(str(s), d, rc) for (s, d), rc in cells.items()],
+        "event_type string, day long, rc long",
+    ).repartition(5)
+    got = sorted(
+        tuple(r)
+        for r in sharpe_from_returns(df)
+        .select(
+            "event_type", "n_days", "sum_ret_cents", "sharpe_ann",
+            "sortino_ann",
+        )
+        .collect()
+    )
+    assert got == _brute_sharpe(cells)
+
+
+# --- momentum / rate-of-change (w_roc core) -------------------------------
+# Close values INCLUDE zero so the pc <> 0 guard is exercised.
+_roc_bars = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # series id
+        st.integers(min_value=0, max_value=9),  # day
+    ),
+    st.integers(min_value=-1_000, max_value=1_000),  # close cents
+    min_size=0,
+    max_size=30,
+)
+
+
+def _brute_roc(cells, k):
+    import math
+
+    series: dict[int, list] = {}
+    for (s, d), cc in sorted(cells.items()):
+        series.setdefault(s, []).append((d, cc))
+    out = []
+    for s, bars in series.items():
+        for i, (d, cc) in enumerate(bars):
+            if i < k:
+                continue
+            pc = bars[i - k][1]  # row-based lag, like the engine
+            mom = cc - pc
+            if pc != 0:
+                roc = (
+                    math.floor(float(mom) / float(pc) * 1000000.0 + 0.5)
+                    / 1000000.0
+                )
+            else:
+                roc = None
+            out.append((str(s), d, cc, mom, roc))
+    return sorted(out)
+
+
+@given(cells=_roc_bars)
+@settings(**_SETTINGS)
+def test_roc_from_bars_matches_serial(spark, cells):
+    """Random close-bar panels with gaps, zero closes (guarded NULL
+    ROC), and negative closes across thin partitions must match the
+    serial row-based k-lag momentum bit-for-bit (k=2 so short series
+    still produce rows)."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        roc_from_bars,
+    )
+
+    df = spark.createDataFrame(
+        [(str(s), d, cc) for (s, d), cc in cells.items()],
+        "event_type string, day long, cc long",
+    ).repartition(5)
+    got = sorted(
+        tuple(r)
+        for r in roc_from_bars(df, k=2)
+        .select("event_type", "day", "close_cents", "mom_cents", "roc")
+        .collect()
+    )
+    assert got == _brute_roc(cells, 2)
+
+
+# --- Donchian channel (w_donchian core) -----------------------------------
+_donchian_bars = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # series id
+        st.integers(min_value=0, max_value=25),  # day (spans the 20-frame)
+    ),
+    st.tuples(
+        st.integers(min_value=-500, max_value=500),  # high micro
+        st.integers(min_value=-500, max_value=500),  # low micro
+        st.integers(min_value=-500, max_value=500),  # close micro
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _brute_donchian(cells):
+    series: dict[int, list] = {}
+    for (s, d), bar in sorted(cells.items()):
+        series.setdefault(s, []).append((d, bar))
+    out = []
+    for s, bars in series.items():
+        for i, (d, (hm, lm, cm)) in enumerate(bars):
+            frame = bars[max(0, i - 20) : i]
+            if frame:
+                upper = max(h for _, (h, _l, _c) in frame)
+                lower = min(l for _, (_h, l, _c) in frame)
+                brk = 1 if cm > upper else (-1 if cm < lower else 0)
+            else:
+                upper, lower, brk = None, None, 0
+            out.append((str(s), d, cm, upper, lower, brk))
+    return sorted(out)
+
+
+@given(cells=_donchian_bars)
+@settings(**_SETTINGS)
+def test_donchian_core_matches_serial(spark, cells):
+    """Random OHLC panels -- first-bar empty frames (NULL channel),
+    exact-touch closes (inside, signal 0), series longer than the
+    20-bar frame -- across thin partitions must match the serial
+    prior-window extrema and breakout signs exactly."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        donchian_core,
+    )
+
+    df = spark.createDataFrame(
+        [(str(s), d, h, l, c) for (s, d), (h, l, c) in cells.items()],
+        "event_type string, day long, hm long, lm long, cm long",
+    ).repartition(5)
+    got = sorted(
+        tuple(r)
+        for r in donchian_core(df)
+        .select(
+            "event_type", "day", "close_micro", "upper_micro",
+            "lower_micro", "breakout",
+        )
+        .collect()
+    )
+    assert got == _brute_donchian(cells)
+
+
+# --- exact rolling median (w_rolling_median core) -------------------------
+# Unique (series, ts, event_id) keys keep the window order deterministic;
+# duplicate ts values within a series exercise the event_id tiebreak.
+_median_rows = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # series id
+        st.integers(min_value=0, max_value=5),  # ts
+        st.integers(min_value=0, max_value=4),  # event_id
+    ),
+    st.integers(min_value=-1_000_000, max_value=1_000_000),  # value micros
+    min_size=0,
+    max_size=30,
+)
+
+
+def _brute_rolling_median(cells):
+    series: dict[int, list] = {}
+    for (s, ts, eid), vm in sorted(cells.items()):
+        series.setdefault(s, []).append((ts, eid, vm))
+    out = []
+    for s, rows in series.items():
+        vals = [vm for _, _, vm in rows]
+        for i, (ts, eid, _vm) in enumerate(rows):
+            frame = sorted(vals[max(0, i - 14) : i + 1])
+            n = len(frame)
+            med_x2 = frame[(n + 1) // 2 - 1] + frame[n // 2]
+            out.append((str(s), eid * 1_000_000 + ts, n, med_x2))
+    return sorted(out)
+
+
+@given(cells=_median_rows)
+@settings(**_SETTINGS)
+def test_rolling_median_core_matches_serial(spark, cells):
+    """Random tick streams with duplicate timestamps (event_id
+    tiebreak), short frames (n < 15), and even-count frames (the
+    two-middle sum) across thin partitions must match the serial
+    sorted-frame median-x2 exactly. event_ids are made globally unique
+    per series so the brute force can re-key rows."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        rolling_median_core,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (str(s), eid * 1_000_000 + ts, ts, vm)
+            for (s, ts, eid), vm in cells.items()
+        ],
+        "event_type string, event_id long, ts long, vm long",
+    ).repartition(5)
+    got = sorted(
+        tuple(r)
+        for r in rolling_median_core(df)
+        .select("event_type", "event_id", "n_win", "med_x2_micro")
+        .collect()
+    )
+    assert got == _brute_rolling_median(cells)
+
+
+def test_sharpe_domain_bounds():
+    """w_sharpe shares the corr-matrix budget: |rc| <= 4e5 cents over
+    n <= 4,000 days keeps n*q (and the n*(n-1) scale's product with
+    nothing -- it stays < 1.6e7) inside int64."""
+    rc_max, n_max = 400_000, 4_000
+    assert n_max * (n_max * rc_max * rc_max) < 2**63  # n*q
+    assert (n_max * rc_max) ** 2 < 2**63  # sx*sx
+
+
+@given(cells=_median_rows)
+@settings(**_SETTINGS)
+def test_rolling_median_arrow_matches_catalyst(spark, cells):
+    """w_rolling_median and w_rolling_median_arrow are two physical
+    strategies for ONE semantics (they share an oracle string verbatim);
+    on random thin-partition tick streams with duplicate timestamps they
+    must produce bit-identical integer output."""
+    from delta_lake_stock_pipeline_spark.operators.windows import (
+        rolling_median_arrow,
+        rolling_median_core,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (str(s), eid * 1_000_000 + ts, ts, vm)
+            for (s, ts, eid), vm in cells.items()
+        ],
+        "event_type string, event_id long, ts long, vm long",
+    ).repartition(5)
+    cols = ["event_type", "event_id", "n_win", "med_x2_micro"]
+    got_c = sorted(tuple(r) for r in rolling_median_core(df).select(cols).collect())
+    got_a = sorted(tuple(r) for r in rolling_median_arrow(df).select(cols).collect())
+    assert got_a == got_c
