@@ -279,6 +279,37 @@ def indicator_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def median_probe(spark) -> None:
+    """Rolling-median physical strategies (round 7) at 1M/4M/16M
+    events: the Catalyst explicit-frame form (collect_list + sort_array
+    per row, interpreted) vs the Arrow batched sliding-window sort, with
+    w_moving_avg as the family's codegen'd integer-frame-sum floor. The
+    interesting ratio is catalyst/arrow as rows/key grow -- the per-row
+    15-element array object churn vs one numpy pass per group."""
+    from delta_lake_stock_pipeline_spark.operators import all_queries
+
+    q = all_queries()
+    keys = ["w_moving_avg", "w_rolling_median", "w_rolling_median_arrow"]
+    results: dict[str, list[tuple[int, float]]] = {}
+    try:
+        for n in EVENT_SIZES:
+            d = f"{BASE}/med_{n}"
+            synth_events(spark, n, f"{d}/events.parquet")
+            for k in keys:
+                sec = time_query(q[k], spark, d)
+                results.setdefault(k, []).append((n, sec))
+                print(f"{k:>24} n={n:>10,}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+        print("\nGrowth ratios (time ratio per size step):")
+        for k, rows in results.items():
+            parts = []
+            for (n0, t0), (n1, t1) in zip(rows, rows[1:]):
+                parts.append(f"{n1 // n0}x rows -> {t1 / t0:.2f}x time")
+            print(f"{k:>24}  " + ("; ".join(parts) or "(single size)"))
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def corr_probe(spark) -> None:
     """Cross-series correlation matrix (w_corr_matrix) scale probe. Two
     independent axes:
@@ -329,6 +360,17 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         corr_probe(spark)
+        return
+    if "--median" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        median_probe(spark)
         return
     if "--indicators" in sys.argv:
         spark = (
