@@ -25,6 +25,7 @@ from . import (
     dedup,
     formats,
     functions_ext,
+    graph,
     joins,
     multimodal,
     relational,
@@ -48,6 +49,7 @@ _MODULES = [
     tpch,
     subqueries,
     scale,
+    graph,
     reshape,
     windows,
     text,
@@ -114,7 +116,6 @@ _DRIVER_WINDOW_ROTATION = [
     "st_bucketed_join_rollup",
     # --- freshness re-proofs: oldest green rows (r2/r3), ledger order ---
     "j_theta_binned",
-    "p1_projection",
     # round-7 additions (financial indicator windows incl. MACD, its
     # Arrow physical twin, and ATR; the hashing-trick featurizer; DSIR
     # selection) displace the last nine freshness slots, per the
@@ -138,6 +139,7 @@ _DRIVER_WINDOW_ROTATION = [
     "w_donchian",
     "w_rolling_median",
     "w_rolling_median_arrow",
+    "g_pagerank",
 ]
 
 

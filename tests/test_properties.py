@@ -1458,3 +1458,61 @@ def test_rolling_median_arrow_matches_catalyst(spark, cells):
     got_c = sorted(tuple(r) for r in rolling_median_core(df).select(cols).collect())
     got_a = sorted(tuple(r) for r in rolling_median_arrow(df).select(cols).collect())
     assert got_a == got_c
+
+
+# --- exact-integer PageRank (g_pagerank core) ------------------------------
+# Directed edges over a small id space: self-loops, dangling (dst-only)
+# nodes, and multi-component graphs all occur.
+_pr_edges = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+def _brute_pagerank(edges):
+    from delta_lake_stock_pipeline_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return []
+    n = len(nodes)
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    base = PR_SCALE // n
+    r = {v: base for v in nodes}
+    for _ in range(PR_ITERS):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // outd[s]
+        r = {v: (15 * base) // 100 + (85 * inflow[v]) // 100 for v in nodes}
+    out = [(str(v), rank) for v, rank in r.items()]
+    return sorted(out, key=lambda t: (-t[1], t[0]))
+
+
+@given(edges=_pr_edges)
+@settings(**_SETTINGS)
+def test_pagerank_core_matches_serial(spark, edges):
+    """Random directed graphs -- self-loops, dangling dst-only nodes
+    (mass dropped on both sides), disconnected components -- across thin
+    partitions must match the serial fixed-iteration integer PageRank
+    bit-for-bit, including the (rank DESC, node ASC) total order."""
+    from delta_lake_stock_pipeline_spark.operators.graph import pagerank_core
+
+    if not edges:
+        return  # empty edge list -> empty frame; schema-only case
+    df = spark.createDataFrame(
+        [(str(s), str(d)) for s, d in edges], "src string, dst string"
+    ).repartition(5)
+    got = [
+        (r["node"], r["rank_scaled"])
+        for r in pagerank_core(df).collect()
+    ]
+    assert got == _brute_pagerank(edges)
