@@ -118,9 +118,10 @@ _DRIVER_WINDOW_ROTATION = [
     "st_bucketed_join_rollup",
     # --- freshness re-proofs: oldest green rows (r2/r3), ledger order ---
     "j_theta_binned",
-    # round-7 additions (financial indicator windows incl. MACD, its
-    # Arrow physical twin, and ATR; the hashing-trick featurizer; DSIR
-    # selection) displace the last nine freshness slots, per the
+    # round-7 additions (financial indicator windows, their Arrow
+    # physical twins, the cross-sectional family, the hashing-trick
+    # featurizer, DSIR selection, the rolling-median pair, and
+    # PageRank) displace 19 of the 20 planned freshness slots, per the
     # rotation policy: never-checked oracled keys outrank re-proofs of
     # already-green keys.
     "w_atr",

@@ -1211,6 +1211,17 @@ def window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bar_ord_key():
+    """Zero-padded (micros, event_id) close-selection tie-break key --
+    ONE definition shared by _daily_ohlc_bars and _daily_close_bars
+    (mirrored by the lpad(...)||lpad(...) expression in _OHLC_CTE /
+    _CLOSE_BARS_CTE), so the bar families cannot drift apart."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+
+
 def _daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily (high, low, close) per event-type series in exact integer
     micros: max/min commute with the monotone micros conversion, and
@@ -1218,10 +1229,7 @@ def _daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id) key. ONE definition shared by ``window_atr`` and
     ``window_donchian``, mirrored verbatim by ``_OHLC_CTE``. One scan,
     one hash-agg shuffle with map-side partials."""
-    ord_key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
+    ord_key = _bar_ord_key()
     return (
         load_table(spark, sf_dir, "events")
         .select(
@@ -1400,10 +1408,7 @@ def _daily_close_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hence the whole cross-sectional family) and ``window_roc``,
     mirrored verbatim by ``_CLOSE_BARS_CTE``. One scan, one hash-agg
     shuffle with map-side partials."""
-    ord_key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
+    ord_key = _bar_ord_key()
     return (
         load_table(spark, sf_dir, "events")
         .select(
@@ -1795,6 +1800,19 @@ def donchian_core(bars: DataFrame) -> DataFrame:
     )
 
 
+def _tick_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick stream in exact integer micros -- the (event_type, event_id,
+    ts, vm) contract shared by BOTH rolling-median physical strategies
+    (ONE definition, mirrored by _ROLLING_MEDIAN_ORACLE's base CTE, so
+    the twins cannot diverge from each other or the oracle)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+
+
 def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trailing-15 rolling median of the tick value per event-type
     series -- the robust-center companion to w_moving_avg (a sliding
@@ -1815,13 +1833,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is a bounded 15-long array (120 bytes), so memory is O(frame)
     per row regardless of partition size -- the explicit-frame cost is
     bounded by construction, unlike a naive collect-whole-partition."""
-    base = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        "ts",
-        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
-    )
-    return rolling_median_core(base)
+    return rolling_median_core(_tick_micros(spark, sf_dir))
 
 
 def rolling_median_core(base: DataFrame) -> DataFrame:
@@ -1871,13 +1883,7 @@ def window_rolling_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame edge otherwise). Grouping is by event_type at fixture scale;
     past memory-bound groups the decomposition is the
     ``trailing_mean_rows`` scatter (14 carry rows per bucket)."""
-    base = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        "ts",
-        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
-    )
-    return rolling_median_arrow(base)
+    return rolling_median_arrow(_tick_micros(spark, sf_dir))
 
 
 def rolling_median_arrow(base: DataFrame) -> DataFrame:
