@@ -310,6 +310,66 @@ def median_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def pagerank_probe(spark) -> None:
+    """Iterative-loop scale probe (round 7): pagerank_core over
+    synthetic directed edge lists at 1M/4M/16M edges, |V| = edges/16
+    (mean degree 16, the trade graph's shape). The axis of interest is
+    the per-iteration broadcast of the |V|-row rank table: at 1M nodes
+    (16M edges) the broadcast payload is ~30 MB x 5 iterations -- the
+    regime where a real cluster would switch to co-hash-partitioned
+    shuffle joins (the documented 100 TB form). The probe times the
+    WHOLE loop including the eager localCheckpoint materializations."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_stock_pipeline_spark.operators.graph import (
+        pagerank_core,
+    )
+
+    results = []
+    try:
+        for n in EVENT_SIZES:
+            d = f"{BASE}/pr_{n}"
+            v = n // 16
+            (
+                spark.range(n)
+                .select(
+                    F.concat(
+                        F.lit("n"),
+                        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(v)).cast(
+                            "string"
+                        ),
+                    ).alias("src"),
+                    F.concat(
+                        F.lit("n"),
+                        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(v)).cast(
+                            "string"
+                        ),
+                    ).alias("dst"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{d}/edges.parquet")
+            )
+
+            def run(spark, sf_dir):
+                return pagerank_core(
+                    spark.read.parquet(f"{sf_dir}/edges.parquet")
+                )
+
+            sec = time_query(run, spark, d)
+            results.append((n, v, sec))
+            print(
+                f"pagerank edges={n:>10,} nodes={v:>9,}  {sec:6.2f}s",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+        print("\nGrowth ratios (time ratio per size step):")
+        for (n0, _, t0), (n1, _, t1) in zip(results, results[1:]):
+            print(f"  {n1 // n0}x edges -> {t1 / t0:.2f}x time")
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def corr_probe(spark) -> None:
     """Cross-series correlation matrix (w_corr_matrix) scale probe. Two
     independent axes:
@@ -360,6 +420,17 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         corr_probe(spark)
+        return
+    if "--pagerank" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        pagerank_probe(spark)
         return
     if "--median" in sys.argv:
         spark = (
