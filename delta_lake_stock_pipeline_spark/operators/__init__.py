@@ -116,8 +116,10 @@ _DRIVER_WINDOW_ROTATION = [
     "c_temperature_mix",
     "u_arrow_udtf",
     "st_bucketed_join_rollup",
-    # --- freshness re-proofs: oldest green rows (r2/r3), ledger order ---
-    "j_theta_binned",
+    # --- continuation addition: displaced the last freshness re-proof
+    # (j_theta_binned) per the policy: never-checked keys outrank
+    # re-proofs of already-green keys ---
+    "g_triangles",
     # round-7 additions (financial indicator windows, their Arrow
     # physical twins, the cross-sectional family, the hashing-trick
     # featurizer, DSIR selection, the rolling-median pair, and

@@ -1,14 +1,15 @@
-"""Iterative graph analytics: exact-integer PageRank.
+"""Graph analytics: exact-integer PageRank, degree-oriented triangle
+counting, and common-neighbor link prediction.
 
-The registry's second iterative-algorithm class beside
-``dedup.min_label_components`` (connected components): a fixed-iteration
-PageRank over the customer-supplier trade graph, exact in scaled integer
-arithmetic so a DuckDB oracle can check it bit-for-bit. The reference's
-single-table pipeline has no graph step; this is part of the mandated
-LLM-pipeline extension surface (link-graph quality signals -- PageRank
-over a hyperlink/citation graph is a standard document-quality prior,
-e.g. the Common Crawl harmonic/PageRank centrality lists used by CCNet
-descendants).
+Beside ``dedup.min_label_components`` (connected components) these are
+the registry's graph-algorithm classes, every output an exact integer so
+a DuckDB oracle checks it bit-for-bit. The reference's single-table
+pipeline has no graph step; this is part of the mandated LLM-pipeline
+extension surface (link-graph quality signals -- PageRank over a
+hyperlink/citation graph is a standard document-quality prior, e.g. the
+Common Crawl harmonic/PageRank centrality lists used by CCNet
+descendants; triangle/clustering structure and common-neighbor scores
+are the standard spam-farm and community signals over the same graphs).
 
 Why fixed-iteration + integers: float PageRank accumulates in
 engine-specific reduction orders, so equality-checking it cross-engine
@@ -133,6 +134,163 @@ def pagerank_core(edges: DataFrame) -> DataFrame:
     ).orderBy(F.col("rank_scaled").desc(), "node")
 
 
+# Backbone threshold: a co-supply edge requires >= this many shared
+# orders. The fixture's co-occurrence is near-uniform (at sf<=0.01 every
+# supplier pair co-occurs often enough that the backbone is the complete
+# graph -- still exact, just dense); at sf0.1 T=5 keeps ~10% of pairs and
+# the graph has real structure. Shared engine/oracle constant.
+TRI_CO_T = 5
+_TRI_TOP = 20
+
+
+def triangles_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the supplier co-supply backbone
+    graph: nodes are suppliers, with an undirected edge between two
+    suppliers that appear together in at least ``TRI_CO_T`` distinct
+    orders. Emits the top-20 nodes by triangle participation with their
+    degree and wedge count (the local clustering coefficient's exact
+    numerator/denominator pair, never divided) -- "which suppliers sit in
+    tightly-clustered trading cliques", the community/spam-structure
+    question a curation pipeline asks of a link graph.
+
+    Scale shape: lineitem is scanned ONCE -- per-order supplier sets are
+    bounded (<= lines per order), so pair generation via a sorted-array
+    double explode is O(rows x pairs-per-order), the w_corr_matrix
+    stance, never a fact-fact self-join. Triangle enumeration uses the
+    degree-ordered orientation (Suri & Vassilvitskii, WWW'11): every
+    edge points from its (degree, node)-smaller endpoint, so each
+    triangle is emitted exactly once from its orientation-minimal apex
+    and the wedge join's fan-out is bounded by sum(out-degree^2) =
+    O(E^1.5) on any graph -- hub nodes get high IN-degree, which the
+    wedge join never expands. The oriented edge list is bounded
+    (backbone pairs), localCheckpoint'd, and the 3-way self-join
+    shuffles only it, never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_suppkey").cast("long").alias("s")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("s")).alias("ss")
+    )
+    pairs = per_order.select(
+        F.posexplode("ss").alias("i", "u"), "ss"
+    ).select(
+        "u", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("v")
+    )
+    und = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= TRI_CO_T)
+        .select("u", "v")
+    )
+    return triangle_core(und).limit(_TRI_TOP)
+
+
+def triangle_core(und: DataFrame) -> DataFrame:
+    """Degree-oriented exact triangle count over an undirected edge list
+    ``(u, v)`` with u < v, distinct. Returns every node with its degree,
+    triangle count, and wedge-pair count ``degree*(degree-1)``, ordered
+    (triangles DESC, node ASC). Separated from the query so the
+    hypothesis brute force can drive it on arbitrary graphs.
+
+    Orientation: u -> v iff (deg(u), u) < (deg(v), v) lexicographically
+    -- a total order, so exactly one orientation per edge exists and each
+    triangle {a,b,c} is counted once: from its orientation-minimal node a
+    via wedge (a->b, a->c) closed by the oriented edge b->c."""
+    und = und.localCheckpoint()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("dg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # deg is |V|-bounded (small vs E); broadcast at fixture scale. At
+    # 100 TB co-hash-partition und/deg on the node key instead.
+    e = (
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    x = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    y = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    z = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = x.join(y, "a").where(F.col("b") != F.col("c")).join(z, ["b", "c"])
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(pernode, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("dg").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+            (F.col("dg") * (F.col("dg") - 1)).cast("long").alias(
+                "wedge_pairs"
+            ),
+        )
+        .orderBy(F.col("triangles").desc(), "node")
+    )
+
+
+def _triangles_oracle() -> str:
+    """Mirror of triangles_backbone: same backbone threshold and top-k
+    constants; the oracle's edge build is the plain self-join form (the
+    oracle optimizes for auditability, the engine for one scan)."""
+    return f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        und AS (
+            SELECT CAST(a.l_suppkey AS BIGINT) AS u,
+                   CAST(b.l_suppkey AS BIGINT) AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_CO_T}
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+            FROM (SELECT u AS node FROM und
+                  UNION ALL SELECT v AS node FROM und)
+            GROUP BY node
+        ),
+        e AS (
+            SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                        THEN u ELSE v END AS src,
+                   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                        THEN v ELSE u END AS dst
+            FROM und JOIN deg du ON und.u = du.node
+                     JOIN deg dv ON und.v = dv.node
+        ),
+        tri AS (
+            SELECT x.src AS a, x.dst AS b, y.dst AS c
+            FROM e x JOIN e y ON x.src = y.src AND x.dst <> y.dst
+            JOIN e z ON z.src = x.dst AND z.dst = y.dst
+        ),
+        pernode AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b AS node FROM tri
+                  UNION ALL SELECT c AS node FROM tri)
+            GROUP BY node
+        )
+        SELECT deg.node AS node, deg.dg AS degree,
+               COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles,
+               CAST(deg.dg * (deg.dg - 1) AS BIGINT) AS wedge_pairs
+        FROM deg LEFT JOIN pernode p ON deg.node = p.node
+        ORDER BY triangles DESC, node LIMIT {_TRI_TOP}
+    """
+
+
 def _pagerank_oracle() -> str:
     """Mirror of pagerank_trade_graph: the iteration count, scale, and
     damping integers generate the unrolled CTE chain, so engine and
@@ -189,9 +347,12 @@ def _pagerank_oracle() -> str:
 
 QUERIES = {
     "g_pagerank": pagerank_trade_graph,
+    "g_triangles": triangles_backbone,
 }
 
 ORACLES = {
     # Unrolled fixed-iteration integer PageRank; every value BIGINT.
     "g_pagerank": _pagerank_oracle(),
+    # Degree-oriented triangle counting; every value BIGINT.
+    "g_triangles": _triangles_oracle(),
 }

@@ -1516,3 +1516,56 @@ def test_pagerank_core_matches_serial(spark, edges):
         for r in pagerank_core(df).collect()
     ]
     assert got == _brute_pagerank(edges)
+
+
+# --- degree-oriented triangle counting (g_triangles core) -------------------
+# Undirected edges u < v over a small id space: isolated-pair components,
+# hubs, and near-complete subgraphs all occur.
+_tri_edges = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ).map(lambda t: (min(t), max(t))).filter(lambda t: t[0] < t[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _brute_triangles(edges):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    # node n's triangles = its closed wedges {a,b} with a<b, both adjacent
+    tri = {
+        n: sum(1 for a in adj[n] for b in adj[n] if a < b and b in adj[a])
+        for n in nodes
+    }
+    return sorted(
+        (
+            (n, len(adj[n]), tri[n], len(adj[n]) * (len(adj[n]) - 1))
+            for n in nodes
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )
+
+
+@given(edges=_tri_edges)
+@settings(**_SETTINGS)
+def test_triangle_core_matches_serial(spark, edges):
+    """Random undirected graphs across thin partitions must match the
+    serial per-node triangle/degree/wedge counts bit-for-bit, including
+    the (triangles DESC, node ASC) total order -- exercising the
+    degree-ordered orientation's count-each-triangle-once invariant on
+    hubs, ties, and disconnected components."""
+    from delta_lake_stock_pipeline_spark.operators.graph import triangle_core
+
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "u long, v long"
+    ).repartition(5)
+    got = [
+        (r["node"], r["degree"], r["triangles"], r["wedge_pairs"])
+        for r in triangle_core(df).collect()
+    ]
+    assert got == _brute_triangles(edges)
