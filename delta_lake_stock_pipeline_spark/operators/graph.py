@@ -291,6 +291,126 @@ def _triangles_oracle() -> str:
     """
 
 
+# Hub guard for common-neighbor pair generation: customers adjacent to
+# more than this many suppliers are dropped before pair expansion (the
+# standard posting-list frequency cap -- a hub customer connects
+# everyone to everyone and carries no signal while costing d^2 pairs).
+# Part of the query's semantics, shared engine/oracle; the fixture's max
+# per-customer degree is 102 (sf0.1), so the cap never fires there.
+CN_CAP = 256
+_CN_TOP = 20
+
+
+def common_neighbors_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the supplier projection of
+    the customer-supplier bipartite graph: for supplier pairs, how many
+    customers they share, plus exact Jaccard as integers (intersection,
+    union, and ppm ratio via integer division -- never a float). Emits
+    the top-20 pairs by (common DESC, s1, s2) -- "which suppliers serve
+    the same clientele", the co-citation / co-purchase similarity that
+    link-prediction and community curation pipelines compute over
+    bipartite graphs.
+
+    Scale shape: the fact tables are scanned once into distinct
+    (customer, supplier) adjacency; pair generation is per-customer over
+    a bounded sorted array (posting-list expansion, the dedup
+    inverted-index stance) -- total pair instances = sum over customers
+    of d^2, with d capped at ``CN_CAP`` so one hub can never go
+    quadratic in the corpus. The (s1, s2) count aggregation gets
+    map-side partials; degree tables are |V|-bounded broadcasts (at
+    100 TB: co-hash-partition on the supplier key instead)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_suppkey").cast("long").alias("s")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("long").alias("c")
+    )
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("c", "s")
+        .distinct()
+    )
+    return common_neighbors_core(cs).limit(_CN_TOP)
+
+
+def common_neighbors_core(cs: DataFrame, cap: int = CN_CAP) -> DataFrame:
+    """Common-neighbor / exact-Jaccard scores over a bipartite adjacency
+    ``(c, s)`` (distinct rows): pairs of s-nodes sharing at least one
+    c-node, with degrees computed over the SAME cap-filtered adjacency
+    so intersection and union refer to one universe. Ordered
+    (common DESC, s1, s2) -- total, since (s1, s2) is unique. Separated
+    from the query so the hypothesis brute force can drive it on
+    arbitrary bipartite graphs with a small cap."""
+    per_c = (
+        cs.groupBy("c")
+        .agg(F.array_sort(F.collect_set("s")).alias("ss"))
+        .where(F.size("ss") <= cap)
+    )
+    deg = (
+        per_c.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("dg"))
+    )
+    pairs = per_c.select(
+        F.posexplode("ss").alias("i", "a"), "ss"
+    ).select(
+        "a", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("b")
+    )
+    common = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("common")
+    )
+    da = deg.select(F.col("s").alias("a"), F.col("dg").alias("deg_a"))
+    db = deg.select(F.col("s").alias("b"), F.col("dg").alias("deg_b"))
+    return (
+        common.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("s1"),
+            F.col("b").alias("s2"),
+            "common",
+            "deg_a",
+            "deg_b",
+            (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            .cast("long")
+            .alias("union_cnt"),
+            F.expr(
+                "CAST((1000000 * common) DIV"
+                " (deg_a + deg_b - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("common").desc(), "s1", "s2")
+    )
+
+
+def _common_neighbors_oracle() -> str:
+    """Mirror of common_neighbors_suppliers: same cap/top-k constants;
+    the oracle's pair build is the plain self-join form."""
+    return f"""
+        WITH cs AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                   CAST(l_suppkey AS BIGINT) AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        kept AS (SELECT c FROM cs GROUP BY c HAVING COUNT(*) <= {CN_CAP}),
+        csk AS (SELECT cs.c, cs.s FROM cs JOIN kept ON cs.c = kept.c),
+        deg AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM csk GROUP BY s
+        ),
+        pr AS (
+            SELECT x.s AS a, y.s AS b, CAST(COUNT(*) AS BIGINT) AS common
+            FROM csk x JOIN csk y ON x.c = y.c AND x.s < y.s
+            GROUP BY 1, 2
+        )
+        SELECT a AS s1, b AS s2, common,
+               da.dg AS deg_a, db.dg AS deg_b,
+               CAST(da.dg + db.dg - common AS BIGINT) AS union_cnt,
+               CAST((1000000 * common) // (da.dg + db.dg - common)
+                    AS BIGINT) AS jaccard_ppm
+        FROM pr JOIN deg da ON a = da.s JOIN deg db ON b = db.s
+        ORDER BY common DESC, s1, s2 LIMIT {_CN_TOP}
+    """
+
+
 def _pagerank_oracle() -> str:
     """Mirror of pagerank_trade_graph: the iteration count, scale, and
     damping integers generate the unrolled CTE chain, so engine and
@@ -348,6 +468,7 @@ def _pagerank_oracle() -> str:
 QUERIES = {
     "g_pagerank": pagerank_trade_graph,
     "g_triangles": triangles_backbone,
+    "g_common_neighbors": common_neighbors_suppliers,
 }
 
 ORACLES = {
@@ -355,4 +476,6 @@ ORACLES = {
     "g_pagerank": _pagerank_oracle(),
     # Degree-oriented triangle counting; every value BIGINT.
     "g_triangles": _triangles_oracle(),
+    # Common-neighbor / integer-Jaccard link prediction; every value BIGINT.
+    "g_common_neighbors": _common_neighbors_oracle(),
 }

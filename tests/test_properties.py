@@ -1569,3 +1569,62 @@ def test_triangle_core_matches_serial(spark, edges):
         for r in triangle_core(df).collect()
     ]
     assert got == _brute_triangles(edges)
+
+
+# --- common-neighbor link prediction (g_common_neighbors core) --------------
+# Bipartite adjacency (c, s) over small id spaces; cap=3 exercises the
+# hub-customer posting-list guard that fixture data never triggers.
+_cn_adj = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _brute_common_neighbors(adj, cap):
+    by_c = {}
+    for c, s in adj:
+        by_c.setdefault(c, set()).add(s)
+    by_c = {c: ss for c, ss in by_c.items() if len(ss) <= cap}
+    deg, common = {}, {}
+    for ss in by_c.values():
+        for s in ss:
+            deg[s] = deg.get(s, 0) + 1
+        for a in ss:
+            for b in ss:
+                if a < b:
+                    common[(a, b)] = common.get((a, b), 0) + 1
+    out = []
+    for (a, b), cm in common.items():
+        union = deg[a] + deg[b] - cm
+        out.append(
+            (a, b, cm, deg[a], deg[b], union, (1_000_000 * cm) // union)
+        )
+    return sorted(out, key=lambda t: (-t[2], t[0], t[1]))
+
+
+@given(adj=_cn_adj)
+@settings(**_SETTINGS)
+def test_common_neighbors_core_matches_serial(spark, adj):
+    """Random bipartite graphs across thin partitions must match the
+    serial common/degree/union/jaccard_ppm integers bit-for-bit under a
+    small cap, including pairs severed entirely when the hub guard drops
+    a customer (degrees recomputed over the SAME capped universe)."""
+    from delta_lake_stock_pipeline_spark.operators.graph import (
+        common_neighbors_core,
+    )
+
+    df = spark.createDataFrame(
+        [(int(c), int(s)) for c, s in adj], "c long, s long"
+    ).repartition(5)
+    got = [
+        tuple(r[k] for k in (
+            "s1", "s2", "common", "deg_a", "deg_b", "union_cnt",
+            "jaccard_ppm",
+        ))
+        for r in common_neighbors_core(df, cap=3).collect()
+    ]
+    assert got == _brute_common_neighbors(adj, cap=3)
