@@ -291,6 +291,125 @@ def _triangles_oracle() -> str:
     """
 
 
+# k-core peel: drop nodes with degree < KCORE_K, remove their edges,
+# repeat KCORE_ITERS times. The fixed point is the k-core; a FIXED
+# iteration count keeps the semantics cross-engine-checkable (the
+# PR_ITERS stance -- the oracle unrolls the same constant). The
+# fixture's near-uniform degrees converge after one peel; cascading
+# peels are exercised by the hypothesis brute force and the scale probe.
+KCORE_K = 8
+KCORE_ITERS = 4
+_KCORE_TOP = 20
+
+
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition of the bipartite customer-supplier
+    trade graph (same node/edge build as ``g_pagerank``): peel nodes
+    with fewer than ``KCORE_K`` distinct counterparties, cascade
+    ``KCORE_ITERS`` rounds, and emit the top-20 surviving nodes by
+    residual degree -- "which counterparties remain after pruning the
+    thin periphery", the dense-subgraph seed that community detection
+    and spam-farm analysis start from.
+
+    Scale shape: per round, one aggregation over the edge list (degree
+    per src) and one semi-join pruning both endpoints -- each keyed on
+    the node, so at 100 TB the edge list stays hash-partitioned on src
+    across rounds and only the |V|-bounded keep-set moves (broadcast
+    here). ``localCheckpoint`` truncates lineage per round, as in the
+    PageRank and connected-components loops."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_core(edges).limit(_KCORE_TOP)
+
+
+def kcore_core(edges: DataFrame) -> DataFrame:
+    """``KCORE_ITERS`` rounds of degree-``KCORE_K`` peeling over a
+    symmetric directed edge list ``(src, dst)`` (distinct rows; every
+    undirected edge present in both directions). Returns surviving
+    nodes with residual degree, ordered (degree DESC, node ASC).
+    Separated from the query so the hypothesis brute force can drive it
+    on arbitrary graphs where the peel actually cascades."""
+    edges = edges.localCheckpoint()
+    for _ in range(KCORE_ITERS):
+        keep = (
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select("node")
+        )
+        edges = (
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "src")),
+                "src",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "dst")),
+                "dst",
+                "left_semi",
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+        .orderBy(F.col("degree").desc(), "node")
+    )
+
+
+def _kcore_oracle() -> str:
+    """Mirror of kcore_trade_graph: K and the iteration count generate
+    the unrolled CTE chain, so engine and oracle share every constant."""
+    cte = [
+        """pairs AS (
+            SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                   'S' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )""",
+        """e0 AS (
+            SELECT src, dst FROM pairs
+            UNION ALL SELECT dst, src FROM pairs
+        )""",
+    ]
+    for i in range(1, KCORE_ITERS + 1):
+        cte.append(f"""k{i} AS (
+            SELECT src AS node FROM e{i - 1}
+            GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+        )""")
+        cte.append(f"""e{i} AS (
+            SELECT e.src, e.dst FROM e{i - 1} e
+            JOIN k{i} a ON e.src = a.node
+            JOIN k{i} b ON e.dst = b.node
+        )""")
+    body = ",\n        ".join(cte)
+    return f"""
+        WITH {body}
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e{KCORE_ITERS}
+        GROUP BY src ORDER BY degree DESC, node LIMIT {_KCORE_TOP}
+    """
+
+
 # Hub guard for common-neighbor pair generation: customers adjacent to
 # more than this many suppliers are dropped before pair expansion (the
 # standard posting-list frequency cap -- a hub customer connects
@@ -469,6 +588,7 @@ QUERIES = {
     "g_pagerank": pagerank_trade_graph,
     "g_triangles": triangles_backbone,
     "g_common_neighbors": common_neighbors_suppliers,
+    "g_kcore": kcore_trade_graph,
 }
 
 ORACLES = {
@@ -478,4 +598,6 @@ ORACLES = {
     "g_triangles": _triangles_oracle(),
     # Common-neighbor / integer-Jaccard link prediction; every value BIGINT.
     "g_common_neighbors": _common_neighbors_oracle(),
+    # Unrolled fixed-iteration k-core peel; every value BIGINT.
+    "g_kcore": _kcore_oracle(),
 }

@@ -1628,3 +1628,58 @@ def test_common_neighbors_core_matches_serial(spark, adj):
         for r in common_neighbors_core(df, cap=3).collect()
     ]
     assert got == _brute_common_neighbors(adj, cap=3)
+
+
+# --- fixed-iteration k-core peel (g_kcore core) ------------------------------
+# Undirected edges over a small id space, materialized symmetric; with
+# KCORE_K=8 far above these degrees everything usually dies in round 1,
+# so the brute force and engine are ALSO compared on a denser regime by
+# replicating hub fans -- here the generator alone gives chains/stars
+# where peels cascade across the 4 rounds before emptying.
+
+
+def _brute_kcore(sym_edges):
+    from delta_lake_stock_pipeline_spark.operators.graph import (
+        KCORE_ITERS,
+        KCORE_K,
+    )
+
+    edges = set(sym_edges)
+    for _ in range(KCORE_ITERS):
+        deg = {}
+        for s, _d in edges:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        edges = {(s, d) for s, d in edges if s in keep and d in keep}
+    deg = {}
+    for s, _d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    return sorted(deg.items(), key=lambda t: (-t[1], t[0]))
+
+
+# Dense-enough random graphs that K=8 peeling is non-vacuous: nodes 0..11,
+# each example a random subset of all 66 undirected pairs.
+_kcore_edges = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ).map(lambda t: (min(t), max(t))).filter(lambda t: t[0] < t[1]),
+    min_size=20,
+    max_size=60,
+)
+
+
+@given(edges=_kcore_edges)
+@settings(**_SETTINGS)
+def test_kcore_core_matches_serial(spark, edges):
+    """Random graphs dense enough for K=8 peels to cascade must match
+    the serial fixed-iteration peel bit-for-bit, including the
+    (degree DESC, node ASC) total order and the empty-survivor case."""
+    from delta_lake_stock_pipeline_spark.operators.graph import kcore_core
+
+    sym = [(str(u), str(v)) for u, v in edges] + [
+        (str(v), str(u)) for u, v in edges
+    ]
+    df = spark.createDataFrame(sym, "src string, dst string").repartition(5)
+    got = [(r["node"], r["degree"]) for r in kcore_core(df).collect()]
+    assert got == [(str(n), d) for n, d in _brute_kcore(sym)]
