@@ -629,7 +629,95 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns shared verbatim between engine and oracle. Written in the
+# RE2 ∩ java.util.regex common dialect: character classes, bounded
+# repetition, and [.] instead of escaped dots -- no word boundaries, no
+# lookaround, so Spark and DuckDB match identical spans.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_IP = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_PHONE = "555-[0-9]{4}"
+
+# The fixture corpus contains no @-signs or digits (verified), so the
+# PII to detect is synthesized deterministically from doc_id -- the SAME
+# concat/repeat/lpad expression on both engines (the multimodal
+# deterministic-fake stance: the detection/redaction machinery is real,
+# the sensitive strings are manufactured). Emails repeat 1 + doc_id % 3
+# times so the count column actually varies.
+_PII_AUG_SQL = """concat(
+    coalesce(text, ''),
+    repeat(concat(' user', cast(doc_id as string), '@mail',
+                  cast(doc_id % 7 as string), '.com'),
+           cast(1 + doc_id % 3 as int)),
+    ' phone 555-', lpad(cast(doc_id % 10000 as string), 4, '0'),
+    ' ip 10.', cast(doc_id % 256 as string),
+    '.', cast(doc_id * 7 % 256 as string),
+    '.', cast(doc_id * 13 % 256 as string))"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the documents corpus: per document,
+    count email / phone / IPv4-literal matches, then mask all three
+    (emails first, then IPs, then phones) and pin the redacted text by
+    md5 and length -- the compliance scrub every training-data pipeline
+    runs before publishing a corpus. The redacted md5 makes the check
+    byte-exact: any span drift between engines flips the hash.
+
+    Scale shape: embarrassingly parallel -- one scan, per-row regex
+    evaluation inside whole-stage codegen, no shuffle except the
+    deterministic final sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.expr(_PII_AUG_SQL)
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "[EMAIL]"), PII_IP, "[IP]"
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+
+    def n(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(aug, F.lit(pat), 0)).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n(PII_EMAIL).alias("n_email"),
+        n(PII_PHONE).alias("n_phone"),
+        n(PII_IP).alias("n_ip"),
+        F.md5(masked).alias("masked_md5"),
+        F.length(masked).cast("long").alias("masked_len"),
+    ).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    """Mirror of pii_redaction: the aug expression is the SHARED SQL
+    string (valid in both dialects); DuckDB's regexp_replace needs the
+    explicit 'g' flag to match Spark's replace-all default."""
+    return f"""
+        WITH aug AS (
+            SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL}', 0)) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE}', 0)) AS BIGINT)
+                   AS n_phone,
+               CAST(len(regexp_extract_all(t, '{PII_IP}', 0)) AS BIGINT)
+                   AS n_ip,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_IP}', '[IP]', 'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g')) AS masked_md5,
+               CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_IP}', '[IP]', 'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g')) AS BIGINT)
+                   AS masked_len
+        FROM aug ORDER BY doc_id
+    """
+
+
 QUERIES = {
+    "t_pii_redaction": pii_redaction,
     "t_token_count": token_count,
     "t_repetition": repetition_stats,
     "t_curation_pipeline": curation_pipeline,
@@ -656,6 +744,8 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
 from .reshape import md5_bucket_sql as _mb_sql
 
 ORACLES = {
+    # Shared aug expression + shared regex constants; md5-pinned redaction.
+    "t_pii_redaction": _pii_oracle(),
     # Same md5-derived bucket/sign contract as r_hash_split's oracle;
     # the bucket fragment is the SHARED md5_bucket_sql definition.
     "t_feature_hash": f"""
