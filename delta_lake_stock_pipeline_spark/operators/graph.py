@@ -208,11 +208,12 @@ def triangle_core(und: DataFrame) -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # deg is |V|-bounded (small vs E); broadcast at fixture scale. At
-    # 100 TB co-hash-partition und/deg on the node key instead.
+    # deg is |V|-bounded (small vs E) but |V| can be millions -- no
+    # forced broadcast; AQE picks broadcast vs shuffle (the kcore probe
+    # measured forced |V|-broadcasts costing 15x at 4x data).
     e = (
-        und.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        und.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
@@ -314,9 +315,10 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per round, one aggregation over the edge list (degree
     per src) and one semi-join pruning both endpoints -- each keyed on
     the node, so at 100 TB the edge list stays hash-partitioned on src
-    across rounds and only the |V|-bounded keep-set moves (broadcast
-    here). ``localCheckpoint`` truncates lineage per round, as in the
-    PageRank and connected-components loops."""
+    across rounds and only the |V|-bounded keep-set moves (AQE picks
+    broadcast vs shuffle per round). ``localCheckpoint`` truncates
+    lineage per round, as in the PageRank and connected-components
+    loops."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -356,16 +358,17 @@ def kcore_core(edges: DataFrame) -> DataFrame:
             .where(F.col("d") >= KCORE_K)
             .select("node")
         )
+        # No broadcast hint: the keep set is |V|-bounded but |V| can be
+        # millions (the 1M-node probe regime) -- forcing broadcast there
+        # cost 15x at 4x data. Let AQE pick broadcast vs shuffle per
+        # round; at 100 TB the shuffle side stays hash-partitioned on
+        # the node key across rounds.
         edges = (
             edges.join(
-                F.broadcast(keep.withColumnRenamed("node", "src")),
-                "src",
-                "left_semi",
+                keep.withColumnRenamed("node", "src"), "src", "left_semi"
             )
             .join(
-                F.broadcast(keep.withColumnRenamed("node", "dst")),
-                "dst",
-                "left_semi",
+                keep.withColumnRenamed("node", "dst"), "dst", "left_semi"
             )
             .select("src", "dst")
             .localCheckpoint()
@@ -436,8 +439,8 @@ def common_neighbors_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index stance) -- total pair instances = sum over customers
     of d^2, with d capped at ``CN_CAP`` so one hub can never go
     quadratic in the corpus. The (s1, s2) count aggregation gets
-    map-side partials; degree tables are |V|-bounded broadcasts (at
-    100 TB: co-hash-partition on the supplier key instead)."""
+    map-side partials; the |V|-bounded degree joins are left to AQE
+    (broadcast when small, shuffle when |V| outgrows it)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_suppkey").cast("long").alias("s")
     )
@@ -481,8 +484,8 @@ def common_neighbors_core(cs: DataFrame, cap: int = CN_CAP) -> DataFrame:
     da = deg.select(F.col("s").alias("a"), F.col("dg").alias("deg_a"))
     db = deg.select(F.col("s").alias("b"), F.col("dg").alias("deg_b"))
     return (
-        common.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        common.join(da, "a")
+        .join(db, "b")
         .select(
             F.col("a").alias("s1"),
             F.col("b").alias("s2"),

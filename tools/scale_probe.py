@@ -370,6 +370,120 @@ def pagerank_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def graph_probe(spark) -> None:
+    """Round-7 graph-family scale probe: triangle_core, kcore_core, and
+    common_neighbors_core on SKEWED synthetic graphs at 1M/4M/16M edge
+    rows. Skew is the axis that matters:
+
+    * triangles -- one endpoint is drawn sqrt-biased toward low ids
+      (node k's frequency ~ 1/sqrt(k): real hubs), the regime where a
+      naive wedge join explodes as hub_degree^2 and the degree-ordered
+      orientation must keep fan-out at sum(OUT-degree^2) instead.
+    * kcore -- same skewed graph; peeling removes the uniform-tail
+      nodes and cascades; times the whole 4-round loop including the
+      eager localCheckpoint materializations.
+    * common-neighbors -- bipartite (c, s) with the s side sqrt-biased;
+      the CN_CAP hub guard is what bounds per-c pair expansion.
+    """
+    from delta_lake_stock_pipeline_spark.operators.graph import (
+        common_neighbors_core,
+        kcore_core,
+        triangle_core,
+    )
+
+    def skewed(col_seed: int, domain: int):
+        # ~1/sqrt(k) frequency: hub ids get O(sqrt(domain)) x the
+        # uniform rate -- enough to make an unoriented wedge join blow up.
+        return F.floor(
+            F.sqrt(
+                F.pmod(
+                    F.xxhash64("id", F.lit(col_seed)),
+                    F.lit(domain * domain),
+                ).cast("double")
+            )
+        ).cast("long")
+
+    results: list[tuple[str, int, float]] = []
+    try:
+        for n in EVENT_SIZES:
+            v = n // 16
+            d = f"{BASE}/graph_{n}"
+            und = (
+                spark.range(n)
+                .select(
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(v))
+                    .cast("long")
+                    .alias("a"),
+                    skewed(7, v).alias("b"),
+                )
+                .where(F.col("a") != F.col("b"))
+                .select(
+                    F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"),
+                )
+                .distinct()
+            )
+            und.write.mode("overwrite").parquet(f"{d}/und.parquet")
+
+            def tri_run(spark, sf_dir):
+                return triangle_core(
+                    spark.read.parquet(f"{sf_dir}/und.parquet")
+                )
+
+            sec = time_query(tri_run, spark, d)
+            n_edges = spark.read.parquet(f"{d}/und.parquet").count()
+            results.append(("triangles", n, sec))
+            print(
+                f"triangles rows={n:>10,} edges={n_edges:>10,}  {sec:6.2f}s",
+                flush=True,
+            )
+
+            def kcore_run(spark, sf_dir):
+                e = spark.read.parquet(f"{sf_dir}/und.parquet")
+                sym = e.selectExpr("u as src", "v as dst").unionByName(
+                    e.selectExpr("v as src", "u as dst")
+                )
+                return kcore_core(sym)
+
+            sec = time_query(kcore_run, spark, d)
+            results.append(("kcore", n, sec))
+            print(f"kcore     rows={n:>10,}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+
+            d = f"{BASE}/cn_{n}"
+            (
+                spark.range(n)
+                .select(
+                    F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n // 8))
+                    .cast("long")
+                    .alias("c"),
+                    skewed(11, n // 64).alias("s"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{d}/cs.parquet")
+            )
+
+            def cn_run(spark, sf_dir):
+                return common_neighbors_core(
+                    spark.read.parquet(f"{sf_dir}/cs.parquet")
+                )
+
+            sec = time_query(cn_run, spark, d)
+            results.append(("common_neighbors", n, sec))
+            print(f"commonnbr rows={n:>10,}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+        print("\nGrowth ratios (time ratio per 4x size step):")
+        by_key: dict[str, list[tuple[int, float]]] = {}
+        for k, n, t in results:
+            by_key.setdefault(k, []).append((n, t))
+        for k, series in by_key.items():
+            for (n0, t0), (n1, t1) in zip(series, series[1:]):
+                print(f"  {k}: {n1 // n0}x rows -> {t1 / t0:.2f}x time")
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def corr_probe(spark) -> None:
     """Cross-series correlation matrix (w_corr_matrix) scale probe. Two
     independent axes:
@@ -420,6 +534,17 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         corr_probe(spark)
+        return
+    if "--graph" in sys.argv:
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        graph_probe(spark)
         return
     if "--pagerank" in sys.argv:
         spark = (
