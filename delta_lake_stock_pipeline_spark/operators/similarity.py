@@ -1155,7 +1155,168 @@ def ann_pq_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MMR diversity selection: greedy maximal-marginal-relevance over a
+# relevance shortlist. Integer weights 2*rel - 1*maxsim (lambda = 2/3)
+# keep every score an exact BIGINT, so the greedy argmax is
+# cross-engine-deterministic. Shared engine/oracle constants.
+MMR_K = 8
+MMR_SHORTLIST = 100
+
+
+def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware selection (Carbonell & Goldstein MMR): greedily
+    pick ``MMR_K`` vectors maximizing ``2*relevance - max_sim_to_selected``
+    -- the dedup-aware "pick relevant but mutually diverse training
+    examples" step of curation pipelines (the greedy form SemDeDup-style
+    pipelines use for topic-balanced subset selection).
+
+    Exactness: relevance and pairwise similarity are integer dot
+    products over the ``_quantize_int8`` contract (same as
+    ``v_quantized_cosine``), so every score is an exact BIGINT and the
+    (score DESC, vec_id ASC) argmax is total -- the DuckDB oracle
+    unrolls the same greedy steps from the same constants.
+
+    Scale shape: two-stage retrieval, the production form. Stage 1 is
+    distributed: scan -> per-row integer dot -> TakeOrderedAndProject
+    shortlist of ``MMR_SHORTLIST``. Stage 2 reranks that BOUNDED
+    shortlist greedily on the driver (100 x 64 ints -- the same
+    bounded-driver-parameter class as the k-means centroids); the
+    O(K * S * dim) rerank is independent of corpus size, so at 100 TB
+    only stage 1 grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id", _quantize_int8(F.col("embedding")).alias("q")
+    )
+    # Query = vec 0's quantized form, read from the SAME DataFrame the
+    # candidates use, so engine and oracle quantize identically (a query
+    # parameter crossing the driver boundary, the _query_vector stance).
+    q0 = quant.where(F.col("vec_id") == 0).select("q").first()["q"]
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in q0])
+    zero = F.lit(0).cast("long")
+    rel = F.aggregate(
+        F.zip_with(F.col("q"), qlit, lambda x, y: x * y),
+        zero,
+        lambda a, v: a + v,
+    )
+    short = (
+        quant.where(F.col("vec_id") != 0)
+        .select("vec_id", "q", rel.cast("long").alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_SHORTLIST)
+        .collect()
+    )
+    cands = [(int(r["vec_id"]), [int(x) for x in r["q"]], int(r["rel"]))
+             for r in short]
+    selected: list[tuple[int, list[int]]] = []
+    out = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for vid, qv, rl in cands:
+            if any(vid == s for s, _ in selected):
+                continue
+            ms = max(
+                (sum(a * b for a, b in zip(qv, sq)) for _, sq in selected),
+                default=0,
+            )
+            sc = 2 * rl - ms
+            key = (-sc, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, qv, rl, ms, sc)
+        if best is None:
+            break
+        _, vid, qv, rl, ms, sc = best
+        selected.append((vid, qv))
+        out.append((step, vid, rl, ms, sc))
+    return spark.createDataFrame(
+        out, "step int, vec_id long, rel long, maxsim long, score long"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Mirror of mmr_select: the _quantize_int8 contract in SQL (same
+    CTE as v_quantized_cosine's oracle), the same shortlist order, and
+    the greedy steps mechanically unrolled from MMR_K.
+
+    Every CTE is MATERIALIZED: each unrolled step references the
+    previous selection twice (the maxsim subquery and the NOT IN), so
+    DuckDB's default CTE inlining re-expands the whole chain per
+    reference -- exponential in MMR_K; un-materialized, the 500-row
+    sf0.001 oracle spins for minutes (measured >60 s; 0.08 s
+    materialized)."""
+    dot = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> x[1] * x[2])) AS BIGINT)"
+    )
+    cte = [
+        """scaled AS MATERIALIZED (
+            SELECT vec_id,
+                   list_max(list_transform(embedding,
+                       w -> abs(CAST(w AS DOUBLE)))) / 127.0 AS s,
+                   embedding
+            FROM embeddings
+        )""",
+        """quant AS MATERIALIZED (
+            SELECT vec_id,
+                   CASE WHEN s = 0
+                        THEN list_transform(embedding,
+                                            v -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                            v -> CAST(round(CAST(v AS DOUBLE) / s)
+                                      AS BIGINT))
+                   END AS q
+            FROM scaled
+        )""",
+        f"""cand AS MATERIALIZED (
+            SELECT e.vec_id, e.q,
+                   {dot.format(a="e.q",
+                               b="(SELECT q FROM quant WHERE vec_id = 0)")}
+                       AS rel
+            FROM quant e WHERE e.vec_id <> 0
+        )""",
+        f"""short AS MATERIALIZED (
+            SELECT * FROM cand ORDER BY rel DESC, vec_id
+            LIMIT {MMR_SHORTLIST}
+        )""",
+        f"""pd AS MATERIALIZED (
+            SELECT a.vec_id AS ai, b.vec_id AS bi,
+                   {dot.format(a="a.q", b="b.q")} AS d
+            FROM short a JOIN short b ON a.vec_id <> b.vec_id
+        )""",
+        """s1 AS MATERIALIZED (
+            SELECT 1 AS step, vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+                   CAST(2 * rel AS BIGINT) AS score
+            FROM short ORDER BY 2 * rel DESC, vec_id LIMIT 1
+        )""",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM s1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        cte.append(f"""s{i} AS MATERIALIZED (
+            SELECT {i} AS step, c.vec_id, c.rel, m.maxsim,
+                   CAST(2 * c.rel - m.maxsim AS BIGINT) AS score
+            FROM short c
+            JOIN (SELECT ai AS vec_id, CAST(MAX(d) AS BIGINT) AS maxsim
+                  FROM pd WHERE bi IN (SELECT vec_id FROM sel{i - 1})
+                  GROUP BY ai) m ON c.vec_id = m.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+            ORDER BY 2 * c.rel - m.maxsim DESC, c.vec_id LIMIT 1
+        )""")
+        cte.append(f"""sel{i} AS MATERIALIZED (
+            SELECT vec_id FROM sel{i - 1}
+            UNION ALL SELECT vec_id FROM s{i}
+        )""")
+    body = ",\n        ".join(cte)
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+        WITH {body}
+        SELECT CAST(step AS INT) AS step, vec_id, rel, maxsim, score
+        FROM ({union}) ORDER BY step
+    """
+
+
 QUERIES = {
+    "v_mmr_select": mmr_select,
     "v_cosine_topk": cosine_topk,
     "v_pairwise_neardup": pairwise_neardup,
     "v_semantic_dedup": semantic_dedup,
@@ -1324,6 +1485,8 @@ ORACLES = {
     # Quantization recomputed from first principles: same per-vector
     # max|x|/127 scale, same half-away-from-zero round, exact integer
     # dot/norm sums, float only in the final normalize.
+    # Greedy MMR unrolled from the same constants; every value BIGINT.
+    "v_mmr_select": _mmr_oracle(),
     "v_quantized_cosine": f"""
         WITH scaled AS (
             SELECT vec_id, label, embedding,
