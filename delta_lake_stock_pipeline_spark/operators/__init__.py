@@ -74,11 +74,11 @@ DRIVER_WINDOW_SIZE = 50
 # Rotate the window each round so every key eventually gets a driver-side
 # correctness row. Round-7 window (per ROUND6_NOTES.md / VERDICT r6 task 1):
 # the 30 oracled keys with NO driver row in any round (the 11 round-6
-# deferrals + the 19 keys added during round 6 itself), then the 19
-# round-7 additions (which displaced all but one of the planned
-# evidence-freshness re-proofs, per the policy below), then 1 freshness
-# re-proof of the key whose newest green row is oldest (r2 era,
-# `tools/driver_ledger.py` order: j_theta_binned). All 50 are
+# deferrals + the 19 keys added during round 6 itself), then 20 round-7
+# additions (which displaced ALL planned evidence-freshness re-proofs,
+# per the policy below -- the last slot, briefly j_theta_binned, went to
+# g_triangles; later round-7 additions beyond the 50 slots wait for the
+# round-8 window). All 50 are
 # DuckDB-oracled (rows-only keys are excluded by policy:
 # their guarantees are driver-witnessed through oracled anchor twins).
 # Rotation history: ROUND4_NOTES.md, ROUND6_NOTES.md, ROUND7_NOTES.md.

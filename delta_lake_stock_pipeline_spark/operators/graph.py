@@ -1,5 +1,5 @@
-"""Graph analytics: exact-integer PageRank, degree-oriented triangle
-counting, and common-neighbor link prediction.
+"""Graph analytics: exact-integer PageRank, bounded k-core peeling,
+degree-oriented triangle counting, and common-neighbor link prediction.
 
 Beside ``dedup.min_label_components`` (connected components) these are
 the registry's graph-algorithm classes, every output an exact integer so
@@ -8,17 +8,20 @@ pipeline has no graph step; this is part of the mandated LLM-pipeline
 extension surface (link-graph quality signals -- PageRank over a
 hyperlink/citation graph is a standard document-quality prior, e.g. the
 Common Crawl harmonic/PageRank centrality lists used by CCNet
-descendants; triangle/clustering structure and common-neighbor scores
-are the standard spam-farm and community signals over the same graphs).
+descendants; k-core, triangle/clustering structure, and common-neighbor
+scores are the standard spam-farm and community signals over the same
+graphs).
 
-Why fixed-iteration + integers: float PageRank accumulates in
-engine-specific reduction orders, so equality-checking it cross-engine
-is hopeless. Here every rank is a BIGINT in 1e-12 units, each
-per-edge share is one integer division ``rank DIV out_degree``, the
-damping step is ``(15 * base) DIV 100 + (85 * inflow) DIV 100`` -- all
-order-insensitive integer sums and truncating divisions written
-textually identically on both engines, and ITERS is a shared constant,
-so Spark and the mechanically-unrolled SQL oracle agree exactly.
+Why fixed-iteration + integers (PageRank and k-core alike): float
+PageRank accumulates in engine-specific reduction orders, and "iterate
+to convergence" has no cross-engine-checkable stopping row, so
+equality-checking either is hopeless. Here every rank is a BIGINT in
+1e-12 units, each per-edge share is one integer division
+``rank DIV out_degree``, the damping step is
+``(15 * base) DIV 100 + (85 * inflow) DIV 100``, the peel is a fixed
+``KCORE_ITERS`` rounds -- all order-insensitive integer operations
+written textually identically on both engines from shared constants, so
+Spark and the mechanically-unrolled SQL oracles agree exactly.
 """
 
 from __future__ import annotations
@@ -143,6 +146,21 @@ TRI_CO_T = 5
 _TRI_TOP = 20
 
 
+def _sorted_array_pairs(
+    df: DataFrame, arr: str, a: str, b: str
+) -> DataFrame:
+    """All ordered pairs ``(a < b)`` from a sorted-set array column:
+    posexplode the array and pair each element with the strictly-later
+    suffix. The slice is 1-based: the element at 0-based position ``i``
+    pairs with 1-based positions ``i + 2`` onward -- everything after
+    itself. One definition keeps the off-by-one-prone slice arithmetic
+    shared by the triangle and common-neighbor pair builds."""
+    return df.select(F.posexplode(arr).alias("i", a), arr).select(
+        a,
+        F.explode(F.expr(f"slice({arr}, i + 2, size({arr}))")).alias(b),
+    )
+
+
 def triangles_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting over the supplier co-supply backbone
     graph: nodes are suppliers, with an undirected edge between two
@@ -171,11 +189,7 @@ def triangles_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("s")).alias("ss")
     )
-    pairs = per_order.select(
-        F.posexplode("ss").alias("i", "u"), "ss"
-    ).select(
-        "u", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("v")
-    )
+    pairs = _sorted_array_pairs(per_order, "ss", "u", "v")
     und = (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("w"))
@@ -473,11 +487,7 @@ def common_neighbors_core(cs: DataFrame, cap: int = CN_CAP) -> DataFrame:
         .groupBy("s")
         .agg(F.count("*").cast("long").alias("dg"))
     )
-    pairs = per_c.select(
-        F.posexplode("ss").alias("i", "a"), "ss"
-    ).select(
-        "a", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("b")
-    )
+    pairs = _sorted_array_pairs(per_c, "ss", "a", "b")
     common = pairs.groupBy("a", "b").agg(
         F.count("*").cast("long").alias("common")
     )

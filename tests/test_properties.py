@@ -1631,11 +1631,11 @@ def test_common_neighbors_core_matches_serial(spark, adj):
 
 
 # --- fixed-iteration k-core peel (g_kcore core) ------------------------------
-# Undirected edges over a small id space, materialized symmetric; with
-# KCORE_K=8 far above these degrees everything usually dies in round 1,
-# so the brute force and engine are ALSO compared on a denser regime by
-# replicating hub fans -- here the generator alone gives chains/stars
-# where peels cascade across the 4 rounds before emptying.
+# Undirected edges over a 12-node id space (66 possible pairs),
+# materialized symmetric. min_size=20 keeps the graphs dense enough that
+# K=8 peeling is non-vacuous: examples span empty-after-round-1, partial
+# cores, and multi-round cascades where removing one sub-threshold node
+# drags neighbors under K in a later round.
 
 
 def _brute_kcore(sym_edges):

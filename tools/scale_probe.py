@@ -392,16 +392,16 @@ def graph_probe(spark) -> None:
     )
 
     def skewed(col_seed: int, domain: int):
-        # ~1/sqrt(k) frequency: hub ids get O(sqrt(domain)) x the
-        # uniform rate -- enough to make an unoriented wedge join blow up.
-        return F.floor(
-            F.sqrt(
-                F.pmod(
-                    F.xxhash64("id", F.lit(col_seed)),
-                    F.lit(domain * domain),
-                ).cast("double")
-            )
-        ).cast("long")
+        # W uniform on [0, domain), id = floor(W^2 / domain):
+        # P(id = k) = (sqrt(k+1) - sqrt(k)) / sqrt(domain) ~ 1/(2*sqrt(k*domain))
+        # -- a 1/sqrt(k) power tail with id 0 the hub at ~sqrt(domain)/2 x
+        # the uniform rate. (The first cut used floor(sqrt(uniform)),
+        # which is the INVERSE map: mass ~(2k+1)/domain^2, max 2x uniform
+        # -- no hubs at all; caught in review, numbers regenerated.)
+        w = F.pmod(F.xxhash64("id", F.lit(col_seed)), F.lit(domain))
+        return F.floor((w * w).cast("double") / F.lit(float(domain))).cast(
+            "long"
+        )
 
     results: list[tuple[str, int, float]] = []
     try:
@@ -522,74 +522,7 @@ def corr_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
-def main() -> None:
-    quick = "--quick" in sys.argv
-    if "--corr" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.driver.memory", "48g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        corr_probe(spark)
-        return
-    if "--graph" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.driver.memory", "48g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        graph_probe(spark)
-        return
-    if "--pagerank" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.driver.memory", "48g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        pagerank_probe(spark)
-        return
-    if "--median" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.driver.memory", "48g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        median_probe(spark)
-        return
-    if "--indicators" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.driver.memory", "48g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        indicator_probe(spark)
-        return
-    if "--dedup" in sys.argv:
-        spark = (
-            SparkSession.builder.master("local[32]")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.driver.memory", "48g")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        dedup_probe(spark)
-        return
+def _probe_session():
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -598,6 +531,26 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+_FLAG_PROBES = [
+    ("--corr", corr_probe),
+    ("--graph", graph_probe),
+    ("--pagerank", pagerank_probe),
+    ("--median", median_probe),
+    ("--indicators", indicator_probe),
+    ("--dedup", dedup_probe),
+]
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    for flag, probe in _FLAG_PROBES:
+        if flag in sys.argv:
+            probe(_probe_session())
+            return
+    spark = _probe_session()
 
     from delta_lake_stock_pipeline_spark.operators import all_queries
 
