@@ -1,5 +1,6 @@
 """Graph analytics: exact-integer PageRank, bounded k-core peeling,
-degree-oriented triangle counting, and common-neighbor link prediction.
+multi-source BFS hop distance, degree-oriented triangle counting, and
+common-neighbor link prediction.
 
 Beside ``dedup.min_label_components`` (connected components) these are
 the registry's graph-algorithm classes, every output an exact integer so
@@ -40,6 +41,36 @@ _D_NUM, _T_NUM, _DEN = 85, 15, 100  # damping 0.85 as exact integers
 _TOP_K = 20
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bipartite customer-supplier trade graph shared by the
+    PageRank / k-core / BFS queries: a symmetric directed edge for every
+    distinct (customer, supplier) trading pair in orders JOIN lineitem,
+    nodes labeled ``C<custkey>`` / ``S<suppkey>``. One definition so the
+    graph cannot drift between the loop operators (their oracles all
+    inline the same two CTEs)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer-supplier trade graph: nodes
     are ``C<custkey>`` / ``S<suppkey>``, with a symmetric edge for every
@@ -62,27 +93,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning), which is exactly how the connected-components loop
     scales. ``localCheckpoint`` truncates lineage so iteration N's plan
     does not re-derive iterations 1..N-1."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     return pagerank_core(edges).limit(_TOP_K)
 
 
@@ -135,6 +146,113 @@ def pagerank_core(edges: DataFrame) -> DataFrame:
     return ranks.select(
         "node", F.col("r").alias("rank_scaled")
     ).orderBy(F.col("rank_scaled").desc(), "node")
+
+
+# BFS from the highest-degree supplier hubs: fixed rounds (the unrolled-
+# oracle stance), seed count and round count shared engine/oracle.
+BFS_ITERS = 4
+BFS_SEEDS = 3
+
+
+def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the trade graph: hop distance from the
+    ``BFS_SEEDS`` highest-degree supplier hubs (ties broken by node --
+    a total order), capped at ``BFS_ITERS`` rounds, emitted as a
+    per-distance node histogram. This is the TrustRank-style
+    "distance from trusted seeds" signal link-graph curation uses to
+    grade pages by proximity to a vetted core; nodes unreached within
+    the cap are absent (their distance is not a checkable constant).
+
+    Scale shape: per round, ONE join of the current frontier (nodes
+    first reached last round -- only they can relax anything) against
+    the edge list plus a min-aggregation keyed on the node; frontier
+    and distance tables are |V|-bounded and AQE picks their join
+    strategy, the edge list stays hash-partitioned on src. The
+    min-label connected-components loop is the same shape with an
+    unbounded round count."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    seeds = (
+        deg.where(F.col("src").startswith("S"))
+        .orderBy(F.desc("d"), "src")
+        .limit(BFS_SEEDS)
+        .select(F.col("src").alias("node"))
+    )
+    return bfs_core(edges, seeds)
+
+
+def bfs_core(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """``BFS_ITERS``-round multi-source BFS over a directed edge list
+    ``(src, dst)`` from a ``(node)`` seed set. Returns the histogram
+    (dist, n_nodes) ordered by dist. Separated from the query so the
+    hypothesis brute force can drive it on arbitrary graphs and seed
+    sets."""
+    edges = edges.localCheckpoint()
+    dist = seeds.select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    for i in range(1, BFS_ITERS + 1):
+        frontier = dist.where(F.col("dist") == i - 1).withColumnRenamed(
+            "node", "src"
+        )
+        reached = edges.join(frontier, "src").select(
+            F.col("dst").alias("node"),
+            F.lit(i).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        dist.groupBy("dist")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+def _bfs_oracle() -> str:
+    """Mirror of bfs_hops_trade_graph: seed count and round count
+    generate the unrolled chain. Every d<i> CTE is MATERIALIZED -- each
+    is referenced twice (union + frontier), so default inlining would
+    re-expand the chain exponentially in BFS_ITERS (the v_mmr_select
+    lesson)."""
+    cte = [
+        """pairs AS MATERIALIZED (
+            SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                   'S' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )""",
+        """e0 AS MATERIALIZED (
+            SELECT src, dst FROM pairs
+            UNION ALL SELECT dst, src FROM pairs
+        )""",
+        f"""seeds AS MATERIALIZED (
+            SELECT src AS node FROM e0 WHERE src LIKE 'S%'
+            GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT {BFS_SEEDS}
+        )""",
+        """d0 AS MATERIALIZED (
+            SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+        )""",
+    ]
+    for i in range(1, BFS_ITERS + 1):
+        cte.append(f"""d{i} AS MATERIALIZED (
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, CAST({i} AS BIGINT) AS dist
+                FROM e0 e
+                JOIN (SELECT node FROM d{i - 1} WHERE dist = {i - 1}) f
+                  ON e.src = f.node
+            ) GROUP BY node
+        )""")
+    body = ",\n        ".join(cte)
+    return f"""
+        WITH {body}
+        SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM d{BFS_ITERS} GROUP BY dist ORDER BY dist
+    """
 
 
 # Backbone threshold: a co-supply edge requires >= this many shared
@@ -333,27 +451,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast vs shuffle per round). ``localCheckpoint`` truncates
     lineage per round, as in the PageRank and connected-components
     loops."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     return kcore_core(edges).limit(_KCORE_TOP)
 
 
@@ -602,6 +700,7 @@ QUERIES = {
     "g_triangles": triangles_backbone,
     "g_common_neighbors": common_neighbors_suppliers,
     "g_kcore": kcore_trade_graph,
+    "g_bfs_hops": bfs_hops_trade_graph,
 }
 
 ORACLES = {
@@ -613,4 +712,6 @@ ORACLES = {
     "g_common_neighbors": _common_neighbors_oracle(),
     # Unrolled fixed-iteration k-core peel; every value BIGINT.
     "g_kcore": _kcore_oracle(),
+    # Unrolled fixed-round multi-source BFS; every value BIGINT.
+    "g_bfs_hops": _bfs_oracle(),
 }

@@ -716,7 +716,103 @@ def _pii_oracle() -> str:
     """
 
 
+def novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: of a document's distinct 3-word
+    shingles, how many appear in NO earlier document (first corpus
+    occurrence = min doc_id) -- the contribution-scoring signal dedup-
+    aware curation uses to rank near-redundant documents by what they
+    actually add. Emits (doc_id, n_distinct, n_novel, novelty_bp) with
+    the ratio in exact basis points via integer division; documents
+    with fewer than 3 tokens have no shingles and are absent on both
+    engines.
+
+    Scale shape: one corpus explode -> distinct (doc, gram) hash-agg;
+    first-owner is a second hash-agg over the same relation keyed on
+    the gram; one gram-keyed join back. Identical shape to the TF-IDF
+    document-frequency pass -- no self-joins, no windows over the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(text), ' '), x -> x <> '')"
+            ).alias("tk"),
+        )
+        .where(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, size(tk) - 2),"
+                    " (t, i) -> concat_ws(' ', t, tk[i + 1], tk[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct",
+            "n_novel",
+            F.expr(
+                "CAST((10000 * n_novel) DIV n_distinct AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Mirror of novelty(): trigrams via the bigram oracle's
+# generate_subscripts position self-join, extended one position.
+_NOVELTY_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(l) AS tok,
+               generate_subscripts(l, 1) AS pos
+        FROM tk
+    ),
+    grams AS (
+        SELECT DISTINCT a.doc_id,
+               concat(a.tok, ' ', b.tok, ' ', c.tok) AS g
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    first AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((10000 * SUM(CASE WHEN f.first_doc = gr.doc_id
+                                  THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS novelty_bp
+    FROM grams gr JOIN first f ON gr.g = f.g
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+"""
+
+
 QUERIES = {
+    "t_novelty": novelty,
     "t_pii_redaction": pii_redaction,
     "t_token_count": token_count,
     "t_repetition": repetition_stats,
@@ -744,6 +840,8 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
 from .reshape import md5_bucket_sql as _mb_sql
 
 ORACLES = {
+    # Trigram novelty; every value BIGINT, ratio in exact basis points.
+    "t_novelty": _NOVELTY_ORACLE,
     # Shared aug expression + shared regex constants; md5-pinned redaction.
     "t_pii_redaction": _pii_oracle(),
     # Same md5-derived bucket/sign contract as r_hash_split's oracle;

@@ -1683,3 +1683,44 @@ def test_kcore_core_matches_serial(spark, edges):
     df = spark.createDataFrame(sym, "src string, dst string").repartition(5)
     got = [(r["node"], r["degree"]) for r in kcore_core(df).collect()]
     assert got == [(str(n), d) for n, d in _brute_kcore(sym)]
+
+
+# --- fixed-round multi-source BFS (g_bfs_hops core) --------------------------
+# Directed edges + an explicit seed set over a small id space: unreached
+# components, seeds with no out-edges, and multi-hop chains all occur.
+
+
+def _brute_bfs(edges, seeds):
+    from delta_lake_stock_pipeline_spark.operators.graph import BFS_ITERS
+
+    dist = {s: 0 for s in seeds}
+    for i in range(1, BFS_ITERS + 1):
+        frontier = [n for n, d in dist.items() if d == i - 1]
+        for s, d in edges:
+            if s in frontier and d not in dist:
+                dist[d] = i
+    hist = {}
+    for d in dist.values():
+        hist[d] = hist.get(d, 0) + 1
+    return sorted(hist.items())
+
+
+@given(edges=_pr_edges, seed_ids=st.sets(st.integers(0, 7), min_size=1, max_size=3))
+@settings(**_SETTINGS)
+def test_bfs_core_matches_serial(spark, edges, seed_ids):
+    """Random directed graphs + random seed sets across thin partitions
+    must match the serial fixed-round BFS histogram bit-for-bit,
+    including rounds that relax nothing and seeds outside the edge set."""
+    from delta_lake_stock_pipeline_spark.operators.graph import bfs_core
+
+    edf = spark.createDataFrame(
+        [(str(s), str(d)) for s, d in edges] or [("x", "x")],
+        "src string, dst string",
+    ).repartition(5)
+    if not edges:
+        edf = edf.where("src <> 'x'")
+    sdf = spark.createDataFrame([(str(s),) for s in seed_ids], "node string")
+    got = [(r["dist"], r["n_nodes"]) for r in bfs_core(edf, sdf).collect()]
+    assert got == _brute_bfs(
+        {(str(s), str(d)) for s, d in edges}, {str(s) for s in seed_ids}
+    )
