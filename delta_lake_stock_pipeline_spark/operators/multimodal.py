@@ -338,7 +338,56 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) over the PGM images: decode the
+    container, partition the pixel grid into an 8x8 block grid (block of
+    pixel (r, c) = (r*8 DIV h, c*8 DIV w) -- the nearest-neighbor
+    downsample as pure integer index math), and set bit b iff block b's
+    mean intensity exceeds the image mean, compared by exact integer
+    cross-multiplication ``sum_b * n_total > total * cnt_b`` so no
+    division ever happens. This is THE standard image near-duplicate
+    fingerprint (hamming distance over aHash/pHash bits) -- the image
+    side of the dedup family.
+
+    The 64 bits are emitted as two BIGINT halves (bit 63 would overflow
+    a signed 64-bit power-of-two sum); images narrower or shorter than
+    8 pixels leave their empty blocks at bit 0 on both engines
+    (cnt = 0 makes the strict inequality false). Arrow-batched
+    ``mapInPandas`` like the rest of the family; embarrassingly
+    parallel, one scan, no shuffle except the deterministic sort."""
+    media = _pgm_table(spark, sf_dir).select("doc_id", "payload")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = _parse_pgm(bytes(buf))
+                grid = pix.astype(np.int64).reshape(h, w)
+                br = (np.arange(h) * 8) // h
+                bc = (np.arange(w) * 8) // w
+                blk = (br[:, None] * 8 + bc[None, :]).ravel()
+                sums = np.zeros(64, dtype=np.int64)
+                cnts = np.zeros(64, dtype=np.int64)
+                np.add.at(sums, blk, grid.ravel())
+                np.add.at(cnts, blk, 1)
+                total, n = int(grid.sum()), w * h
+                bits = (sums * n) > (total * cnts)
+                lo = sum(1 << b for b in range(32) if bits[b])
+                hi = sum(1 << (b - 32) for b in range(32, 64) if bits[b])
+                rows.append((doc_id, int(bits.sum()), int(hi), int(lo)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bright_blocks", "ahash_hi", "ahash_lo"],
+            )
+
+    return media.mapInPandas(
+        hash_batches,
+        "doc_id bigint, n_bright_blocks int, ahash_hi bigint, ahash_lo bigint",
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "m_image_ahash": image_ahash,
     "m_binary_metadata": binary_metadata,
     "m_image_features": image_features,
     "m_image_resize": image_resize,
@@ -348,6 +397,69 @@ QUERIES = {
 }
 
 ORACLES = {
+    # aHash mirror: same meta/geo/px reconstruction as m_image_features,
+    # space-padded to the pixel plane (list_resize pad byte 32), block
+    # index and brightness bit as the same integer expressions. Every
+    # emitted value BIGINT/INT.
+    "m_image_ahash": """
+        WITH meta AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n,
+                   octet_length(encode(text)) % 64 + 1 AS width,
+                   (octet_length(encode(text)) // 64) % 64 + 1 AS height
+            FROM documents
+        ), geo AS (
+            SELECT doc_id, n, width, height,
+                   width * height AS npix,
+                   substring(text, 1, LEAST(n, width * height)) AS body
+            FROM meta
+        ), px AS (
+            -- space-pad (byte 32) to the pixel plane via list_concat +
+            -- range: this DuckDB's list_resize crashes on full-table
+            -- vectors (std::bad_array_new_length above ~50-row batches)
+            SELECT doc_id, width, height, npix,
+                   list_concat(
+                       list_transform(
+                           list_filter(string_split_regex(body, ''),
+                                       x -> x <> ''),
+                           x -> ord(x)),
+                       list_transform(range(npix - LEAST(n, npix)),
+                                      x -> 32)) AS bytes_list
+            FROM geo
+        ), flat AS (
+            SELECT doc_id, width, height, npix,
+                   unnest(bytes_list) AS v,
+                   generate_subscripts(bytes_list, 1) - 1 AS p
+            FROM px
+        ), blocks AS (
+            SELECT doc_id, width, height, npix,
+                   ((p // width) * 8 // height) * 8
+                       + ((p % width) * 8 // width) AS blk,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM flat
+            GROUP BY doc_id, width, height, npix,
+                     ((p // width) * 8 // height) * 8
+                         + ((p % width) * 8 // width)
+        ), tot AS (
+            SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total FROM blocks
+            GROUP BY doc_id
+        ), bits AS (
+            SELECT b.doc_id, b.blk,
+                   CASE WHEN b.s * b.npix > t.total * b.cnt
+                        THEN 1 ELSE 0 END AS bit
+            FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
+        )
+        SELECT doc_id,
+               CAST(SUM(bit) AS INTEGER) AS n_bright_blocks,
+               CAST(SUM(CASE WHEN bit = 1 AND blk >= 32
+                             THEN (CAST(1 AS BIGINT)
+                                   << CAST(blk - 32 AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS ahash_hi,
+               CAST(SUM(CASE WHEN bit = 1 AND blk < 32
+                             THEN (CAST(1 AS BIGINT) << CAST(blk AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS ahash_lo
+        FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
     # Recomputes the exact 256 thumbnail bytes from first principles: the
     # same header math as m_image_features, then the floor index map
     # pos = (i*height//16)*width + (j*width_idx) over the padded plane
