@@ -31,6 +31,7 @@ from ..sources.fixtures import load_table
 _FRAME_FPS = 2
 _MAX_FRAMES = 16
 _CHUNK_BYTES = 256
+_FP_FRAME = 32
 
 
 def _parse_pgm(buf: bytes) -> tuple[int, int, "np.ndarray"]:
@@ -338,6 +339,50 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprint over the PCM payloads (Haitsma & Kalker's
+    energy-delta scheme, simplified to one band): frame the samples into
+    the same 256-byte chunks as ``m_audio_features``, then set bit i-1
+    iff chunk i's energy strictly exceeds chunk i-1's -- the
+    sign-of-energy-difference bit string audio near-dup pipelines
+    hamming-bucket on. Completes the near-duplicate fingerprint triple:
+    text (SimHash/MinHash), image (aHash), audio (this).
+
+    All-integer (energies are exact sums of squared byte deviations, the
+    comparison is strict >), bits capped at 63 so the BIGINT never
+    overflows (chunk counts beyond 64 would need halves like
+    ``m_image_ahash``; the frame count cap is part of the semantics and
+    shared with the oracle). Map-only: one Arrow boundary, no shuffle."""
+    media = _media_table(spark, sf_dir).select("doc_id", "payload")
+    chunk = _FP_FRAME
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(buf), dtype=np.uint8)
+                dev = samples.astype(np.int64) - 128
+                energies = [
+                    int((dev[ci : ci + chunk] ** 2).sum())
+                    for ci in range(0, max(len(samples), 1), chunk)
+                ]
+                rising = [
+                    i
+                    for i in range(1, min(len(energies), 64))
+                    if energies[i] > energies[i - 1]
+                ]
+                fp = sum(1 << (i - 1) for i in rising)
+                rows.append((doc_id, len(energies), int(fp), len(rising)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chunks", "fp", "n_rising"]
+            )
+
+    return media.mapInPandas(
+        fp_batches,
+        "doc_id bigint, n_chunks int, fp bigint, n_rising int",
+    ).orderBy("doc_id")
+
+
 def image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash (aHash) over the PGM images: decode the
     container, partition the pixel grid into an 8x8 block grid (block of
@@ -387,6 +432,7 @@ def image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "m_audio_fingerprint": audio_fingerprint,
     "m_image_ahash": image_ahash,
     "m_binary_metadata": binary_metadata,
     "m_image_features": image_features,
@@ -397,6 +443,52 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Energy-delta fingerprint mirror: the m_audio_features chunk
+    # energies + a LAG window, bit i-1 iff energy rises, capped at 63
+    # bits. Every emitted value BIGINT/INT.
+    "m_audio_fingerprint": """
+        WITH b AS (
+            SELECT doc_id,
+                   list_transform(list_filter(string_split_regex(text, ''),
+                                              x -> x <> ''),
+                                  x -> ord(x)) AS bytes_list
+            FROM documents
+        ), m AS (
+            SELECT doc_id, bytes_list,
+                   GREATEST(CAST(ceil(len(bytes_list) / 32.0) AS INTEGER),
+                            1) AS n_chunks
+            FROM b
+        ), c AS (
+            SELECT doc_id, bytes_list,
+                   CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+            FROM m
+        ), e AS (
+            SELECT doc_id, chunk_idx,
+                   CAST(COALESCE(list_aggregate(
+                       list_transform(
+                           bytes_list[chunk_idx * 32 + 1
+                                      : chunk_idx * 32 + 32],
+                           x -> (x - 128) * (x - 128)),
+                       'sum'), 0) AS BIGINT) AS energy
+            FROM c
+        ), d AS (
+            SELECT doc_id, chunk_idx, energy,
+                   LAG(energy) OVER (PARTITION BY doc_id
+                                     ORDER BY chunk_idx) AS prev
+            FROM e
+        )
+        SELECT doc_id,
+               CAST(MAX(chunk_idx) + 1 AS INTEGER) AS n_chunks,
+               CAST(SUM(CASE WHEN chunk_idx BETWEEN 1 AND 63
+                                  AND energy > prev
+                             THEN (CAST(1 AS BIGINT)
+                                   << CAST(chunk_idx - 1 AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN chunk_idx BETWEEN 1 AND 63
+                                  AND energy > prev
+                             THEN 1 ELSE 0 END) AS INTEGER) AS n_rising
+        FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
     # aHash mirror: same meta/geo/px reconstruction as m_image_features,
     # space-padded to the pixel plane (list_resize pad byte 32), block
     # index and brightness bit as the same integer expressions. Every

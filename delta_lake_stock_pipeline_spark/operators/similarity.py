@@ -1207,6 +1207,21 @@ def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = [(int(r["vec_id"]), [int(x) for x in r["q"]], int(r["rel"]))
              for r in short]
+    return spark.createDataFrame(
+        mmr_greedy(cands),
+        "step int, vec_id long, rel long, maxsim long, score long",
+    )
+
+
+def mmr_greedy(
+    cands: list[tuple[int, list[int], int]],
+) -> list[tuple[int, int, int, int, int]]:
+    """The bounded greedy rerank: pick MMR_K times the candidate
+    maximizing ``2*rel - max_int_dot_to_selected`` under the
+    (score DESC, vec_id ASC) total order. Pure integer arithmetic over
+    the already-shortlisted candidates; separated from the query so the
+    hypothesis property test can drive it against an independent serial
+    MMR on arbitrary vectors (ties, negative sims, pools < K)."""
     selected: list[tuple[int, list[int]]] = []
     out = []
     for step in range(1, MMR_K + 1):
@@ -1227,9 +1242,7 @@ def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, vid, qv, rl, ms, sc = best
         selected.append((vid, qv))
         out.append((step, vid, rl, ms, sc))
-    return spark.createDataFrame(
-        out, "step int, vec_id long, rel long, maxsim long, score long"
-    )
+    return out
 
 
 def _mmr_oracle() -> str:

@@ -1724,3 +1724,61 @@ def test_bfs_core_matches_serial(spark, edges, seed_ids):
     assert got == _brute_bfs(
         {(str(s), str(d)) for s, d in edges}, {str(s) for s in seed_ids}
     )
+
+
+# --- greedy MMR selection (v_mmr_select core semantics) ----------------------
+# The oracle already pins the full pipeline; this pins the GREEDY itself
+# (shortlist -> iterative argmax with exact integer scores) against an
+# independent serial implementation on random small integer vectors,
+# exercising score ties, negative similarities, and pools smaller than K.
+
+
+def _brute_mmr(cands, k):
+    selected, out = [], []
+    for step in range(1, k + 1):
+        best = None
+        for vid, qv, rl in cands:
+            if any(vid == s for s, _ in selected):
+                continue
+            ms = max(
+                (sum(a * b for a, b in zip(qv, sq)) for _, sq in selected),
+                default=0,
+            )
+            sc = 2 * rl - ms
+            if best is None or (-sc, vid) < best[0]:
+                best = ((-sc, vid), vid, qv, rl, ms, sc)
+        if best is None:
+            break
+        _, vid, qv, rl, ms, sc = best
+        selected.append((vid, qv))
+        out.append((step, vid, rl, ms, sc))
+    return out
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    ),
+    qv=st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_mmr_greedy_matches_serial(vecs, qv):
+    """The engine's greedy loop (copied semantics: 2*rel - maxsim, ties
+    by vec_id, maxsim over already-selected) must match an independently
+    written serial MMR on random integer vectors -- including all-tie
+    pools and pools smaller than K. Pure-Python property (no Spark): the
+    distributed part of v_mmr_select is only the shortlist scan, which
+    the oracle parity pins."""
+    cands = [
+        (i + 1, v, sum(a * b for a, b in zip(v, qv)))
+        for i, v in enumerate(vecs)
+    ]
+    from delta_lake_stock_pipeline_spark.operators.similarity import (
+        MMR_K,
+        mmr_greedy,
+    )
+
+    assert mmr_greedy(cands) == _brute_mmr(cands, MMR_K)
