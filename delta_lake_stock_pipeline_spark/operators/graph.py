@@ -170,7 +170,10 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy, the edge list stays hash-partitioned on src. The
     min-label connected-components loop is the same shape with an
     unbounded round count."""
-    edges = _trade_edges(spark, sf_dir)
+    # Checkpoint HERE so the seed computation and the BFS rounds both
+    # hang off one materialized edge list -- deriving seeds from the raw
+    # plan would replay the fact-table join a second time (review catch).
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     seeds = (
         deg.where(F.col("src").startswith("S"))
@@ -186,7 +189,9 @@ def bfs_core(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     ``(src, dst)`` from a ``(node)`` seed set. Returns the histogram
     (dist, n_nodes) ordered by dist. Separated from the query so the
     hypothesis brute force can drive it on arbitrary graphs and seed
-    sets."""
+    sets. (``localCheckpoint`` on an already-checkpointed edge list, as
+    the query passes in, is a cheap re-materialization of the local
+    blocks, not a plan replay.)"""
     edges = edges.localCheckpoint()
     dist = seeds.select(
         "node", F.lit(0).cast("long").alias("dist")

@@ -342,7 +342,7 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic fingerprint over the PCM payloads (Haitsma & Kalker's
     energy-delta scheme, simplified to one band): frame the samples into
-    the same 256-byte chunks as ``m_audio_features``, then set bit i-1
+    ``_FP_FRAME``-byte fingerprint frames, then set bit i-1
     iff chunk i's energy strictly exceeds chunk i-1's -- the
     sign-of-energy-difference bit string audio near-dup pipelines
     hamming-bucket on. Completes the near-duplicate fingerprint triple:
@@ -443,9 +443,11 @@ QUERIES = {
 }
 
 ORACLES = {
-    # Energy-delta fingerprint mirror: the m_audio_features chunk
-    # energies + a LAG window, bit i-1 iff energy rises, capped at 63
-    # bits. Every emitted value BIGINT/INT.
+    # Energy-delta fingerprint mirror: same frame-energy reconstruction
+    # SHAPE as the m_audio_features oracle but over 32-byte fingerprint
+    # frames (_FP_FRAME -- not the 256-byte feature chunks), + a LAG
+    # window, bit i-1 iff energy rises, capped at 63 bits. Every
+    # emitted value BIGINT/INT.
     "m_audio_fingerprint": """
         WITH b AS (
             SELECT doc_id,
