@@ -957,7 +957,58 @@ def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the quantity-weighted median price per
+    return flag -- the lower weighted median (first value whose
+    cumulative weight reaches half the total), the inventory-weighted
+    mid-price question a trading rollup asks that the unweighted
+    ``x_percentile`` cannot answer.
+
+    Exactness: prices enter as exact cents via the repo's
+    ``FLOOR(x * 100 + 0.5)`` emit, weights as BIGINT, the cumulative
+    weight is an integer window sum under a TOTAL order (cents, orderkey,
+    linenumber), and the half-total comparison is the integer
+    cross-multiplication ``2 * cw >= tw`` -- no division, no float
+    accumulation, so both engines pick the identical boundary row. The
+    qualifying rows form a SUFFIX of the cumsum order, so MIN(cents)
+    over them IS the boundary row's value.
+
+    Scale shape: one shuffle (both window specs share the flag
+    partitioning), map-side nothing to pre-aggregate (the window needs
+    the full order) -- the classic exact-quantile cost; the approximate
+    sibling for 100 TB is ``x_percentile_approx``/KLL."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    tot = Window.partitionBy("l_returnflag")
+    staged = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(cum).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    return (
+        staged.where(F.expr("2 * cw >= tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("median_price_cents"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
+    "x_weighted_median": weighted_median,
     "a0_flagship_daily_rollup": flagship_daily_rollup,
     "a1_group_count": group_count,
     "a2_group_count_date": group_count_date,
@@ -990,6 +1041,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Exact weighted (lower) median; every value BIGINT, boundary row
+    # picked by integer cross-multiplication under a total order.
+    "x_weighted_median": """
+        WITH st AS (
+            SELECT l_returnflag,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ), c AS (
+            SELECT l_returnflag, cents,
+                   SUM(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY cents, l_orderkey, l_linenumber
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM st
+        )
+        SELECT l_returnflag,
+               CAST(MIN(cents) AS BIGINT) AS median_price_cents,
+               CAST(MAX(tw) AS BIGINT) AS total_weight
+        FROM c WHERE 2 * cw >= tw
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "a0_flagship_daily_rollup": FLAGSHIP_ORACLE,
     "a1_group_count": """
         SELECT l_returnflag, COUNT(*) AS n_rows
