@@ -72,79 +72,71 @@ DRIVER_WINDOW_SIZE = 50
 # The external driver verifies only the FIRST 50 keys of queries() in
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
-# correctness row. Round-7 window (per ROUND6_NOTES.md / VERDICT r6 task 1):
-# the 30 oracled keys with NO driver row in any round (the 11 round-6
-# deferrals + the 19 keys added during round 6 itself), then 20 round-7
-# additions (which displaced ALL planned evidence-freshness re-proofs,
-# per the policy below -- the last slot, briefly j_theta_binned, went to
-# g_triangles; later round-7 additions beyond the 50 slots wait for the
-# round-8 window). All 50 are
-# DuckDB-oracled (rows-only keys are excluded by policy:
-# their guarantees are driver-witnessed through oracled anchor twins).
-# Rotation history: ROUND4_NOTES.md, ROUND6_NOTES.md, ROUND7_NOTES.md.
+# correctness row. Round-8 window (per VERDICT r7 task 1): the 9 oracled
+# keys added past round 7's 50 slots (never driver-checked -- the list the
+# rotation-policy test named), then g_pagerank (re-proof: its plan changes
+# this round, VERDICT r7 task 2 drops the forced |V|-broadcasts), then the
+# oldest green rows in ledger order (the r2/r3-era j/p/f/o/u/fn/a/x
+# blocks). Round-8 additions displace freshness slots from the tail, per
+# the policy below. All 50 are DuckDB-oracled (rows-only keys are excluded
+# by policy: their guarantees are driver-witnessed through oracled anchor
+# twins). Rotation history: ROUND4_NOTES.md, ROUND6_NOTES.md,
+# ROUND7_NOTES.md, ROUND8_NOTES.md.
 _DRIVER_WINDOW_ROTATION = [
-    # --- 30 never-driver-checked oracled keys ---
-    # round-6 deferrals (twins went green in r6)
-    "t_bigram_frequency",
-    "t_doc_stats",
-    "r_sample_bottomk",
-    "r_sample_systematic",
-    "r_unpivot",
-    "v_knn_per_query",
-    "m_image_resize",
-    "m_audio_chunks",
-    "u_map_in_arrow",
-    "u_py_udf",
-    "w_interpolate",
-    # round-6 additions, never checked
-    "r_sample_bernoulli_anchor",
-    "r_sample_stratified_anchor",
-    "w_ewma",
-    "r_epoch_shuffle",
-    "j_asof_tolerance",
-    "v_ann_ivf_batch",
-    "x_approx_topk_anchor",
-    "src_binary_files",
-    "j_asof_nearest",
-    "v_ann_pq_anchor",
-    "v_ann_ivfpq_anchor",
-    "w_max_drawdown",
-    "st_schema_evolution_rollup",
-    "x_pipe_syntax",
-    "src_python_datasource",
-    "t_bm25",
-    "c_temperature_mix",
-    "u_arrow_udtf",
-    "st_bucketed_join_rollup",
-    # --- continuation addition: displaced the last freshness re-proof
-    # (j_theta_binned) per the policy: never-checked keys outrank
-    # re-proofs of already-green keys ---
-    "g_triangles",
-    # round-7 additions (financial indicator windows, their Arrow
-    # physical twins, the cross-sectional family, the hashing-trick
-    # featurizer, DSIR selection, the rolling-median pair, and
-    # PageRank) displace 19 of the 20 planned freshness slots, per the
-    # rotation policy: never-checked oracled keys outrank re-proofs of
-    # already-green keys.
-    "w_atr",
-    "w_obv",
-    "w_corr_matrix",
-    "w_xsec_zscore",
-    "w_beta",
-    "w_macd_arrow",
-    "w_macd",
-    "c_dsir",
-    "w_vwap",
-    "w_bollinger",
-    "w_rsi",
-    "w_stochastic",
-    "t_feature_hash",
-    "w_sharpe",
-    "w_roc",
-    "w_donchian",
-    "w_rolling_median",
-    "w_rolling_median_arrow",
+    # --- 9 round-7 additions past the r7 window: never driver-checked ---
+    "g_common_neighbors",
+    "g_kcore",
+    "g_bfs_hops",
+    "t_pii_redaction",
+    "t_novelty",
+    "v_mmr_select",
+    "m_image_ahash",
+    "m_audio_fingerprint",
+    "x_weighted_median",
+    # --- re-proof: pagerank_core loses its forced |V|-broadcasts this
+    # round (VERDICT r7 task 2); prove the new plan driver-side ---
     "g_pagerank",
+    # --- freshness re-proofs: oldest green driver rows, ledger order ---
+    "j_theta_binned",
+    "p1_projection",
+    "p4_derived_projection",
+    "p5_field_mapping",
+    "f_filter_eq",
+    "f_filter_range",
+    "f_filter_compound",
+    "f_filter_isin",
+    "f_filter_null",
+    "o1_sort_single",
+    "o2_sort_multi",
+    "o4_topk",
+    "u_set_union",
+    "u_set_intersect",
+    "u_set_except",
+    "fn_json_extract",
+    "fn_variant_json",
+    "fn_string_funcs",
+    "a0_flagship_daily_rollup",
+    "a1_group_count",
+    "a2_group_count_date",
+    "a3_a5_global_stats",
+    "a4_distinct_count",
+    "a6_daily_envelope",
+    "a7_volume_summary",
+    "x_rollup",
+    "x_time_rollup",
+    "x_grouping_sets",
+    "x_cube",
+    "x_count_distinct",
+    "x_bitmap_distinct",
+    "x_percentile",
+    "x_stats_moments",
+    "fn_date_funcs",
+    "fn_array_funcs",
+    "fn_map_funcs",
+    "j_broadcast",
+    "j_hint_shuffle_hash",
+    "j_sortmerge",
+    "j_semi",
 ]
 
 
