@@ -85,13 +85,15 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact tables are touched ONCE (the distinct-pair
     edge build); each of the 5 iterations joins the |V|-row rank table
-    to the edge list and aggregates inflow per destination -- at fixture
-    scale the rank/degree tables broadcast, so the only per-iteration
-    shuffle is the edge-keyed groupBy. At 100 TB |V| outgrows broadcast:
-    the same loop runs with ranks/degrees/edges co-hash-partitioned on
-    the node key (every join and the groupBy then reuse ONE
-    partitioning), which is exactly how the connected-components loop
-    scales. ``localCheckpoint`` truncates lineage so iteration N's plan
+    to the edge list and aggregates inflow per destination. No join
+    strategy is forced on any |V|-bounded table (family policy, commit
+    fff5214 + VERDICT r7 task 2): AQE picks broadcast while ranks fit
+    (measured fine through ~1M nodes, SCALING.md iterative-loop probe)
+    and falls back to co-hash-partitioned shuffle joins when |V|
+    outgrows it -- the hardwired hint this replaced would instead have
+    forced a multi-GB broadcast at tens of millions of nodes. Only the
+    1-row ``n_df`` scalar keeps an explicit broadcast.
+    ``localCheckpoint`` truncates lineage so iteration N's plan
     does not re-derive iterations 1..N-1."""
     edges = _trade_edges(spark, sf_dir)
     return pagerank_core(edges).limit(_TOP_K)
@@ -124,15 +126,13 @@ def pagerank_core(edges: DataFrame) -> DataFrame:
             "node", F.expr("CAST(r DIV outd AS BIGINT)").alias("share")
         )
         inflow = (
-            edges.join(
-                F.broadcast(shares.withColumnRenamed("node", "src")), "src"
-            )
+            edges.join(shares.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").cast("long").alias("s"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(n_df))
-            .join(F.broadcast(inflow), "node", "left")
+            .join(inflow, "node", "left")
             .select(
                 "node",
                 F.expr(
