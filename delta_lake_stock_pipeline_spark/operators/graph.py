@@ -501,22 +501,27 @@ def _kcore_oracle() -> str:
     """Mirror of kcore_trade_graph: K and the iteration count generate
     the unrolled CTE chain, so engine and oracle share every constant."""
     cte = [
-        """pairs AS (
+        """pairs AS MATERIALIZED (
             SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
                    'S' || CAST(l_suppkey AS VARCHAR) AS dst
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         )""",
-        """e0 AS (
+        """e0 AS MATERIALIZED (
             SELECT src, dst FROM pairs
             UNION ALL SELECT dst, src FROM pairs
         )""",
     ]
+    # Every e{i-1} is referenced three times per round (k{i} plus both
+    # joins): without MATERIALIZED, DuckDB 1.0 inlines non-recursive
+    # CTEs and the chain re-expands ~3^KCORE_ITERS -- the same blow-up
+    # class the BFS and MMR oracles guard against (the documented
+    # v_mmr_select >60 s lesson; ADVICE r7).
     for i in range(1, KCORE_ITERS + 1):
-        cte.append(f"""k{i} AS (
+        cte.append(f"""k{i} AS MATERIALIZED (
             SELECT src AS node FROM e{i - 1}
             GROUP BY src HAVING COUNT(*) >= {KCORE_K}
         )""")
-        cte.append(f"""e{i} AS (
+        cte.append(f"""e{i} AS MATERIALIZED (
             SELECT e.src, e.dst FROM e{i - 1} e
             JOIN k{i} a ON e.src = a.node
             JOIN k{i} b ON e.dst = b.node

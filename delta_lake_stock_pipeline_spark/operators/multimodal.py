@@ -361,10 +361,16 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 samples = np.frombuffer(bytes(buf), dtype=np.uint8)
-                dev = samples.astype(np.int64) - 128
+                # Only chunks 0..63 can set a bit (the 63-bit cap), so
+                # the energy loop is bounded at 64 chunks regardless of
+                # payload size; the full chunk count is pure arithmetic
+                # (ADVICE r7: per-row Python cost must not scale with
+                # payload bytes past the fingerprint's own horizon).
+                n_chunks = max(1, -(-len(samples) // chunk))
+                dev = samples[: 64 * chunk].astype(np.int64) - 128
                 energies = [
                     int((dev[ci : ci + chunk] ** 2).sum())
-                    for ci in range(0, max(len(samples), 1), chunk)
+                    for ci in range(0, max(len(dev), 1), chunk)
                 ]
                 rising = [
                     i
@@ -372,7 +378,7 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if energies[i] > energies[i - 1]
                 ]
                 fp = sum(1 << (i - 1) for i in rising)
-                rows.append((doc_id, len(energies), int(fp), len(rising)))
+                rows.append((doc_id, n_chunks, int(fp), len(rising)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_chunks", "fp", "n_rising"]
             )

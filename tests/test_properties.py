@@ -1734,24 +1734,36 @@ def test_bfs_core_matches_serial(spark, edges, seed_ids):
 
 
 def _brute_mmr(cands, k):
-    selected, out = [], []
+    """Deliberately a DIFFERENT structure from mmr_greedy (ADVICE r7: a
+    near-verbatim copy can't catch a shared logic bug): maxsim is
+    maintained INCREMENTALLY per remaining candidate (updated against
+    each new pick) instead of recomputed over the selected set, the
+    argmax is ``max()`` over (score, -vid) instead of min over
+    (-score, vid), and the dot product is an index loop."""
+
+    def dot(u, v):
+        acc = 0
+        for i in range(len(u)):
+            acc += u[i] * v[i]
+        return acc
+
+    remaining = {vid: (qv, rl) for vid, qv, rl in cands}
+    maxsim = dict.fromkeys(remaining)  # None = nothing selected yet
+    out = []
     for step in range(1, k + 1):
-        best = None
-        for vid, qv, rl in cands:
-            if any(vid == s for s, _ in selected):
-                continue
-            ms = max(
-                (sum(a * b for a, b in zip(qv, sq)) for _, sq in selected),
-                default=0,
-            )
-            sc = 2 * rl - ms
-            if best is None or (-sc, vid) < best[0]:
-                best = ((-sc, vid), vid, qv, rl, ms, sc)
-        if best is None:
+        if not remaining:
             break
-        _, vid, qv, rl, ms, sc = best
-        selected.append((vid, qv))
-        out.append((step, vid, rl, ms, sc))
+        scored = [
+            (2 * rl - (0 if maxsim[vid] is None else maxsim[vid]), -vid, vid)
+            for vid, (qv, rl) in remaining.items()
+        ]
+        sc, _, vid = max(scored)
+        qv, rl = remaining.pop(vid)
+        maxsim.pop(vid)
+        out.append((step, vid, rl, 2 * rl - sc, sc))
+        for ovid, (oqv, _) in remaining.items():
+            d = dot(oqv, qv)
+            maxsim[ovid] = d if maxsim[ovid] is None else max(maxsim[ovid], d)
     return out
 
 
