@@ -96,6 +96,10 @@ _DRIVER_WINDOW_ROTATION = [
     # --- re-proof: pagerank_core loses its forced |V|-broadcasts this
     # round (VERDICT r7 task 2); prove the new plan driver-side ---
     "g_pagerank",
+    # --- round-8 additions (each displaced a tail freshness slot, per
+    # the rotation policy: never-checked oracled keys outrank re-proofs)
+    "d_substring_dedup",
+    "d_url_canonical",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
     "j_theta_binned",
     "p1_projection",
@@ -135,8 +139,6 @@ _DRIVER_WINDOW_ROTATION = [
     "fn_map_funcs",
     "j_broadcast",
     "j_hint_shuffle_hash",
-    "j_sortmerge",
-    "j_semi",
 ]
 
 

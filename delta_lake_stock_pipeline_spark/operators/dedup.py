@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
@@ -680,6 +680,228 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact repeated-substring dedup (the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" operator class): gram width
+# in TOKENS. Lee et al. use 50-token spans over BPE streams; the fixture
+# docs are 10-110 words, so 8 keeps the same pipeline shape with real
+# hits at every SF. Shared engine/oracle (interpolated into both sides).
+_SUB_N = 8
+
+
+def substring_span_core(grams: DataFrame, n: int) -> DataFrame:
+    """Maximal duplicated-substring spans from a gram stream ``(doc_id,
+    p, h)`` -- one row per OVERLAPPING n-token gram at token position p
+    (0-based), ``h`` any exact gram identity (hash or text). A gram is
+    duplicated iff it occurs >= 2 times corpus-wide (within-doc repeats
+    count, as in Lee et al.); a doc's duplicated gram positions are
+    merged into maximal spans: positions p < q share a span iff
+    ``q - p <= n`` (their token windows overlap or touch), the
+    gaps-and-islands form of "merge overlapping covered regions". Emits
+    per doc: span count, covered duplicated tokens (spans are disjoint
+    in token space by construction, so the sum never double-counts),
+    and the longest span, all exact BIGINTs.
+
+    Scale shape: ONE shuffle on the 8-byte gram hash with a
+    count-over-partition window (a groupBy + semi-join-back formulation
+    was measured recomputing the gram explode for BOTH branches -- the
+    window form touches the gram stream once), then a per-doc window
+    over the surviving positions -- work is linear in total gram count
+    plus the two sorts; nothing is pairwise and no suffix array is
+    materialized (the sorted-gram formulation computes the same maximal
+    spans). Separated from the query so the hypothesis brute force
+    drives it on arbitrary token streams."""
+    hits = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("c") >= 2)
+        .select("doc_id", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = (
+        hits.withColumn("prev", F.lag("p").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("p") - F.col("prev") > n), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        (F.max("p") - F.min("p") + F.lit(n)).alias("span_tokens")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+            F.max("span_tokens").cast("long").alias("longest_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring statistics per document (Lee et al. 2022
+    ExactSubstr class): every maximal substring of >= ``_SUB_N`` tokens
+    that occurs at least twice in the corpus, reported per doc as
+    (n_spans, dup_tokens, longest_span). Docs with no duplicated
+    substring are absent. This is the EXACT counterpart of
+    ``d_span_dedup``'s non-overlapping boilerplate pass: overlapping
+    grams + island merge recover the true maximal duplicated regions,
+    not the fixed-chunk approximation.
+
+    Scale shape: explode overlapping grams (linear, ~1 row per token),
+    hash each gram to 8 bytes BEFORE any shuffle, then
+    ``substring_span_core`` (inverted-index count + semi join + per-doc
+    window). The oracle groups by gram TEXT -- the same hash-vs-text
+    collision trade every dedup oracle documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias(
+                "toks"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""case when size(toks) >= {_SUB_N}
+                    then transform(
+                        sequence(0, size(toks) - {_SUB_N}),
+                        p -> struct(
+                            p AS p,
+                            xxhash64(array_join(
+                                slice(toks, p + 1, {_SUB_N}), ' ')) AS h))
+                    else array() end"""
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    )
+    return substring_span_core(grams, _SUB_N)
+
+
+# URL canonicalization dedup (the CommonCrawl-pipeline dedup axis over
+# page URLs): variant templates for the synthesized URL column, shared
+# engine/oracle -- every group of len(_URL_VARIANTS) consecutive doc_ids
+# yields 4 http spellings of ONE canonical URL (case/port/www/trailing-
+# slash/query-order/fragment mutations) plus 1 https singleton (which
+# exercises :443 stripping). The synthesis CASE is generated from this
+# ONE list for both engines (the _SHINGLE_SQL_CONCAT stance), so a
+# template tweak can never drift one side.
+_URL_VARIANTS = [
+    ("HTTP://WWW.Example.COM:80/Docs/Item", "?b=2&a=1#frag"),
+    ("http://example.com/Docs/Item", "/?a=1&b=2"),
+    ("http://Example.com:80/Docs/Item", "?a=1&b=2"),
+    ("http://EXAMPLE.COM/Docs/Item", "/?b=2&a=1#x"),
+    ("https://www.Example.com:443/Secure/Item", "/"),
+]
+
+
+def _url_synth_sql(div: str) -> str:
+    """The synthesized raw-URL expression; ``div`` is the integer-division
+    operator (Spark ``DIV``, DuckDB ``//``)."""
+    n = len(_URL_VARIANTS)
+    whens = "\n            ".join(
+        f"WHEN doc_id % {n} = {i} THEN '{p}' ||"
+        f" CAST(doc_id {div} {n} AS STRING) || '{s}'"
+        for i, (p, s) in enumerate(_URL_VARIANTS)
+    )
+    return f"CASE {whens} END"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL as pure Catalyst string
+    ops (no UDF, no parse_url -- DuckDB has no parse_url, and the
+    property test pins this expression against urllib): drop the
+    fragment, lowercase scheme and host, strip the scheme's default port
+    (:80 / :443) and a leading ``www.``, strip one trailing slash off a
+    non-root path, and sort query parameters (ASCII/binary sort --
+    identical in Spark, DuckDB, and Python for the constrained charset).
+    Assumes authority is followed by a '/' path (guaranteed by the
+    synthesis; the hypothesis generator holds the same contract)."""
+    nofrag = F.split_part(url, F.lit("#"), F.lit(1))
+    raw_scheme = F.split_part(nofrag, F.lit("://"), F.lit(1))
+    scheme = F.lower(raw_scheme)
+    rest = nofrag.substr(F.length(raw_scheme) + 4, F.length(nofrag))
+    auth = F.split_part(rest, F.lit("/"), F.lit(1))
+    pathq = rest.substr(F.length(auth) + 1, F.length(rest))
+    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    query = F.when(
+        pathq.contains("?"), pathq.substr(F.length(path) + 2, F.length(pathq))
+    ).otherwise(F.lit(""))
+    hostl = F.lower(auth)
+    hostp = (
+        F.when(
+            (scheme == "http") & hostl.endswith(":80"),
+            hostl.substr(F.lit(1), F.length(hostl) - 3),
+        )
+        .when(
+            (scheme == "https") & hostl.endswith(":443"),
+            hostl.substr(F.lit(1), F.length(hostl) - 4),
+        )
+        .otherwise(hostl)
+    )
+    host = F.when(
+        hostp.startswith("www."), hostp.substr(F.lit(5), F.length(hostp))
+    ).otherwise(hostp)
+    pathc = F.when(
+        (path != "/") & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    qpart = F.when(query == "", F.lit("")).otherwise(
+        F.concat(
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split(query, "&")), "&"),
+        )
+    )
+    return F.concat(scheme, F.lit("://"), host, pathc, qpart)
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup by canonicalization -- the first pass of every
+    CommonCrawl-descended corpus pipeline (dedup by canonical URL before
+    any content hashing): canonicalize the synthesized URL column with
+    ``canonical_url_col`` and exact-group on the canonical form. Emits
+    every canonical group: keeper (min doc_id), variant count, the
+    canonical string, and its md5 (the pinned fingerprint a downstream
+    join would key on), ordered by keeper.
+
+    Scale shape: the canonicalization is one fused Catalyst projection
+    (whole-stage codegen, no Python), then a single hash-groupBy whose
+    shuffle rows carry the canonical string + doc id; at 100 TB group on
+    md5(canon) so the shuffle carries 16 bytes -- emitting both here
+    keeps the oracle exact over the string AND pins the digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.expr(_url_synth_sql("DIV")).alias("url"))
+        .select("doc_id", canonical_url_col(F.col("url")).alias("canon"))
+    )
+    return (
+        canon.groupBy("canon")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.count("*").cast("long").alias("n_variants"),
+        )
+        .select(
+            "keeper_doc",
+            "n_variants",
+            F.col("canon").alias("canon_url"),
+            F.md5("canon").alias("canon_md5"),
+        )
+        .orderBy("keeper_doc")
+    )
+
+
 def keep_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style compaction dedup: keep only each user's LATEST event
     (ts desc, event_id desc tiebreak) -- the "upsert view" of an append-only
@@ -712,6 +934,8 @@ QUERIES = {
     "d_dup_clusters_sql": duplicate_clusters_sql,
     "d_fuzzy_levenshtein": fuzzy_levenshtein_pairs,
     "d_keep_latest": keep_latest_per_key,
+    "d_substring_dedup": substring_dedup_stats,
+    "d_url_canonical": url_canonical_dedup,
 }
 
 # Shingle concat derived from _SHINGLE_N exactly like the engine's lambda,
@@ -851,3 +1075,115 @@ ORACLES = {
 
 # The SQL twin computes the same deterministic fixpoint as the loop form.
 ORACLES["d_dup_clusters_sql"] = ORACLES["d_dup_clusters"]
+
+# Mirror of substring_dedup_stats: grams grouped by TEXT (the engine
+# hashes to 8 bytes first -- the family's hash-vs-text collision trade);
+# every CTE referenced more than once is MATERIALIZED (DuckDB 1.0 inlines
+# non-recursive CTEs per reference -- the kcore/BFS/MMR lesson).
+ORACLES["d_substring_dedup"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    pos AS MATERIALIZED (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {_SUB_N} + 1, 0))) AS p
+        FROM toks
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, p,
+               array_to_string(t[p + 1 : p + {_SUB_N}], ' ') AS g
+        FROM pos
+    ),
+    dup AS MATERIALIZED (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    hits AS MATERIALIZED (
+        SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    lagged AS (
+        SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM hits
+    ),
+    isl AS MATERIALIZED (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev IS NULL OR p - prev > {_SUB_N}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM lagged
+    ),
+    spans AS MATERIALIZED (
+        SELECT doc_id, island,
+               MAX(p) - MIN(p) + {_SUB_N} AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+           CAST(MAX(span_tokens) AS BIGINT) AS longest_span
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+# Mirror of url_canonical_dedup: the SAME synthesis CASE (generated from
+# _URL_VARIANTS with DuckDB's // integer division) and the same
+# canonicalization steps, spelled as a CTE chain.
+ORACLES["d_url_canonical"] = f"""
+    WITH raw AS MATERIALIZED (
+        SELECT doc_id, {_url_synth_sql("//")} AS url FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM raw
+    ),
+    s2 AS (
+        SELECT doc_id,
+               lower(split_part(nofrag, '://', 1)) AS scheme,
+               substr(nofrag,
+                      length(split_part(nofrag, '://', 1)) + 4) AS rest
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, scheme,
+               split_part(rest, '/', 1) AS auth,
+               substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, scheme, lower(auth) AS hostl,
+               split_part(pathq, '?', 1) AS path,
+               CASE WHEN pathq LIKE '%?%'
+                    THEN substr(pathq,
+                                length(split_part(pathq, '?', 1)) + 2)
+                    ELSE '' END AS query
+        FROM s3
+    ),
+    s5 AS (
+        SELECT doc_id, scheme, path, query,
+               CASE WHEN scheme = 'http' AND hostl LIKE '%:80'
+                    THEN left(hostl, length(hostl) - 3)
+                    WHEN scheme = 'https' AND hostl LIKE '%:443'
+                    THEN left(hostl, length(hostl) - 4)
+                    ELSE hostl END AS hostp
+        FROM s4
+    ),
+    canon AS MATERIALIZED (
+        SELECT doc_id,
+               scheme || '://'
+               || CASE WHEN hostp LIKE 'www.%'
+                       THEN substr(hostp, 5) ELSE hostp END
+               || CASE WHEN path <> '/' AND path LIKE '%/'
+                       THEN left(path, length(path) - 1) ELSE path END
+               || CASE WHEN query = '' THEN ''
+                       ELSE '?' || array_to_string(
+                           list_sort(string_split(query, '&')), '&') END
+                   AS c
+        FROM s5
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           c AS canon_url,
+           md5(c) AS canon_md5
+    FROM canon GROUP BY c ORDER BY keeper_doc
+"""

@@ -1794,3 +1794,142 @@ def test_mmr_greedy_matches_serial(vecs, qv):
     )
 
     assert mmr_greedy(cands) == _brute_mmr(cands, MMR_K)
+
+
+# --- exact repeated-substring dedup (d_substring_dedup core) -----------------
+# The oracle pins the full gram pipeline; this pins the span-merge core on
+# random token streams with a tiny vocabulary (so duplicated grams are
+# dense), including within-doc repeats, docs shorter than the gram width,
+# and spans that abut at exactly gap == n.
+
+
+def _brute_substring_spans(docs, n):
+    """Deliberately a DIFFERENT structure from substring_span_core: mark
+    COVERED TOKEN indices per doc (not gram-position islands), then merge
+    consecutive covered indices into runs."""
+    from collections import Counter
+
+    grams = [
+        (d, p, tuple(t[p : p + n]))
+        for d, t in docs.items()
+        for p in range(len(t) - n + 1)
+    ]
+    cnt = Counter(g for _, _, g in grams)
+    covered = {}
+    for d, p, g in grams:
+        if cnt[g] >= 2:
+            covered.setdefault(d, set()).update(range(p, p + n))
+    out = []
+    for d in sorted(covered):
+        idxs = sorted(covered[d])
+        runs = []
+        start = prev = idxs[0]
+        for i in idxs[1:]:
+            if i != prev + 1:
+                runs.append(prev - start + 1)
+                start = i
+            prev = i
+        runs.append(prev - start + 1)
+        out.append((d, len(runs), sum(runs), max(runs)))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_substring_spans_match_brute(spark, docs):
+    n = 3
+    doc_map = {i: t for i, t in enumerate(docs)}
+    gram_rows = []
+    gram_ids = {}
+    for d, t in doc_map.items():
+        for p in range(len(t) - n + 1):
+            g = tuple(t[p : p + n])
+            gram_rows.append(
+                (d, p, gram_ids.setdefault(g, len(gram_ids)))
+            )
+    from delta_lake_stock_pipeline_spark.operators.dedup import (
+        substring_span_core,
+    )
+
+    gdf = spark.createDataFrame(
+        gram_rows or [(0, 0, 0)], "doc_id long, p int, h long"
+    ).repartition(5)
+    if not gram_rows:
+        gdf = gdf.where("doc_id < 0")
+    got = [
+        (r["doc_id"], r["n_spans"], r["dup_tokens"], r["longest_span"])
+        for r in substring_span_core(gdf, n).collect()
+    ]
+    assert got == _brute_substring_spans(doc_map, n)
+
+
+# --- URL canonicalization (d_url_canonical expression) ------------------------
+# The oracle pins Spark-vs-DuckDB; this pins Spark vs an INDEPENDENT
+# urllib-based canonicalizer on random well-formed http(s) URLs, so a
+# logic bug mirrored into the SQL twin still gets caught.
+
+
+def _brute_canon_url(u):
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(u.split("#", 1)[0])
+    scheme = sp.scheme.lower()
+    host = sp.netloc.lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[: -len(":80")]
+    if scheme == "https" and host.endswith(":443"):
+        host = host[: -len(":443")]
+    if host.startswith("www."):
+        host = host[len("www.") :]
+    path = sp.path
+    if path != "/" and path.endswith("/"):
+        path = path[:-1]
+    q = "" if sp.query == "" else "?" + "&".join(sorted(sp.query.split("&")))
+    return f"{scheme}://{host}{path}{q}"
+
+
+_url_label = st.text("abcxyz09", min_size=1, max_size=4)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    host = draw(_url_label) + "." + draw(st.sampled_from(["com", "org"]))
+    if draw(st.booleans()):
+        host = "".join(
+            c.upper() if draw(st.booleans()) else c for c in host
+        )
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    segs = draw(st.lists(_url_label, min_size=1, max_size=3))
+    path = "/" + "/".join(segs) + draw(st.sampled_from(["", "/"]))
+    npairs = draw(st.integers(0, 3))
+    pairs = [
+        f"{draw(_url_label)}={draw(_url_label)}" for _ in range(npairs)
+    ]
+    query = "?" + "&".join(pairs) if pairs else ""
+    frag = draw(st.sampled_from(["", "#f", "#x1"]))
+    return f"{scheme}://{www}{host}{port}{path}{query}{frag}"
+
+
+@given(urls=st.lists(_urls(), min_size=1, max_size=24))
+@settings(**_SETTINGS)
+def test_url_canonical_matches_urllib(spark, urls):
+    from delta_lake_stock_pipeline_spark.operators.dedup import (
+        canonical_url_col,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            canonical_url_col(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [_brute_canon_url(u) for u in urls]

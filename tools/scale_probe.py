@@ -240,6 +240,61 @@ def dedup_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def substr_probe(spark) -> None:
+    """Repeated-substring dedup scale probe (round 8): d_substring_dedup
+    over 12.5k / 50k / 200k synthetic documents (2.5x / 10x / 40x the
+    sf0.1 table; ~73 overlapping 8-grams per 80-word doc, so the largest
+    cell streams ~14.6M gram rows). Sub-quadratic growth is the claim:
+    the pipeline is explode (linear) -> hash-groupBy on the 8-byte gram
+    hash (linear with map-side partials) -> semi join back -> per-doc
+    window over the hit lists -- nothing is pairwise and no suffix array
+    is materialized, so wall should grow ~linearly with total gram
+    count. d_url_canonical rides along (one projection + one groupBy; a
+    pure sanity line, linear by construction)."""
+    from delta_lake_stock_pipeline_spark.operators import all_queries
+
+    q = all_queries()
+    results: dict[str, list[tuple[int, float]]] = {}
+    try:
+        for n in [12_500, 50_000, 200_000]:
+            d = f"{BASE}/substr_{n}"
+            synth_documents(spark, n, f"{d}/documents.tmp.parquet")
+            # The random synthetic corpus has ZERO duplicated 8-grams
+            # (measured at all three sizes: the zipf-ish gram space is
+            # too large for birthday collisions) -- inject a 16-token
+            # boilerplate prefix into 4% of docs so the span-merge path
+            # carries LINEAR duplicated mass, like a real crawl's shared
+            # headers; otherwise the probe times only the gram/count
+            # stages.
+            boiler = " ".join(f"b{i}" for i in range(16))
+            (
+                spark.read.parquet(f"{d}/documents.tmp.parquet")
+                .withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 50 < 2,
+                        F.concat(F.lit(boiler + " "), F.col("text")),
+                    ).otherwise(F.col("text")),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{d}/documents.parquet")
+            )
+            shutil.rmtree(f"{d}/documents.tmp.parquet", ignore_errors=True)
+            for k in ["d_substring_dedup", "d_url_canonical"]:
+                sec = time_query(q[k], spark, d)
+                results.setdefault(k, []).append((n, sec))
+                print(f"{k:>22} n={n:>9,}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+        print("\nGrowth ratios (time ratio per size step):")
+        for k, rows in results.items():
+            parts = []
+            for (n0, t0), (n1, t1) in zip(rows, rows[1:]):
+                parts.append(f"{n1 // n0}x rows -> {t1 / t0:.2f}x time")
+            print(f"{k:>22}  " + ("; ".join(parts) or "(single size)"))
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def indicator_probe(spark) -> None:
     """Financial-indicator window family (round 7) at 1M/4M/16M events:
     the integer-frame-sum indicators (Bollinger/RSI/stochastic), the two
@@ -535,6 +590,7 @@ def _probe_session():
 
 
 _FLAG_PROBES = [
+    ("--substr", substr_probe),
     ("--corr", corr_probe),
     ("--graph", graph_probe),
     ("--pagerank", pagerank_probe),
