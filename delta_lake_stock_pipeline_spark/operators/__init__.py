@@ -100,6 +100,8 @@ _DRIVER_WINDOW_ROTATION = [
     # the rotation policy: never-checked oracled keys outrank re-proofs)
     "d_substring_dedup",
     "d_url_canonical",
+    "d_substring_top",
+    "s_interval_join_outer",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
     "j_theta_binned",
     "p1_projection",
@@ -137,8 +139,6 @@ _DRIVER_WINDOW_ROTATION = [
     "fn_date_funcs",
     "fn_array_funcs",
     "fn_map_funcs",
-    "j_broadcast",
-    "j_hint_shuffle_hash",
 ]
 
 

@@ -789,6 +789,65 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_span_core(grams, _SUB_N)
 
 
+# Top-of-corpus duplicated substrings: the strip-list size. Part of the
+# query's semantics, shared engine/oracle.
+_SUBTOP_K = 20
+
+
+def substring_top_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level artifact of the ExactSubstr pass: the top
+    ``_SUBTOP_K`` duplicated ``_SUB_N``-token substrings by occurrence
+    count -- the boilerplate STRIP LIST a C4/CCNet-class pipeline
+    materializes and joins against (``d_substring_dedup`` is the per-doc
+    view of the same gram stream). Emits (gram, n_occurrences, n_docs,
+    gram_md5) under the total order (n_occurrences DESC, gram_md5 ASC) --
+    md5 is computable on both engines, so ties at the same count break
+    identically.
+
+    Scale shape: ONE aggregation over the exploded gram stream, grouped
+    on md5(gram) with the representative text carried as ``min(gram)``
+    INSIDE the aggregate (same md5 => same text modulo collisions) --
+    no second pass over the corpus to fetch texts, no join back (the
+    probe lesson from ``d_substring_dedup``: every extra consumer of the
+    gram subtree re-runs the explode). Map-side partials reduce the
+    shuffle to one row per (task, distinct gram); the global top-K is a
+    TakeOrderedAndProject, never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias(
+                "toks"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""case when size(toks) >= {_SUB_N}
+                    then transform(
+                        sequence(0, size(toks) - {_SUB_N}),
+                        p -> array_join(slice(toks, p + 1, {_SUB_N}), ' '))
+                    else array() end"""
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy(F.md5("gram").alias("gram_md5"))
+        .agg(
+            F.min("gram").alias("gram"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+        .select("gram", "n_occurrences", "n_docs", "gram_md5")
+        .orderBy(F.desc("n_occurrences"), "gram_md5")
+        .limit(_SUBTOP_K)
+    )
+
+
 # URL canonicalization dedup (the CommonCrawl-pipeline dedup axis over
 # page URLs): variant templates for the synthesized URL column, shared
 # engine/oracle -- every group of len(_URL_VARIANTS) consecutive doc_ids
@@ -935,6 +994,7 @@ QUERIES = {
     "d_fuzzy_levenshtein": fuzzy_levenshtein_pairs,
     "d_keep_latest": keep_latest_per_key,
     "d_substring_dedup": substring_dedup_stats,
+    "d_substring_top": substring_top_grams,
     "d_url_canonical": url_canonical_dedup,
 }
 
@@ -1130,6 +1190,35 @@ ORACLES["d_substring_dedup"] = f"""
 # Mirror of url_canonical_dedup: the SAME synthesis CASE (generated from
 # _URL_VARIANTS with DuckDB's // integer division) and the same
 # canonicalization steps, spelled as a CTE chain.
+# Mirror of substring_top_grams: grouped by gram TEXT directly (the
+# engine groups by md5 and carries min(gram) -- same result modulo md5
+# collisions); the (n_occurrences DESC, gram_md5) order is total on both
+# engines.
+ORACLES["d_substring_top"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    pos AS MATERIALIZED (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {_SUB_N} + 1, 0))) AS p
+        FROM toks
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(t[p + 1 : p + {_SUB_N}], ' ') AS g
+        FROM pos
+    )
+    SELECT g AS gram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           md5(g) AS gram_md5
+    FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ORDER BY n_occurrences DESC, gram_md5 LIMIT {_SUBTOP_K}
+"""
+
 ORACLES["d_url_canonical"] = f"""
     WITH raw AS MATERIALIZED (
         SELECT doc_id, {_url_synth_sql("//")} AS url FROM documents

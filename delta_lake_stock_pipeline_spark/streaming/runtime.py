@@ -230,6 +230,52 @@ def purchase_attribution(stream: DataFrame) -> DataFrame:
     )
 
 
+def purchase_attribution_outer(stream: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (streaming twin of
+    ``windows.click_purchase_attribution_outer``): matched rows emit as
+    they join; an UNMATCHED click's NULL-purchase row emits only when
+    the watermark passes ``click_ts + 1 day`` and the click's state is
+    evicted -- the outer emission is gated by state cleanup, which is
+    why the interval bound is mandatory for outer stream-stream joins
+    (Spark rejects an un-bounded one). The global watermark is the MIN
+    over both withWatermark sides, so the eviction test drags it
+    forward with far-future sentinel events on BOTH sides, flushing
+    every fixture click's outer row."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purch_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purch_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def stream_upsert_to_table(
     stream: DataFrame,
     path: str,

@@ -125,11 +125,60 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join (batch form of the left-outer stream-stream
+    join): every click with its attributed purchases in the following day,
+    PLUS unconverted clicks as NULL-purchase rows -- the conversion-funnel
+    view the inner form drops. In streaming, the outer rows are emitted
+    only at state eviction (when the watermark passes click_ts + 1 day and
+    the click can never match again), so the same interval condition that
+    bounds the join state also gates the NULL emission; the batch twin
+    proves the join semantics, the runtime tests prove the execution
+    model. Same plan class as the inner form: one shuffle per side on
+    user_id, the range condition evaluated as the join residual."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("purch_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purch_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")
+            ),
+            "left_outer",
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("click_user").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        # NULLS FIRST on both engines (Spark's asc default; DuckDB
+        # defaults NULLS LAST, so its oracle says it explicitly).
+        .orderBy("click_id", F.asc_nulls_first("purchase_id"))
+    )
+
+
 QUERIES = {
     "s_tumbling_daily": tumbling_daily,
     "s_sliding_2d_1d": sliding_2d_1d,
     "s_session_window": session_windows,
     "s_interval_join": click_purchase_attribution,
+    "s_interval_join_outer": click_purchase_attribution_outer,
 }
 
 ORACLES = {
@@ -195,5 +244,19 @@ ORACLES = {
          AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         ORDER BY click_id, purchase_id
+    """,
+    "s_interval_join_outer": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               ROUND(p.value, 2) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+        ORDER BY click_id, purchase_id NULLS FIRST
     """,
 }

@@ -176,6 +176,75 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_stream_outer_interval_join_evicts_and_emits_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows emit as they
+    join; unmatched clicks emit their NULL-purchase row only when the
+    watermark passes click_ts + 1 day and state is evicted. A far-future
+    sentinel click (fresh user, +40 days -- it can match nothing and is
+    itself not yet evictable) arrives in a SECOND file and drags the
+    watermark past every fixture click's eviction horizon (a second,
+    farther sentinel gives that watermark its own cleanup batch -- see
+    the comment below); the accumulated emissions must equal the batch
+    LEFT OUTER join over the fixture exactly."""
+    import datetime
+    import time as _time
+
+    from delta_lake_stock_pipeline_spark.streaming.windows import (
+        click_purchase_attribution_outer,
+    )
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # Each sentinel file carries a click AND a purchase (on two fresh,
+    # distinct users, so neither can ever match anything): the join's
+    # global watermark is the MIN over both withWatermark sides, so a
+    # click-only sentinel advances nothing -- measured as 13 missing
+    # NULL rows for the fixture's last-watermark-hop clicks. TWO files,
+    # because state cleanup always lags one batch (batch N's watermark
+    # is applied while processing batch N+1, and availableNow stops
+    # after the last data batch): the +80d file gives the +40d
+    # watermark its own batch to evict under.
+    for i, days in enumerate([40, 80]):
+        ts = max_ts + datetime.timedelta(days=days)
+        sentinel = spark.createDataFrame(
+            [
+                (10**9 + 2 * i, ts, 10**9 + 2 * i, "click", 0.0, "{}"),
+                (
+                    10**9 + 2 * i + 1,
+                    ts,
+                    10**9 + 2 * i + 1,
+                    "purchase",
+                    0.0,
+                    "{}",
+                ),
+            ],
+            events.schema,
+        )
+        _time.sleep(1.1)  # distinct mtime: the file source orders by it
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = runtime.events_stream(spark, src)
+    got = runtime.run_available_now(
+        runtime.purchase_attribution_outer(stream),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    want = click_purchase_attribution_outer(spark, SF_DIR)
+    # sentinel clicks are excluded before comparing: whether the run's
+    # final cleanup batch has already evicted them is a stopping-point
+    # detail, not join semantics
+    got_rows = sorted(
+        tuple(r) for r in got.collect() if r["click_id"] < 10**9
+    )
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    # the outer rows are the point: the fixture must contain unconverted
+    # clicks, or this test silently degrades to the inner-join case
+    assert any(r[1] is None for r in want_rows)
+
+
 def test_stream_upsert_cdc_apply(spark, tmp_path):
     """foreachBatch CDC apply: two micro-batches land as STREAM WRITE then
     pruned MERGE; the final table equals batch-2 updates applied over
