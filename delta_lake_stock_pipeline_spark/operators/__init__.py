@@ -102,6 +102,7 @@ _DRIVER_WINDOW_ROTATION = [
     "d_url_canonical",
     "d_substring_top",
     "s_interval_join_outer",
+    "d_containment_pairs",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
     "j_theta_binned",
     "p1_projection",
@@ -138,7 +139,6 @@ _DRIVER_WINDOW_ROTATION = [
     "x_stats_moments",
     "fn_date_funcs",
     "fn_array_funcs",
-    "fn_map_funcs",
 ]
 
 

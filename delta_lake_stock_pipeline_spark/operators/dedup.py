@@ -184,6 +184,56 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(common, sizes)
 
 
+# Containment threshold: a pair is flagged when the SMALLER shingle set
+# is at least half inside the other -- the asymmetric subset-duplicate
+# case (quoted/excerpted/prefix-copied docs) that Jaccard under-scores
+# by construction (a 10x-longer superset caps J at ~0.1). Shared
+# engine/oracle.
+_CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by exact shingle CONTAINMENT
+    ``|A n B| / min(|A|, |B|)`` within a source block -- the measure
+    dedup pipelines use beside Jaccard to catch SUBSET duplicates
+    (a doc quoted or excerpted inside a longer one scores near 1.0 here
+    while its Jaccard stays tiny). Same inverted-index shape and cached
+    posting table as ``d_ngram_jaccard``: work is bounded by
+    sum(posting-list^2) within blocks, never |docs|^2; the division of
+    two exact integer counts is bit-identical across engines, so the
+    round(4)-then-threshold filter can never keep a boundary pair on one
+    side only (the d_ngram_jaccard stance)."""
+    posts = _shingle_posts(spark, sf_dir)
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = posts.alias("a"), posts.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.col("n_common") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(cont, 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified with exact Jaccard.
 
@@ -984,6 +1034,7 @@ QUERIES = {
     "d_exact_summary": exact_dedup_summary,
     "d_exact_keys": exact_dedup_keys,
     "d_ngram_jaccard": ngram_jaccard_pairs,
+    "d_containment_pairs": containment_pairs,
     "d_minhash_lsh": minhash_lsh_pairs,
     "d_minhash_lsh_anchor": minhash_lsh_anchor,
     "d_span_dedup": span_dedup_stats,
@@ -1043,6 +1094,27 @@ ORACLES = {
         ORDER BY lang, source, n_chars
     """,
     "d_ngram_jaccard": _NGRAM_SQL + "    ORDER BY doc_a, doc_b",
+    # Distinct-shingle COUNTS mirror the engine's distinct posting rows;
+    # the threshold applies to the ROUNDED value (the _NGRAM_SQL stance).
+    "d_containment_pairs": f"""
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(lower(text), ' '))
+                                - {_SHINGLE_N - 2}),
+                       i -> {_SHINGLE_SQL_CONCAT})) AS s
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+               ROUND(len(list_intersect(a.s, b.s))
+                     / least(len(a.s), len(b.s)), 4) AS containment
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.s, b.s))
+                    / least(len(a.s), len(b.s)), 4)
+              >= {_CONTAINMENT_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
     "d_dup_clusters": f"""
         WITH RECURSIVE
         pairs AS (SELECT doc_a, doc_b FROM ({_NGRAM_SQL})),
