@@ -103,6 +103,7 @@ _DRIVER_WINDOW_ROTATION = [
     "d_substring_top",
     "s_interval_join_outer",
     "d_containment_pairs",
+    "d_cluster_keeper",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
     "j_theta_binned",
     "p1_projection",
@@ -138,7 +139,6 @@ _DRIVER_WINDOW_ROTATION = [
     "x_percentile",
     "x_stats_moments",
     "fn_date_funcs",
-    "fn_array_funcs",
 ]
 
 

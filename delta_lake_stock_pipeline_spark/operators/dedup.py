@@ -730,6 +730,45 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION artifact: for every doc in a near-dup cluster
+    (``d_dup_clusters`` components), pick the cluster's keeper by
+    quality priority -- keep the LONGEST copy (token count, doc_id
+    tiebreak), the standard rule for prefix/excerpt near-dups where the
+    min-id keeper would throw away the complete version. Emits
+    (doc_id, cluster_id, n_tokens, keeper_id, kept) per clustered doc;
+    ``kept = 0`` rows are the drop list a pipeline anti-joins against.
+
+    Scale shape: the component labels come from the cached pair graph
+    (min-label propagation -- the fact table is untouched); one join to
+    the per-doc token counts (|clustered docs| rows, AQE picks the
+    strategy) and one window per cluster. Token counts use
+    ``t_quality_score``'s tokenization, so the keeper rule and the
+    quality table agree."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    clusters = min_label_components(_dup_pairs(spark, sf_dir))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), "doc_id"
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("keeper_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_tokens",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id"))
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Exact repeated-substring dedup (the Lee et al. 2022 "Deduplicating
 # Training Data Makes Language Models Better" operator class): gram width
 # in TOKENS. Lee et al. use 50-token spans over BPE streams; the fixture
@@ -1042,6 +1081,7 @@ QUERIES = {
     "d_simhash": simhash_buckets,
     "d_dup_clusters": duplicate_clusters,
     "d_dup_clusters_sql": duplicate_clusters_sql,
+    "d_cluster_keeper": cluster_keeper,
     "d_fuzzy_levenshtein": fuzzy_levenshtein_pairs,
     "d_keep_latest": keep_latest_per_key,
     "d_substring_dedup": substring_dedup_stats,
@@ -1207,6 +1247,29 @@ ORACLES = {
 
 # The SQL twin computes the same deterministic fixpoint as the loop form.
 ORACLES["d_dup_clusters_sql"] = ORACLES["d_dup_clusters"]
+
+# Mirror of cluster_keeper: the d_dup_clusters recursive closure nested
+# as a CTE, joined to t_quality_score's tokenization, keeper via
+# FIRST_VALUE under the same (n_tokens DESC, doc_id) total order.
+ORACLES["d_cluster_keeper"] = f"""
+    WITH clusters AS MATERIALIZED ({ORACLES["d_dup_clusters"]}),
+    toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT c.doc_id, c.cluster_id, t.n_tokens,
+           FIRST_VALUE(c.doc_id) OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY t.n_tokens DESC, c.doc_id) AS keeper_id,
+           CAST(CASE WHEN c.doc_id = FIRST_VALUE(c.doc_id) OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY t.n_tokens DESC, c.doc_id)
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM clusters c JOIN toks t ON c.doc_id = t.doc_id
+    ORDER BY c.doc_id
+"""
 
 # Mirror of substring_dedup_stats: grams grouped by TEXT (the engine
 # hashes to 8 bytes first -- the family's hash-vs-text collision trade);
