@@ -203,6 +203,9 @@ def dedup_probe(spark) -> None:
         "d_span_dedup",
         "d_dup_clusters",
         "d_fuzzy_levenshtein",
+        # round-8 posting/pair consumers
+        "d_containment_pairs",
+        "d_cluster_keeper",
     ]
     results: dict[str, list[tuple[int, float]]] = {}
     try:
@@ -280,7 +283,11 @@ def substr_probe(spark) -> None:
                 .parquet(f"{d}/documents.parquet")
             )
             shutil.rmtree(f"{d}/documents.tmp.parquet", ignore_errors=True)
-            for k in ["d_substring_dedup", "d_url_canonical"]:
+            for k in [
+                "d_substring_dedup",
+                "d_substring_top",
+                "d_url_canonical",
+            ]:
                 sec = time_query(q[k], spark, d)
                 results.setdefault(k, []).append((n, sec))
                 print(f"{k:>22} n={n:>9,}  {sec:6.2f}s", flush=True)
