@@ -104,6 +104,7 @@ _DRIVER_WINDOW_ROTATION = [
     "s_interval_join_outer",
     "d_containment_pairs",
     "d_cluster_keeper",
+    "h_null_aware_anti",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
     "j_theta_binned",
     "p1_projection",
@@ -138,7 +139,6 @@ _DRIVER_WINDOW_ROTATION = [
     "x_bitmap_distinct",
     "x_percentile",
     "x_stats_moments",
-    "fn_date_funcs",
 ]
 
 

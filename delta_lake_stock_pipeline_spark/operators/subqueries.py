@@ -541,6 +541,50 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT IN threshold for the null-aware anti join: selects ~13% of
+# customers at every SF. Shared engine/oracle.
+_NAAJ_PRICE = 400_000
+
+
+def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a NULLABLE subquery column -- the null-aware anti join
+    (NAAJ), a DISTINCT operator from the left_anti the other NOT-IN
+    shapes compile to: SQL's tri-valued ``x NOT IN (set)`` is UNKNOWN
+    (drops the row) whenever the set contains a single NULL, so the
+    plain anti join is wrong the moment the column is nullable. Spark
+    plans the single-column broadcast case as
+    ``BroadcastHashJoin ... LeftAnti, BuildRight, true`` (the trailing
+    flag is isNullAwareAntiJoin; plan-gated in tests) and falls back to
+    BroadcastNestedLoopJoin otherwise -- which is why real pipelines
+    care: a nullable NOT IN column silently turns a hash join into a
+    loop join unless the engine has this operator.
+
+    The subquery column is nullable BY TYPE (the CASE arm) but never
+    null in the fixture (no status 'X'), so the query exercises the
+    NAAJ plan with a non-degenerate result; the all-UNKNOWN cliff
+    (one NULL in the set -> zero rows on BOTH engines) is pinned by
+    ``tests/test_plans.py::test_null_aware_anti_join_null_semantics``.
+    Expressed through spark.sql -- the DataFrame API has no NOT IN
+    subquery form. Scale shape: the exclusion set is an aggregate of a
+    filtered fact scan, broadcast; the customer side never shuffles."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "naaj_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "naaj_orders"
+    )
+    return spark.sql(f"""
+        SELECT c_custkey, c_name
+        FROM naaj_customer
+        WHERE c_custkey NOT IN (
+            SELECT CASE WHEN o_orderstatus = 'X' THEN NULL
+                        ELSE o_custkey END
+            FROM naaj_orders WHERE o_totalprice > {_NAAJ_PRICE}
+        )
+        ORDER BY c_custkey
+    """)
+
+
 QUERIES = {
     "h_q2_min_price_part": q2_min_price_part,
     "h_q4_order_priority": q4_order_priority,
@@ -558,6 +602,7 @@ QUERIES = {
     "h_q20_potential_promotion": q20_potential_promotion,
     "h_q21_sole_late_supplier": q21_sole_late_supplier,
     "h_q22_dormant_customers": q22_dormant_customers,
+    "h_null_aware_anti": null_aware_anti_join,
 }
 
 ORACLES = {
@@ -795,3 +840,17 @@ ORACLES = {
         ORDER BY cntrycode
     """,
 }
+
+
+# Mirror of null_aware_anti_join: DuckDB evaluates the same tri-valued
+# NOT IN directly.
+ORACLES["h_null_aware_anti"] = f"""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_orderstatus = 'X' THEN NULL
+                    ELSE o_custkey END
+        FROM orders WHERE o_totalprice > {_NAAJ_PRICE}
+    )
+    ORDER BY c_custkey
+"""

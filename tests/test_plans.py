@@ -561,6 +561,45 @@ def test_dynamic_partition_pruning_on_versioned_table(spark, tmp_path):
 
 
 
+def test_null_aware_anti_join_plan_and_semantics(spark, tmp_path):
+    """h_null_aware_anti must compile to the dedicated null-aware anti
+    join (BroadcastHashJoin ... LeftAnti, BuildRight, true -- the flag is
+    isNullAwareAntiJoin), NOT a plain left_anti (wrong under tri-valued
+    NOT IN) and NOT the BroadcastNestedLoopJoin fallback. And the
+    all-UNKNOWN cliff is pinned on BOTH engines: one NULL in the NOT IN
+    set -> zero rows."""
+    import duckdb
+
+    from delta_lake_stock_pipeline_spark.operators.subqueries import (
+        null_aware_anti_join,
+    )
+
+    from conftest import SF_DIR
+
+    df = null_aware_anti_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    # the cliff: a single NULL in the set empties the result identically
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).createOrReplaceTempView("naaj_left")
+    spark.createDataFrame(
+        [(1,), (None,)], "k long"
+    ).createOrReplaceTempView("naaj_right")
+    got = spark.sql(
+        "SELECT * FROM naaj_left WHERE k NOT IN (SELECT k FROM naaj_right)"
+    ).count()
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT count(*) FROM (VALUES (1), (2)) l(k) "
+        "WHERE k NOT IN (SELECT * FROM (VALUES (1), (NULL)) r(k))"
+    ).fetchone()[0]
+    con.close()
+    assert got == want == 0
+
+
 def test_coverage_doc_counts_match_registry():
     """COVERAGE.md's header counts (total / oracled / rows-only query
     keys) must match the live registry -- the round-4 verdict flagged the
