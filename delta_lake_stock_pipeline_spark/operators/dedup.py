@@ -158,6 +158,26 @@ def exact_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _common_counts(posts: DataFrame) -> DataFrame:
+    """Per-ordered-pair common-shingle counts via the blocked posting
+    self-join on (source, 8-byte hash, doc_a < doc_b) -- ONE definition
+    shared by the Jaccard and containment measures so the pair-join
+    (blocking key, hash width) cannot diverge between them."""
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.h") == F.col("b.h"))  # 8-byte key, not the string
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram-shingle Jaccard within a source
     block, via the inverted-index shape:
@@ -170,18 +190,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     posts = _shingle_posts(spark, sf_dir)
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = posts.alias("a"), posts.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.h") == F.col("b.h"))  # 8-byte key, not the string
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    return _pair_jaccard(common, sizes)
+    return _pair_jaccard(_common_counts(posts), sizes)
 
 
 # Containment threshold: a pair is flagged when the SMALLER shingle set
@@ -205,19 +214,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     side only (the d_ngram_jaccard stance)."""
     posts = _shingle_posts(spark, sf_dir)
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = posts.alias("a"), posts.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    common = _common_counts(posts)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     cont = F.col("n_common") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
     return (
@@ -834,23 +831,18 @@ def substring_span_core(grams: DataFrame, n: int) -> DataFrame:
     )
 
 
-def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact repeated-substring statistics per document (Lee et al. 2022
-    ExactSubstr class): every maximal substring of >= ``_SUB_N`` tokens
-    that occurs at least twice in the corpus, reported per doc as
-    (n_spans, dup_tokens, longest_span). Docs with no duplicated
-    substring are absent. This is the EXACT counterpart of
-    ``d_span_dedup``'s non-overlapping boilerplate pass: overlapping
-    grams + island merge recover the true maximal duplicated regions,
-    not the fixed-chunk approximation.
-
-    Scale shape: explode overlapping grams (linear, ~1 row per token),
-    hash each gram to 8 bytes BEFORE any shuffle, then
-    ``substring_span_core`` (inverted-index count + semi join + per-doc
-    window). The oracle groups by gram TEXT -- the same hash-vs-text
-    collision trade every dedup oracle documents."""
+def _substring_gram_stream(
+    spark: SparkSession, sf_dir: str, gram_expr: str, alias: str
+) -> DataFrame:
+    """The exploded overlapping ``_SUB_N``-token gram stream shared by
+    the per-doc and corpus-level ExactSubstr keys -- ONE definition of
+    the tokenization (empty-token filter) and the gram window bounds, so
+    a rule tweak cannot break engine/oracle parity for just one sibling.
+    ``gram_expr`` projects each gram from the lambda position ``p`` and
+    the staged ``toks`` array (a struct for the per-doc key, the joined
+    text for the top-K key)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
+    return (
         docs.repartition(32, "doc_id")
         .select(
             "doc_id",
@@ -865,16 +857,38 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"""case when size(toks) >= {_SUB_N}
                     then transform(
                         sequence(0, size(toks) - {_SUB_N}),
-                        p -> struct(
-                            p AS p,
-                            xxhash64(array_join(
-                                slice(toks, p + 1, {_SUB_N}), ' ')) AS h))
+                        p -> {gram_expr})
                     else array() end"""
                 )
-            ).alias("g"),
+            ).alias(alias),
         )
-        .select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
     )
+
+
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring statistics per document (Lee et al. 2022
+    ExactSubstr class): every maximal substring of >= ``_SUB_N`` tokens
+    that occurs at least twice in the corpus, reported per doc as
+    (n_spans, dup_tokens, longest_span). Docs with no duplicated
+    substring are absent. This is the EXACT counterpart of
+    ``d_span_dedup``'s non-overlapping boilerplate pass: overlapping
+    grams + island merge recover the true maximal duplicated regions,
+    not the fixed-chunk approximation.
+
+    Scale shape: explode overlapping grams (linear, ~1 row per token),
+    hash each gram to 8 bytes BEFORE any shuffle, then
+    ``substring_span_core`` (count-over-hash-partition window + per-doc
+    island window; see its docstring for why not groupBy + semi join).
+    The oracle groups by gram TEXT -- the same hash-vs-text collision
+    trade every dedup oracle documents."""
+    grams = _substring_gram_stream(
+        spark,
+        sf_dir,
+        f"""struct(
+            p AS p,
+            xxhash64(array_join(slice(toks, p + 1, {_SUB_N}), ' ')) AS h)""",
+        "g",
+    ).select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
     return substring_span_core(grams, _SUB_N)
 
 
@@ -901,27 +915,11 @@ def substring_top_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram subtree re-runs the explode). Map-side partials reduce the
     shuffle to one row per (task, distinct gram); the global top-K is a
     TakeOrderedAndProject, never a full sort."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.repartition(32, "doc_id")
-        .select(
-            "doc_id",
-            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias(
-                "toks"
-            ),
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"""case when size(toks) >= {_SUB_N}
-                    then transform(
-                        sequence(0, size(toks) - {_SUB_N}),
-                        p -> array_join(slice(toks, p + 1, {_SUB_N}), ' '))
-                    else array() end"""
-                )
-            ).alias("gram"),
-        )
+    grams = _substring_gram_stream(
+        spark,
+        sf_dir,
+        f"array_join(slice(toks, p + 1, {_SUB_N}), ' ')",
+        "gram",
     )
     return (
         grams.groupBy(F.md5("gram").alias("gram_md5"))
@@ -1271,12 +1269,10 @@ ORACLES["d_cluster_keeper"] = f"""
     ORDER BY c.doc_id
 """
 
-# Mirror of substring_dedup_stats: grams grouped by TEXT (the engine
-# hashes to 8 bytes first -- the family's hash-vs-text collision trade);
-# every CTE referenced more than once is MATERIALIZED (DuckDB 1.0 inlines
-# non-recursive CTEs per reference -- the kcore/BFS/MMR lesson).
-ORACLES["d_substring_dedup"] = f"""
-    WITH toks AS MATERIALIZED (
+# The toks/pos/grams CTE chain shared by BOTH ExactSubstr oracles --
+# one definition of the oracle-side tokenization and gram bounds,
+# mirroring _substring_gram_stream on the engine side.
+_SUB_GRAM_CTES = f"""toks AS MATERIALIZED (
         SELECT doc_id,
                list_filter(string_split(lower(text), ' '),
                            x -> x <> '') AS t
@@ -1291,7 +1287,14 @@ ORACLES["d_substring_dedup"] = f"""
         SELECT doc_id, p,
                array_to_string(t[p + 1 : p + {_SUB_N}], ' ') AS g
         FROM pos
-    ),
+    )"""
+
+# Mirror of substring_dedup_stats: grams grouped by TEXT (the engine
+# hashes to 8 bytes first -- the family's hash-vs-text collision trade);
+# every CTE referenced more than once is MATERIALIZED (DuckDB 1.0 inlines
+# non-recursive CTEs per reference -- the kcore/BFS/MMR lesson).
+ORACLES["d_substring_dedup"] = f"""
+    WITH {_SUB_GRAM_CTES},
     dup AS MATERIALIZED (
         SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
     ),
@@ -1330,22 +1333,7 @@ ORACLES["d_substring_dedup"] = f"""
 # collisions); the (n_occurrences DESC, gram_md5) order is total on both
 # engines.
 ORACLES["d_substring_top"] = f"""
-    WITH toks AS MATERIALIZED (
-        SELECT doc_id,
-               list_filter(string_split(lower(text), ' '),
-                           x -> x <> '') AS t
-        FROM documents
-    ),
-    pos AS MATERIALIZED (
-        SELECT doc_id, t,
-               unnest(range(0, greatest(len(t) - {_SUB_N} + 1, 0))) AS p
-        FROM toks
-    ),
-    grams AS MATERIALIZED (
-        SELECT doc_id,
-               array_to_string(t[p + 1 : p + {_SUB_N}], ' ') AS g
-        FROM pos
-    )
+    WITH {_SUB_GRAM_CTES}
     SELECT g AS gram,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,

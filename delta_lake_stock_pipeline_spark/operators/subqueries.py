@@ -563,7 +563,7 @@ def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     null in the fixture (no status 'X'), so the query exercises the
     NAAJ plan with a non-degenerate result; the all-UNKNOWN cliff
     (one NULL in the set -> zero rows on BOTH engines) is pinned by
-    ``tests/test_plans.py::test_null_aware_anti_join_null_semantics``.
+    ``tests/test_plans.py::test_null_aware_anti_join_plan_and_semantics``.
     Expressed through spark.sql -- the DataFrame API has no NOT IN
     subquery form. Scale shape: the exclusion set is an aggregate of a
     filtered fact scan, broadcast; the customer side never shuffles."""

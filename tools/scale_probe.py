@@ -248,8 +248,9 @@ def substr_probe(spark) -> None:
     over 12.5k / 50k / 200k synthetic documents (2.5x / 10x / 40x the
     sf0.1 table; ~73 overlapping 8-grams per 80-word doc, so the largest
     cell streams ~14.6M gram rows). Sub-quadratic growth is the claim:
-    the pipeline is explode (linear) -> hash-groupBy on the 8-byte gram
-    hash (linear with map-side partials) -> semi join back -> per-doc
+    the pipeline is explode (linear) -> count-over-partition window on
+    the 8-byte gram hash (ONE shuffle; the groupBy + semi-join-back
+    form this replaced recomputed the explode per branch) -> per-doc
     window over the hit lists -- nothing is pairwise and no suffix array
     is materialized, so wall should grow ~linearly with total gram
     count. d_url_canonical rides along (one projection + one groupBy; a
