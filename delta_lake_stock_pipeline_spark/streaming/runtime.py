@@ -74,6 +74,36 @@ def tumbling_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_counts(stream: DataFrame) -> DataFrame:
+    """Watermarked SESSION-window aggregation -- streaming twin of
+    ``windows.session_windows`` (the real ``F.session_window`` operator,
+    not the gaps-and-islands batch emulation). Append mode emits a
+    session only once the watermark passes its end + gap, i.e. when no
+    late event can extend or merge it -- session state (variable-length,
+    merge-on-overlap) is the part plain tumbling windows don't exercise.
+    The equivalence test flushes the fixture's final sessions with the
+    two-sentinel pattern (state cleanup lags one batch) and excludes the
+    sentinels' own sessions from the compare."""
+    from .windows import SESSION_GAP
+
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def enrich_with_static_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich each streaming event with a BATCH
     dimension table (user profile, reference data). No watermark needed --

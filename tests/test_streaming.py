@@ -176,6 +176,57 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    """Watermarked session windows under availableNow (APPEND mode -- a
+    session emits once the watermark passes its end + gap, the
+    finalized-results semantics) == the batch session_window aggregation
+    over the fixture. Uses the same two-sentinel flush as the outer-join
+    test: one watermark side here, but state cleanup still lags one
+    batch, so the +80d file gives the +40d watermark its own batch to
+    finalize under. The final watermark (+78d) flushes the +40d
+    sentinel's own 1-event session too, so sentinel users are excluded
+    before comparing (their flush timing is a stopping-point detail)."""
+    import datetime
+    import time as _time
+
+    from delta_lake_stock_pipeline_spark.streaming.windows import (
+        session_windows,
+    )
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate([40, 80]):
+        sentinel = spark.createDataFrame(
+            [
+                (
+                    10**9 + i,
+                    max_ts + datetime.timedelta(days=days),
+                    10**9 + i,
+                    "click",
+                    0.0,
+                    "{}",
+                )
+            ],
+            events.schema,
+        )
+        _time.sleep(1.1)
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    got = runtime.run_available_now(
+        runtime.session_counts(runtime.events_stream(spark, src)),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    want = session_windows(spark, SF_DIR)
+    got_rows = sorted(
+        tuple(r) for r in got.collect() if r["user_id"] < 10**9
+    )
+    assert got_rows == sorted(map(tuple, want.collect()))
+    assert len(got_rows) > 0
+
+
 def test_stream_outer_interval_join_evicts_and_emits_nulls(spark, tmp_path):
     """LEFT OUTER stream-stream interval join: matched rows emit as they
     join; unmatched clicks emit their NULL-purchase row only when the
