@@ -1933,3 +1933,87 @@ def test_url_canonical_matches_urllib(spark, urls):
         ).collect()
     ]
     assert got == [_brute_canon_url(u) for u in urls]
+
+
+# --- shingle pair measures (d_ngram_jaccard / d_containment_pairs) -----------
+# The oracles pin both pipelines at fixture scale; this drives the REAL
+# query functions (tokenization, distinct shingles, source blocking,
+# round-then-threshold) over randomized parquet corpora against a serial
+# brute force -- including docs shorter than the shingle width, exact
+# duplicates, shared prefixes, and cross-source pairs that must NOT pair.
+
+
+def _brute_shingle_pairs(docs):
+    """docs: list of (doc_id, source, token-list). Returns
+    ({jaccard rows}, {containment rows}) mirroring the two queries'
+    filtered outputs, with Spark's BigDecimal(double) HALF_UP rounding."""
+    import decimal
+
+    def r4(x):
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    sh = {
+        d: {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+        for d, _, t in docs
+        if len(t) >= 3
+    }
+    src = {d: s for d, s, _ in docs}
+    jac, cont = set(), set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if src[a] != src[b]:
+                continue
+            c = len(sh[a] & sh[b])
+            j = r4(c / (len(sh[a]) + len(sh[b]) - c))
+            if j >= 0.2:
+                jac.add((a, b, j))
+            m = r4(c / min(len(sh[a]), len(sh[b])))
+            if m >= 0.5:
+                cont.add((a, b, c, m))
+    return jac, cont
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.lists(st.sampled_from("abc"), min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**{**_SETTINGS, "max_examples": 8})  # each example writes parquet
+def test_shingle_pair_measures_match_brute(spark, tmp_path_factory, docs):
+    from delta_lake_stock_pipeline_spark.operators import dedup
+
+    rows = [
+        (i, " ".join(t), "en", s, len(" ".join(t)))
+        for i, (s, t) in enumerate(docs)
+    ]
+    d = str(tmp_path_factory.mktemp("shingle_prop"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    dedup.clear_posts_cache()
+    try:
+        got_j = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(spark, d).collect()
+        }
+        got_c = {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["containment"])
+            for r in dedup.containment_pairs(spark, d).collect()
+        }
+    finally:
+        dedup.clear_posts_cache()
+    want_j, want_c = _brute_shingle_pairs(
+        [(i, s, t) for i, (s, t) in enumerate(docs)]
+    )
+    assert got_j == want_j
+    assert got_c == want_c
