@@ -566,7 +566,15 @@ def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_plans.py::test_null_aware_anti_join_plan_and_semantics``.
     Expressed through spark.sql -- the DataFrame API has no NOT IN
     subquery form. Scale shape: the exclusion set is an aggregate of a
-    filtered fact scan, broadcast; the customer side never shuffles."""
+    filtered fact scan, broadcast; the customer side never shuffles.
+    Honest 100 TB caveat: Spark only implements NAAJ for the
+    single-column BROADCAST case -- if the exclusion set outgrew the
+    broadcast threshold the planner would fall back to
+    BroadcastNestedLoopJoin (the blanket plan audit would flag it).
+    Past that size the correct rewrite is explicit tri-valued handling:
+    one aggregate counting NULLs in the set (any NULL -> empty result),
+    else a plain shuffled left_anti on the now-provably-non-null
+    column -- the same answer at any scale, without the loop join."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "naaj_customer"
     )
