@@ -105,6 +105,7 @@ _DRIVER_WINDOW_ROTATION = [
     "d_containment_pairs",
     "d_cluster_keeper",
     "h_null_aware_anti",
+    "d_incremental_neardup",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
     "j_theta_binned",
     "p1_projection",
@@ -138,7 +139,6 @@ _DRIVER_WINDOW_ROTATION = [
     "x_count_distinct",
     "x_bitmap_distinct",
     "x_percentile",
-    "x_stats_moments",
 ]
 
 

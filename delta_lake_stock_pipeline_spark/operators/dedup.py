@@ -727,6 +727,91 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental dedup batch split: docs with doc_id > max*_INCR_NUM/ _INCR_DEN
+# (the newest ~30% by arrival order) are the INCOMING batch, the rest the
+# standing corpus. Exact integer threshold, shared engine/oracle.
+_INCR_NUM, _INCR_DEN = 7, 10
+
+
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (online) near-dup admission -- the PRODUCTION dedup
+    shape: a corpus of 100 TB is never re-deduped against itself; each
+    incoming batch is checked against the standing corpus's posting
+    index and admitted or dropped. Here the newest ~30% of docs (by
+    doc_id arrival order, threshold ``max_id * 7 DIV 10``) are the
+    batch; for each one, its BEST corpus match by exact shingle Jaccard
+    (>= the d_ngram_jaccard threshold, argmax under (jaccard DESC,
+    corpus doc ASC)), emitted as an admit/drop row: novel docs carry
+    NULL match columns and is_novel = 1. Within-batch duplicates are a
+    separate self-join pass by design (d_ngram_jaccard's shape).
+
+    Scale shape: an ASYMMETRIC join -- batch postings (small) against
+    corpus postings on (source, 8-byte hash); no self-join, so cost is
+    sum over shingles of |batch posting| x |corpus posting|, linear in
+    the batch for a fixed corpus. The threshold is ONE bounded
+    driver-side scalar (the max doc id -- a parameter, not data). The
+    posting table is the cached session one (at 100 TB: the maintained
+    posting index the reference's maintenance loop would own)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = max_id * _INCR_NUM // _INCR_DEN
+    posts = _shingle_posts(spark, sf_dir)
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    n, c = posts.alias("n"), posts.alias("c")
+    common = (
+        n.join(
+            c,
+            (F.col("n.source") == F.col("c.source"))
+            & (F.col("n.h") == F.col("c.h"))
+            & (F.col("n.doc_id") > thr)
+            & (F.col("c.doc_id") <= thr),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("cand_doc"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sn, sc = sizes.alias("sn"), sizes.alias("sc")
+    jac = F.col("n_common") / (
+        F.col("sn.n_sh") + F.col("sc.n_sh") - F.col("n_common")
+    )
+    best = (
+        common.join(sn, F.col("new_doc") == F.col("sn.doc_id"))
+        .join(sc, F.col("cand_doc") == F.col("sc.doc_id"))
+        .select(
+            "new_doc",
+            "cand_doc",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("new_doc").orderBy(
+                    F.desc("jaccard"), "cand_doc"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        docs.filter(F.col("doc_id") > thr)
+        .withColumnRenamed("doc_id", "new_doc")
+        .join(best, "new_doc", "left")
+        .select(
+            "new_doc",
+            F.col("cand_doc").alias("matched_doc"),
+            "n_common",
+            "jaccard",
+            F.col("cand_doc").isNull().cast("int").alias("is_novel"),
+        )
+        .orderBy("new_doc")
+    )
+
+
 def cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION artifact: for every doc in a near-dup cluster
     (``d_dup_clusters`` components), pick the cluster's keeper by
@@ -1080,6 +1165,7 @@ QUERIES = {
     "d_dup_clusters": duplicate_clusters,
     "d_dup_clusters_sql": duplicate_clusters_sql,
     "d_cluster_keeper": cluster_keeper,
+    "d_incremental_neardup": incremental_neardup,
     "d_fuzzy_levenshtein": fuzzy_levenshtein_pairs,
     "d_keep_latest": keep_latest_per_key,
     "d_substring_dedup": substring_dedup_stats,
@@ -1245,6 +1331,57 @@ ORACLES = {
 
 # The SQL twin computes the same deterministic fixpoint as the loop form.
 ORACLES["d_dup_clusters_sql"] = ORACLES["d_dup_clusters"]
+
+# Mirror of incremental_neardup: distinct-shingle sets per doc, the same
+# integer threshold from a scalar subquery, best match via ROW_NUMBER
+# under the identical total order, LEFT JOIN from the batch docs.
+ORACLES["d_incremental_neardup"] = f"""
+    WITH thr AS MATERIALIZED (
+        SELECT MAX(doc_id) * {_INCR_NUM} // {_INCR_DEN} AS t FROM documents
+    ),
+    sh AS MATERIALIZED (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, len(string_split(lower(text), ' '))
+                            - {_SHINGLE_N - 2}),
+                   i -> {_SHINGLE_SQL_CONCAT})) AS s
+        FROM documents
+    ),
+    best AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT n.doc_id AS new_doc, c.doc_id AS cand_doc,
+                   CAST(len(list_intersect(n.s, c.s)) AS BIGINT)
+                       AS n_common,
+                   ROUND(len(list_intersect(n.s, c.s))
+                         / (len(n.s) + len(c.s)
+                            - len(list_intersect(n.s, c.s))), 4) AS jaccard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.doc_id
+                       ORDER BY ROUND(len(list_intersect(n.s, c.s))
+                                / (len(n.s) + len(c.s)
+                                   - len(list_intersect(n.s, c.s))), 4)
+                                DESC, c.doc_id) AS rn
+            FROM sh n JOIN sh c
+              ON n.source = c.source
+             AND n.doc_id > (SELECT t FROM thr)
+             AND c.doc_id <= (SELECT t FROM thr)
+            WHERE ROUND(len(list_intersect(n.s, c.s))
+                        / (len(n.s) + len(c.s)
+                           - len(list_intersect(n.s, c.s))), 4)
+                  >= {_JACCARD_THRESHOLD}
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id AS new_doc,
+           b.cand_doc AS matched_doc,
+           b.n_common,
+           b.jaccard,
+           CAST(CASE WHEN b.cand_doc IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_novel
+    FROM documents d
+    LEFT JOIN best b ON d.doc_id = b.new_doc
+    WHERE d.doc_id > (SELECT t FROM thr)
+    ORDER BY new_doc
+"""
 
 # Mirror of cluster_keeper: the d_dup_clusters recursive closure nested
 # as a CTE, joined to t_quality_score's tokenization, keeper via
