@@ -89,34 +89,42 @@ def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each branch (measured 45 s -> dominated d_minhash_lsh at sf0.1).
     At 100 TB the equivalent is materializing the posting table once.
     """
-    def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        parts = ", ".join(f"toks[i+{j}]" for j in range(_SHINGLE_N))
-        shingles = F.expr(
-            f"transform(sequence(0, size(toks) - {_SHINGLE_N}),"
-            f" i -> concat_ws(' ', {parts}))"
-        )
-        # Spread the doc rows BEFORE exploding: the one-file fixture scans
-        # as a single partition, and the explode + distinct's map-side
-        # partial would otherwise run in one task. Shuffling 1 row/doc is
-        # cheap; shuffling post-explode rows would not be.
-        return (
-            docs.repartition(32, "doc_id")
-            .select(
-                "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
-            )
-            .filter(F.size("toks") >= _SHINGLE_N)
-            .select("doc_id", "source", F.explode(shingles).alias("shingle"))
-            # hash BEFORE distinct: the dedup shuffle then carries an
-            # 8-byte key instead of the shingle string (nothing downstream
-            # reads the string; distinct-on-hash == distinct-on-string
-            # modulo xxhash64 collisions, which the 64-bit space makes
-            # negligible at any per-doc shingle count).
-            .select("doc_id", "source", F.xxhash64("shingle").alias("h"))
-            .distinct()
-        )
+    return _posts_cache.get_or_create(
+        spark,
+        sf_dir,
+        lambda: _posts_of(load_table(spark, sf_dir, "documents")),
+    )
 
-    return _posts_cache.get_or_create(spark, sf_dir, build)
+
+def _posts_of(docs: DataFrame) -> DataFrame:
+    """Posting builder factored out of ``_shingle_posts`` so augmented doc
+    sets (``containment_pairs``'s excerpt rows) share the EXACT
+    tokenize/shingle/hash pipeline: ``(doc_id, source, text)`` rows ->
+    distinct ``(doc_id, source, h)`` posting rows."""
+    parts = ", ".join(f"toks[i+{j}]" for j in range(_SHINGLE_N))
+    shingles = F.expr(
+        f"transform(sequence(0, size(toks) - {_SHINGLE_N}),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    # Spread the doc rows BEFORE exploding: the one-file fixture scans
+    # as a single partition, and the explode + distinct's map-side
+    # partial would otherwise run in one task. Shuffling 1 row/doc is
+    # cheap; shuffling post-explode rows would not be.
+    return (
+        docs.repartition(32, "doc_id")
+        .select(
+            "doc_id", "source", F.split(F.lower("text"), " ").alias("toks")
+        )
+        .filter(F.size("toks") >= _SHINGLE_N)
+        .select("doc_id", "source", F.explode(shingles).alias("shingle"))
+        # hash BEFORE distinct: the dedup shuffle then carries an
+        # 8-byte key instead of the shingle string (nothing downstream
+        # reads the string; distinct-on-hash == distinct-on-string
+        # modulo xxhash64 collisions, which the 64-bit space makes
+        # negligible at any per-doc shingle count).
+        .select("doc_id", "source", F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
 
 
 def _pair_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
@@ -200,6 +208,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine/oracle.
 _CONTAINMENT_THRESHOLD = 0.5
 
+# Excerpt augmentation for d_containment_pairs (round-9 ADVICE: the driver
+# fixture held only ONE matching pair, a weak witness for the threshold
+# and rounding boundary): docs with doc_id % MOD == RES gain a synthetic
+# half-length prefix excerpt under doc_id + BASE -- the canonical
+# asymmetric subset-duplicate (its shingles are a strict subset of the
+# source's, so containment ~= 1.0 while Jaccard stays small), plus
+# sub-1.0 pairs against the source's engineered near-dups. Deterministic
+# and mirrored verbatim in the DuckDB oracle and the hypothesis brute
+# force. BASE clears every real doc_id at any fixture SF.
+_EXCERPT_MOD, _EXCERPT_RES, _EXCERPT_BASE = 100, 7, 1_000_000
+
+
+def _excerpt_docs(docs: DataFrame) -> DataFrame:
+    """Synthetic prefix-excerpt rows: first ceil(n_tokens/2) tokens of each
+    selected doc, re-joined on single spaces (token boundaries survive the
+    round-trip; shingling lowercases later on both engines)."""
+    toks = F.split("text", " ")
+    half = F.expr("(size(split(text, ' ')) + 1) div 2").cast("int")
+    return docs.filter(
+        F.col("doc_id") % _EXCERPT_MOD == _EXCERPT_RES
+    ).select(
+        (F.col("doc_id") + _EXCERPT_BASE).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.slice(toks, F.lit(1), half)).alias("text"),
+    )
+
 
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup pairs by exact shingle CONTAINMENT
@@ -211,8 +245,17 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(posting-list^2) within blocks, never |docs|^2; the division of
     two exact integer counts is bit-identical across engines, so the
     round(4)-then-threshold filter can never keep a boundary pair on one
-    side only (the d_ngram_jaccard stance)."""
-    posts = _shingle_posts(spark, sf_dir)
+    side only (the d_ngram_jaccard stance).
+
+    The corpus is augmented with the deterministic ``_excerpt_docs`` rows
+    (a handful of prefix excerpts per fixture SF) so the driver comparison
+    witnesses multiple containment pairs, not one. The cached session
+    posting table still serves the real corpus; only the tiny excerpt set
+    builds fresh postings (same factored pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    posts = _shingle_posts(spark, sf_dir).unionByName(
+        _posts_of(_excerpt_docs(docs))
+    )
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     common = _common_counts(posts)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -753,7 +796,10 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting table is the cached session one (at 100 TB: the maintained
     posting index the reference's maintenance loop would own)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    # max() over an empty table is NULL/None; 0 keeps the degenerate input
+    # on the oracle's path (its NULL threshold admits no rows, and so does
+    # an empty doc_id > 0 filter) instead of a driver-side TypeError.
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
     thr = max_id * _INCR_NUM // _INCR_DEN
     posts = _shingle_posts(spark, sf_dir)
     sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -1220,14 +1266,26 @@ ORACLES = {
     "d_ngram_jaccard": _NGRAM_SQL + "    ORDER BY doc_a, doc_b",
     # Distinct-shingle COUNTS mirror the engine's distinct posting rows;
     # the threshold applies to the ROUNDED value (the _NGRAM_SQL stance).
+    # ``aug`` mirrors _excerpt_docs: half-length prefix excerpts under
+    # doc_id + BASE for doc_id % MOD == RES.
     "d_containment_pairs": f"""
-        WITH sh AS MATERIALIZED (
+        WITH aug AS MATERIALIZED (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_EXCERPT_BASE} AS doc_id, source,
+                   array_to_string(list_slice(
+                       string_split(text, ' '), 1,
+                       (len(string_split(text, ' ')) + 1) // 2), ' ') AS text
+            FROM documents
+            WHERE doc_id % {_EXCERPT_MOD} = {_EXCERPT_RES}
+        ),
+        sh AS MATERIALIZED (
             SELECT doc_id, source,
                    list_distinct(list_transform(
                        range(1, len(string_split(lower(text), ' '))
                                 - {_SHINGLE_N - 2}),
                        i -> {_SHINGLE_SQL_CONCAT})) AS s
-            FROM documents
+            FROM aug
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,

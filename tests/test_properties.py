@@ -2012,8 +2012,16 @@ def test_shingle_pair_measures_match_brute(spark, tmp_path_factory, docs):
         }
     finally:
         dedup.clear_posts_cache()
-    want_j, want_c = _brute_shingle_pairs(
-        [(i, s, t) for i, (s, t) in enumerate(docs)]
-    )
+    plain = [(i, s, t) for i, (s, t) in enumerate(docs)]
+    # containment_pairs augments the corpus with deterministic prefix
+    # excerpts (dedup._excerpt_docs); mirror it for the containment brute.
+    # Jaccard runs on the UN-augmented corpus.
+    aug = plain + [
+        (i + dedup._EXCERPT_BASE, s, t[: (len(t) + 1) // 2])
+        for i, s, t in plain
+        if i % dedup._EXCERPT_MOD == dedup._EXCERPT_RES
+    ]
+    want_j, _ = _brute_shingle_pairs(plain)
+    _, want_c = _brute_shingle_pairs(aug)
     assert got_j == want_j
     assert got_c == want_c
