@@ -144,10 +144,12 @@ def main() -> int:
     from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
         clear_lifecycle_dirs,
     )
+    from delta_lake_stock_pipeline_spark.streaming.windows import clear_mv_dirs
 
     clear_roundtrip_dirs()
     clear_lifecycle_dirs()
     clear_posts_cache()
+    clear_mv_dirs()
     spark.stop()
     return 1 if failures else 0
 

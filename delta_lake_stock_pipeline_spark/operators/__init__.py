@@ -72,73 +72,75 @@ DRIVER_WINDOW_SIZE = 50
 # The external driver verifies only the FIRST 50 keys of queries() in
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
-# correctness row. Round-8 window (per VERDICT r7 task 1): the 9 oracled
-# keys added past round 7's 50 slots (never driver-checked -- the list the
-# rotation-policy test named), then g_pagerank (re-proof: its plan changes
-# this round, VERDICT r7 task 2 drops the forced |V|-broadcasts), then the
-# oldest green rows in ledger order (the r2/r3-era j/p/f/o/u/fn/a/x
-# blocks). Round-8 additions displace freshness slots from the tail, per
-# the policy below. All 50 are DuckDB-oracled (rows-only keys are excluded
-# by policy: their guarantees are driver-witnessed through oracled anchor
-# twins). Rotation history: ROUND4_NOTES.md, ROUND6_NOTES.md,
-# ROUND7_NOTES.md, ROUND8_NOTES.md.
+# correctness row. Round-9 window (per VERDICT r8 task 1): with 211/211
+# oracled keys driver-green after round 8, the window turns to freshness --
+# the round-9 additions first (never driver-checked; the policy test names
+# them), then d_containment_pairs (its corpus gained the deterministic
+# excerpt augmentation this round, so the r8 green row attests the OLD
+# query), then the oldest green rows in ledger order: the r3-era blocks
+# (x_stats_moments, fn date/array/map, the j_ join block) -- clearing the
+# verdict's "no key's latest green row predates r4" bar -- then the r5-era
+# rows (sources, TPC-H h_q* x22, samplers, the w_ window block) as far as
+# the remaining slots reach. All 50 are DuckDB-oracled (rows-only keys are
+# excluded by policy: their guarantees are driver-witnessed through oracled
+# anchor twins). Rotation history: ROUND4_NOTES.md, ROUND6_NOTES.md,
+# ROUND7_NOTES.md, ROUND8_NOTES.md, ROUND9_NOTES.md.
 _DRIVER_WINDOW_ROTATION = [
-    # --- 9 round-7 additions past the r7 window: never driver-checked ---
-    "g_common_neighbors",
-    "g_kcore",
-    "g_bfs_hops",
-    "t_pii_redaction",
-    "t_novelty",
-    "v_mmr_select",
-    "m_image_ahash",
-    "m_audio_fingerprint",
-    "x_weighted_median",
-    # --- re-proof: pagerank_core loses its forced |V|-broadcasts this
-    # round (VERDICT r7 task 2); prove the new plan driver-side ---
-    "g_pagerank",
-    # --- round-8 additions (each displaced a tail freshness slot, per
-    # the rotation policy: never-checked oracled keys outrank re-proofs)
-    "d_substring_dedup",
-    "d_url_canonical",
-    "d_substring_top",
-    "s_interval_join_outer",
+    # --- round-9 additions: never driver-checked ---
+    "d_cc_largestar",
+    "t_quality_classifier",
+    "x_cms_anchor",
+    "s_incremental_mv",
+    # --- re-proof: the query changed this round (excerpt augmentation) ---
     "d_containment_pairs",
-    "d_cluster_keeper",
-    "h_null_aware_anti",
-    "d_incremental_neardup",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
-    "j_theta_binned",
-    "p1_projection",
-    "p4_derived_projection",
-    "p5_field_mapping",
-    "f_filter_eq",
-    "f_filter_range",
-    "f_filter_compound",
-    "f_filter_isin",
-    "f_filter_null",
-    "o1_sort_single",
-    "o2_sort_multi",
-    "o4_topk",
-    "u_set_union",
-    "u_set_intersect",
-    "u_set_except",
-    "fn_json_extract",
-    "fn_variant_json",
-    "fn_string_funcs",
-    "a0_flagship_daily_rollup",
-    "a1_group_count",
-    "a2_group_count_date",
-    "a3_a5_global_stats",
-    "a4_distinct_count",
-    "a6_daily_envelope",
-    "a7_volume_summary",
-    "x_rollup",
-    "x_time_rollup",
-    "x_grouping_sets",
-    "x_cube",
-    "x_count_distinct",
-    "x_bitmap_distinct",
-    "x_percentile",
+    # r3 block (the last rows predating r4):
+    "x_stats_moments",
+    "fn_date_funcs",
+    "fn_array_funcs",
+    "fn_map_funcs",
+    "j_broadcast",
+    "j_hint_shuffle_hash",
+    "j_sortmerge",
+    "j_semi",
+    "j_anti",
+    "j_outer",
+    "j_range",
+    "j_theta",
+    # r5 block, ledger order:
+    "src_csv_roundtrip",
+    "src_orc_roundtrip",
+    "fn_try_funcs",
+    "h_q1_pricing_summary",
+    "h_q3_shipping_priority",
+    "h_q5_local_supplier_volume",
+    "h_q6_forecast_revenue",
+    "h_q10_returned_items",
+    "h_q18_large_volume_customer",
+    "h_q2_min_price_part",
+    "h_q4_order_priority",
+    "h_q7_volume_shipping",
+    "h_q8_market_share",
+    "h_q9_product_profit",
+    "h_q12_priority_shipping",
+    "h_q13_customer_distribution",
+    "h_q14_promo_effect",
+    "h_q15_top_supplier",
+    "h_q16_supplier_variety",
+    "h_q17_small_quantity",
+    "h_q19_disjunctive_revenue",
+    "h_q11_important_stock",
+    "h_q20_potential_promotion",
+    "h_q21_sole_late_supplier",
+    "h_q22_dormant_customers",
+    "r_hash_split",
+    "w_rank",
+    "w_value_functions",
+    "w_lag_lead",
+    "w_moving_avg",
+    "w_cumulative",
+    "w_ntile",
+    "w_range_interval",
 ]
 
 

@@ -395,6 +395,100 @@ def approx_topk_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry: d hash rows x w counters, hashes from the
+# engine-portable md5 contract (reshape.md5_bucket's fold, salted with the
+# row index). EPS_NUM pins the anchor's overcount bound by integer
+# cross-multiplication: max(est - exact) * w <= EPS_NUM * N. With
+# E[row overcount] <= N/w (pairwise-uniform hashing), Markov gives
+# P(one row's overcount > EPS_NUM*N/w) <= 1/EPS_NUM, so the min over d
+# rows violates the bound with probability ~(1/EPS_NUM)^d ~= 1.5e-5 per
+# key -- and md5 is deterministic, so on a given fixture the bound either
+# holds forever or never (verified at all three SFs before freezing).
+_CMS_D, _CMS_W, _CMS_EPS_NUM = 4, 256, 16
+
+
+def cms_estimates(exact: DataFrame) -> DataFrame:
+    """Count-min core, factored for the property test: per-key exact
+    counts ``(user_id, n)`` -> ``(user_id, n, est)`` with est = the CMS
+    point estimate min over d rows of counter[r][h_r(key)].
+
+    Built from the PRE-AGGREGATED counts, not the raw stream: CMS
+    counters are sums, so sketching the (key, partial-count) aggregate
+    is algebraically identical to sketching every raw row -- the
+    mergeable-summary property that lets 1000 executors sketch their
+    partitions independently and merge d*w-cell grids at the driver.
+    The counter grid here is d*w = 1024 rows, so the estimate lookup is
+    a broadcast join, never a shuffle of the key table."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ).alias("r")
+    keyed = exact.select("user_id", "n", rows).select(
+        "user_id",
+        "n",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("r").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias("col"),
+    )
+    counters = keyed.groupBy("r", "col").agg(F.sum("n").alias("c"))
+    return (
+        keyed.join(F.broadcast(counters), ["r", "col"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+
+
+def cms_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch anchor (Cormode & Muthukrishnan 2005) -- the one
+    classic mergeable sketch family without a key beside the HLL/theta/
+    KLL/space-saving anchors: per-user frequency estimates with the
+    sketch's two guarantees checked against the exact counts. Unlike the
+    JVM-sketch anchors, the md5 hash contract makes the WHOLE sketch
+    engine-portable, so the DuckDB oracle rebuilds the identical d x w
+    grid and recomputes every value -- nothing here is a pinned literal.
+
+    Emits one row: key count, total mass N, the max overcount, the
+    (deterministically zero) underestimate count -- CMS never
+    under-counts, est >= exact is a theorem -- and the epsilon bound
+    ``max_overcount * w <= EPS_NUM * N`` as integer cross-multiplication.
+    Scale shape: one hash-agg to per-key counts, a d-way explode of THAT
+    aggregate (never the fact table), one 1024-cell grid aggregate, one
+    broadcast lookup."""
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return cms_estimates(exact).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.max(F.col("est") - F.col("n")).cast("long").alias("max_overcount"),
+        F.sum(F.when(F.col("est") < F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_underestimates"),
+        (
+            F.max(F.col("est") - F.col("n")) * _CMS_W
+            <= F.lit(_CMS_EPS_NUM) * F.sum("n")
+        ).alias("within_eps"),
+    )
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of event values per type (10 buckets of 100
     over the [0, 1000) domain) with each bucket's share in basis points --
@@ -1037,6 +1131,7 @@ QUERIES = {
     "x_kll_anchor": kll_rollup_anchor,
     "x_percentile_approx_anchor": percentile_approx_anchor,
     "x_approx_topk_anchor": approx_topk_anchor,
+    "x_cms_anchor": cms_anchor,
     "x_stats_moments": stats_moments,
 }
 
@@ -1261,6 +1356,37 @@ ORACLES = {
                COUNT(DISTINCT user_id) AS n_users_exact,
                TRUE AS est_within_tol
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # FULL sketch mirror, not pinned literals: the md5 hash contract is
+    # engine-portable, so the oracle rebuilds the identical d x w counter
+    # grid and recomputes max_overcount / underestimates / the integer
+    # cross-multiplied epsilon bound from first principles.
+    "x_cms_anchor": f"""
+        WITH exact AS (
+            SELECT user_id, COUNT(*) AS n FROM events
+            WHERE user_id IS NOT NULL GROUP BY user_id
+        ), keyed AS (
+            SELECT user_id, n, r,
+                   CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                                           || CAST(user_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % {_CMS_W} AS col
+            FROM exact,
+                 (SELECT unnest(range({_CMS_D})) AS r)
+        ), counters AS (
+            SELECT r, col, SUM(n) AS c FROM keyed GROUP BY r, col
+        ), est AS (
+            SELECT k.user_id, k.n, MIN(c.c) AS est
+            FROM keyed k JOIN counters c USING (r, col)
+            GROUP BY k.user_id, k.n
+        )
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(MAX(est - n) AS BIGINT) AS max_overcount,
+               CAST(SUM(CASE WHEN est < n THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_underestimates,
+               MAX(est - n) * {_CMS_W} <= {_CMS_EPS_NUM} * SUM(n)
+                   AS within_eps
+        FROM est
     """,
     # Exact population stats recomputed; the two sketch booleans are
     # literal TRUEs (exact-under-capacity regime, see the docstring).

@@ -102,6 +102,73 @@ def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen weights for t_quality_classifier, in integer micro-units: closed-
+# form ridge regression (lambda=10, no seed, no iteration order) trained
+# offline on the sf0.01 fixture -- labels = t_gopher_filter's keep decision,
+# features = t_feature_hash's 64-bucket signed counts. Reproduce bit-for-bit
+# with tools/train_quality_classifier.py (train acc 0.906, sf0.1 holdout
+# 0.885). This is the bootstrap stage of a CCNet/Gopher-class pipeline:
+# the hand rule labels a sample, the learned scorer prices the corpus.
+_QC_WEIGHTS = [
+    -2664, -52792, 0, 0, 0, 20862, 0, 0, 0, 0, 38813, 0, 38536, -26091,
+    -15602, 0, 0, 0, 0, 16732, 0, 0, 18007, 11108, 0, 8948, 0, 14366, 0, 0,
+    59136, -59170, -27870, 0, 0, 0, -15407, 0, 0, 11029, 0, 3409, 0, 0, 0,
+    -92706, 0, 0, 27907, 33665, 0, 0, 0, 0, 0, 34484, 9516, 102593, -5549,
+    0, 0, 41931, 0, 0,
+]
+_QC_BIAS = -1542155
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quality-classifier scoring (the fasttext/logistic stage of
+    CCNet- and Gopher-class curation pipelines): every document priced by
+    a frozen linear scorer over its hashing-trick features, emitting the
+    EXACT integer micro-unit score ``bias + sum over tokens of
+    sign(token) * weight[bucket(token)]`` and the keep prediction.
+
+    Scale shape: the dot product folds inside ONE codegen'd projection --
+    ``aggregate`` over the token array with the 64 frozen weights as a
+    constant-folded array literal, bucket/sign from the shared
+    ``reshape.md5_bucket`` md5 contract -- so scoring is embarrassingly
+    parallel with NO shuffle (the only exchange below the sort is the
+    scan); a 100 TB corpus scores at scan speed. No vocabulary, no
+    broadcast model, no UDF: the model IS an expression. Weights are
+    integer micro-units, so engine and oracle scores are bit-identical
+    (tools/train_quality_classifier.py regenerates them
+    deterministically)."""
+    coefs = F.array(*[F.lit(int(w)) for w in _QC_WEIGHTS])
+    score = (
+        F.aggregate(
+            F.filter(_tokens(), lambda t: t != F.lit("")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.element_at(
+                coefs,
+                (
+                    F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+                    % len(_QC_WEIGHTS)
+                    + 1
+                ).cast("int"),
+            ).cast("long")
+            * (
+                F.lit(1)
+                - F.lit(2)
+                * (F.conv(F.substring(F.md5(x), 9, 8), 16, 10).cast("long") % 2)
+            ),
+        )
+        + F.lit(_QC_BIAS)
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            score.cast("long").alias("score_micro"),
+        )
+        .withColumn("keep_pred", (F.col("score_micro") > 0).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stats per (lang, source): count + avg size metrics."""
     return (
@@ -829,6 +896,7 @@ QUERIES = {
     "t_winnow": winnow_fingerprint,
     "t_gopher_filter": gopher_filter,
     "t_feature_hash": feature_hash,
+    "t_quality_classifier": quality_classifier,
 }
 
 _MARKER_SQL = {
@@ -844,6 +912,28 @@ ORACLES = {
     "t_novelty": _NOVELTY_ORACLE,
     # Shared aug expression + shared regex constants; md5-pinned redaction.
     "t_pii_redaction": _pii_oracle(),
+    # Frozen _QC_WEIGHTS interpolated into BOTH engine and oracle; same
+    # md5 bucket/sign fold as t_feature_hash. COALESCE covers the
+    # token-less doc (Spark's aggregate returns the 0 accumulator;
+    # DuckDB's list_sum of an empty list is NULL).
+    "t_quality_classifier": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(COALESCE(list_sum(list_transform(
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> ''),
+                       x -> ([{", ".join(str(w) for w in _QC_WEIGHTS)}])
+                                [{_mb_sql("x", 64)} + 1]
+                            * (1 - 2 * (CAST('0x' || substr(md5(x), 9, 8)
+                                             AS BIGINT) % 2)))), 0)
+                        + ({_QC_BIAS}) AS BIGINT) AS score_micro
+            FROM documents
+        )
+        SELECT doc_id, score_micro,
+               CAST(score_micro > 0 AS INT) AS keep_pred
+        FROM scored
+        ORDER BY doc_id
+    """,
     # Same md5-derived bucket/sign contract as r_hash_split's oracle;
     # the bucket fragment is the SHARED md5_bucket_sql definition.
     "t_feature_hash": f"""

@@ -934,6 +934,100 @@ def test_min_label_components_matches_union_find(spark, edges):
     assert got == _brute_components(edges)
 
 
+@given(edges=_edge_lists)
+@settings(**_SETTINGS)
+def test_largestar_components_matches_union_find(spark, edges):
+    """The star-contraction form (d_cc_largestar) must land on the SAME
+    (node -> component-min) labeling as min_label_components and the
+    serial union-find, over the same adversarial graph space: self-loops,
+    duplicate/parallel edges, both edge orientations, 8-node chains."""
+    from delta_lake_stock_pipeline_spark.operators.dedup import (
+        largestar_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in largestar_components(pairs).collect()
+    )
+    assert got == _brute_components(edges)
+
+
+def test_largestar_converges_on_long_chain(spark):
+    """A 400-edge path has diameter 400 -- far past min_label_components'
+    fixed 20-round budget BY DESIGN (that loop is priced for shallow
+    near-dup components) -- while star contraction's round count is
+    diameter-independent: it must converge inside its 25-round bound and
+    label the whole chain with node 0."""
+    from delta_lake_stock_pipeline_spark.operators.dedup import (
+        largestar_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in largestar_components(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(401)}
+
+
+# --- count-min sketch (x_cms_anchor core) ---------------------------------
+_cms_counts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000),  # user_id
+        st.integers(min_value=1, max_value=1000),  # exact count
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(counts=_cms_counts)
+@settings(**_SETTINGS)
+def test_cms_estimates_never_undercount(spark, counts):
+    """CMS theorems on arbitrary per-key count tables: (a) est >= exact
+    for EVERY key (counters only ever add mass); (b) a key whose d cells
+    are all collision-free estimates exactly -- verified against a serial
+    re-computation of the same md5-salted grid, so the Spark pipeline and
+    the reference agree cell for cell, not just on the inequality."""
+    import hashlib
+
+    from delta_lake_stock_pipeline_spark.operators.aggregates import (
+        _CMS_D,
+        _CMS_W,
+        cms_estimates,
+    )
+
+    def cell(r, uid):
+        h = hashlib.md5(f"{r}:{uid}".encode()).hexdigest()
+        return int(h[:8], 16) % _CMS_W
+
+    grid: dict[tuple[int, int], int] = {}
+    for uid, n in counts:
+        for r in range(_CMS_D):
+            key = (r, cell(r, uid))
+            grid[key] = grid.get(key, 0) + n
+    want = {
+        uid: min(grid[(r, cell(r, uid))] for r in range(_CMS_D))
+        for uid, n in counts
+    }
+
+    exact = spark.createDataFrame(
+        [(u, n) for u, n in counts], "user_id long, n long"
+    )
+    got = {
+        r["user_id"]: r["est"] for r in cms_estimates(exact).collect()
+    }
+    assert got == want
+    by_uid = dict(counts)
+    assert all(got[u] >= by_uid[u] for u in got)
+
+
 # --- OBV (w_obv core) -----------------------------------------------------
 _obv_rows = st.lists(
     st.tuples(

@@ -585,6 +585,99 @@ def corr_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def cc_probe(spark) -> None:
+    """Round-9 connected-components probe: star contraction
+    (largestar_components, d_cc_largestar) vs min-label propagation
+    (min_label_components, d_dup_clusters) on the same synthetic pair
+    graphs at 1M/4M/16M edge rows, two topology families:
+
+    * random -- one uniform + one sqrt-skewed endpoint, mean degree ~16
+      (the near-dup pair graph's shape: one giant shallow component plus
+      dust). Both algorithms converge; this prices the per-round cost.
+    * path -- a single n-node chain, diameter n: the adversarial
+      topology. min-label needs diameter rounds (its fixed 20-round
+      budget is priced for shallow dup components and raises here BY
+      DESIGN -- recorded as such, not timed); star contraction stays
+      ~log2(n) rounds. This is the measurement behind promoting
+      d_cc_largestar as the 100 TB form.
+    """
+    from delta_lake_stock_pipeline_spark.operators.dedup import (
+        largestar_components,
+        min_label_components,
+    )
+
+    def skewed(col_seed: int, domain: int):
+        w = F.pmod(F.xxhash64("id", F.lit(col_seed)), F.lit(domain))
+        return F.floor((w * w).cast("double") / F.lit(float(domain))).cast(
+            "long"
+        )
+
+    try:
+        for n in EVENT_SIZES:
+            v = n // 16
+            d = f"{BASE}/cc_{n}"
+            (
+                spark.range(n)
+                .select(
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(v))
+                    .cast("long")
+                    .alias("a"),
+                    skewed(7, v).alias("b"),
+                )
+                .where(F.col("a") != F.col("b"))
+                .select(
+                    F.least("a", "b").alias("doc_a"),
+                    F.greatest("a", "b").alias("doc_b"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{d}/pairs.parquet")
+            )
+            n_edges = spark.read.parquet(f"{d}/pairs.parquet").count()
+            for name, core in (
+                ("largestar", largestar_components),
+                ("minlabel", min_label_components),
+            ):
+
+                def run(spark, sf_dir, core=core):
+                    return core(spark.read.parquet(f"{sf_dir}/pairs.parquet"))
+
+                sec = time_query(run, spark, d)
+                print(
+                    f"random {name:>9} rows={n:>10,} edges={n_edges:>10,}"
+                    f"  {sec:6.2f}s",
+                    flush=True,
+                )
+            shutil.rmtree(d, ignore_errors=True)
+        for n in [100_000, 1_000_000]:
+            d = f"{BASE}/cc_path_{n}"
+            (
+                spark.range(n - 1)
+                .select(
+                    F.col("id").alias("doc_a"),
+                    (F.col("id") + 1).alias("doc_b"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{d}/pairs.parquet")
+            )
+
+            def run_path(spark, sf_dir):
+                return largestar_components(
+                    spark.read.parquet(f"{sf_dir}/pairs.parquet")
+                )
+
+            sec = time_query(run_path, spark, d, n_runs=1)
+            print(
+                f"path   largestar nodes={n:>10,} diameter={n - 1:>9,}"
+                f"  {sec:6.2f}s   (minlabel: needs {n - 1:,} rounds, "
+                "> its 20-round budget)",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def _probe_session():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -605,6 +698,7 @@ _FLAG_PROBES = [
     ("--median", median_probe),
     ("--indicators", indicator_probe),
     ("--dedup", dedup_probe),
+    ("--cc", cc_probe),
 ]
 
 
