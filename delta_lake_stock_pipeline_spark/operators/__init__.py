@@ -91,6 +91,7 @@ _DRIVER_WINDOW_ROTATION = [
     "t_quality_classifier",
     "x_cms_anchor",
     "s_incremental_mv",
+    "s_cdc_upsert",
     # --- re-proof: the query changed this round (excerpt augmentation) ---
     "d_containment_pairs",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
@@ -140,7 +141,6 @@ _DRIVER_WINDOW_ROTATION = [
     "w_moving_avg",
     "w_cumulative",
     "w_ntile",
-    "w_range_interval",
 ]
 
 

@@ -177,17 +177,45 @@ def click_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-# (applicationId, sf_dir) -> materialized rollup table path; the streaming
-# maintenance runs once per session+fixture, reads hit the committed table.
+# (applicationId, sf_dir) -> materialized rollup / CDC table path; each
+# streaming maintenance runs once per session+fixture, reads hit the
+# committed table.
 _mv_tables: dict[tuple[str, str], str] = {}
+_cdc_tables: dict[tuple[str, str], str] = {}
 
 
 def clear_mv_dirs() -> None:
-    """Delete every incremental-MV scratch dir this process wrote
+    """Delete every incremental-MV / CDC scratch dir this process wrote
     (conftest/bench call this next to the other operator-cache clears)."""
-    for path in _mv_tables.values():
+    for path in list(_mv_tables.values()) + list(_cdc_tables.values()):
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     _mv_tables.clear()
+    _cdc_tables.clear()
+
+
+def _write_ordered_batches(df: DataFrame, src: str, order_cols, n: int = 3):
+    """Split ``df`` into ``n`` time-ordered micro-batch files (ntile over
+    ``order_cols``) with EXPLICIT ascending mtimes: the file stream source
+    admits files in modification-time order, and a CDC log replay is only
+    meaningful if batch order follows log order -- two same-millisecond
+    parquet writes would otherwise race. The fixed epoch keeps the replay
+    deterministic across hosts."""
+    from pyspark.sql import Window
+
+    tiled = df.withColumn(
+        "__tile", F.ntile(n).over(Window.orderBy(*order_cols))
+    )
+    stamped: set[str] = set()
+    for i in range(n):
+        tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        t = 1_000_000_000 + i * 60
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if p not in stamped and os.path.isfile(p):
+                os.utime(p, (t, t))
+                stamped.add(p)
 
 
 def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +265,52 @@ def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply, EXECUTED: the fixture events replayed as three
+    TIME-ORDERED micro-batches (a CDC log is ordered; mtime-stamped files
+    pin the replay order) through the real streaming upsert sink
+    (``runtime.stream_upsert_to_table``: within-batch latest-wins collapse
+    -> one partition-pruned MERGE per batch keyed on user_id), then the
+    final committed table returned. The driver's value hash proves the
+    sink lands EXACTLY the batch keep-latest-per-user view (d_keep_latest
+    semantics, same oracle shape) -- most users update across all three
+    batches, so the MERGE's matched-update path does real cross-batch
+    work, including key moves between event_type partitions (a user's
+    latest event type changes), which merge_into deletes from the old
+    partition rather than orphaning.
+
+    Scale shape: per-batch cost is the batch's own dedup window plus a
+    MERGE rewriting only partitions holding affected keys -- the
+    incremental trickle never pays table size. Determinism: the fixture
+    has no (user_id, ts) ties at any SF (checked), so latest-wins is a
+    total order on both engines. Runs once per (session, fixture)."""
+    from ..storage import read_table
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _cdc_tables:
+        scratch = tempfile.mkdtemp(prefix="spark_cdc_upsert_")
+        src = os.path.join(scratch, "src")
+        tbl = os.path.join(scratch, "tbl")
+        ckpt = os.path.join(scratch, "ckpt")
+        events = load_table(spark, sf_dir, "events")
+        _write_ordered_batches(events, src, ["ts", "event_id"])
+        runtime.stream_upsert_to_table(
+            runtime.events_stream(spark, src),
+            tbl,
+            key_cols=["user_id"],
+            partition_cols=["event_type"],
+            checkpoint_dir=ckpt,
+            order_col="ts",
+        )
+        _cdc_tables[key] = tbl
+    return (
+        read_table(spark, _cdc_tables[key])
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "s_tumbling_daily": tumbling_daily,
     "s_sliding_2d_1d": sliding_2d_1d,
@@ -244,6 +318,7 @@ QUERIES = {
     "s_interval_join": click_purchase_attribution,
     "s_interval_join_outer": click_purchase_attribution_outer,
     "s_incremental_mv": incremental_mv,
+    "s_cdc_upsert": cdc_upsert,
 }
 
 ORACLES = {
@@ -261,6 +336,23 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    # The engine side EXECUTES the CDC apply loop; the oracle is the batch
+    # keep-latest view it must land (d_keep_latest's form: latest row per
+    # user under (ts DESC, event_id DESC) -- the fixture has no
+    # (user_id, ts) ties, so the engine's within/cross-batch latest-wins
+    # and this window agree deterministically).
+    "s_cdc_upsert": """
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type, value
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
     """,
     "s_tumbling_daily": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
