@@ -92,6 +92,7 @@ _DRIVER_WINDOW_ROTATION = [
     "x_cms_anchor",
     "s_incremental_mv",
     "s_cdc_upsert",
+    "r_sample_pps",
     # --- re-proof: the query changed this round (excerpt augmentation) ---
     "d_containment_pairs",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
@@ -140,7 +141,6 @@ _DRIVER_WINDOW_ROTATION = [
     "w_lag_lead",
     "w_moving_avg",
     "w_cumulative",
-    "w_ntile",
 ]
 
 

@@ -85,6 +85,59 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Systematic-PPS sample size: the K ticks spread over the cumulative
+# weight axis; sum(n_ticks) == K exactly (each of the K grid crossings is
+# hit once). Shared engine/oracle.
+_PPS_K = 50
+
+
+def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample: K ticks on the
+    cumulative CHARACTER-MASS axis of the corpus in doc_id order -- the
+    data-mixing primitive where corpora are sampled by token/byte budget
+    rather than document count (a 10x-longer doc is 10x as likely to be
+    drawn, with multiplicity ``n_ticks`` when it spans several grid
+    cells). Fully deterministic and engine-exact: selection is pure
+    integer arithmetic -- doc i is drawn ``(cw*K) div W - (prev*K) div W``
+    times -- so unlike the seeded-RNG samplers this one carries a full
+    value oracle, and sum(n_ticks) == K is an identity, not a tolerance.
+
+    Scale shape: the global cumulative weight uses the shared two-phase
+    prefix decomposition (``scale.ranged_with_offsets``): range-partition
+    by doc_id, per-partition totals as driver metadata, per-partition
+    window -- never a single-partition global window. The corpus total W
+    rides a 1-row broadcast cross join (_BNLJ_OK class)."""
+    from .scale import ranged_with_offsets
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranged = ranged_with_offsets(spark, docs, "doc_id", "n_chars")
+    win = Window.partitionBy("pid").orderBy("doc_id")
+    total = docs.agg(F.sum("n_chars").cast("long").alias("w_total"))
+    ticks = F.expr(f"(cw * {_PPS_K}) div w_total") - F.expr(
+        f"((cw - n_chars) * {_PPS_K}) div w_total"
+    )
+    return (
+        ranged.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("off") + F.sum("n_chars").over(win)).cast("long").alias("cw"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("cw").alias("cum_weight"),
+            ticks.cast("long").alias("n_ticks"),
+        )
+        .filter(F.col("n_ticks") >= 1)
+        .orderBy("doc_id")
+    )
+
+
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli row sample (~10%): per-partition RNG, no shuffle.
     Engine-specific RNG stream => rows-only check; the systematic twin above
@@ -344,6 +397,7 @@ QUERIES = {
     "r_hash_split": hash_split,
     "r_unpivot": unpivot_long,
     "r_sample_systematic": sample_systematic,
+    "r_sample_pps": sample_pps,
     "r_sample_bernoulli": sample_bernoulli,
     "r_sample_stratified": sample_stratified,
     "r_sample_bernoulli_anchor": sample_bernoulli_anchor,
@@ -404,6 +458,27 @@ ORACLES = {
                     AS DOUBLE) AS sum_price
         FROM lineitem WHERE l_orderkey % 7 = 0
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # Pure integer arithmetic end to end: cumulative weight, the K-tick
+    # grid, multiplicity -- the one weighted sampler that is exactly
+    # reproducible on any engine (vs the seeded-RNG rows-only pair).
+    "r_sample_pps": f"""
+        WITH c AS (
+            SELECT doc_id, source, n_chars,
+                   SUM(n_chars) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(n_chars) OVER () AS w_total
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars,
+               CAST(cw AS BIGINT) AS cum_weight,
+               CAST((cw * {_PPS_K}) // w_total
+                    - ((cw - n_chars) * {_PPS_K}) // w_total AS BIGINT)
+                   AS n_ticks
+        FROM c
+        WHERE (cw * {_PPS_K}) // w_total
+              - ((cw - n_chars) * {_PPS_K}) // w_total >= 1
+        ORDER BY doc_id
     """,
     # The anchors' booleans/zeros are literals: the oracle recomputes the
     # exact population stats and PINS the guarantees; any sampler defect

@@ -395,6 +395,8 @@ _BNLJ_OK = {
     # Three 1-row scalar aggregates (total x sampled x run-diff) meet in
     # broadcast cross joins.
     "r_sample_bernoulli_anchor",
+    # The 1-row corpus weight total W meets the cumulative-weight rows.
+    "r_sample_pps",
     # The 5-literal-row query batch scores against the corpus via a
     # broadcast nested loop (vec_id != query_id) -- the intended
     # batch-scoring shape: every corpus row meets each of the 5 queries.

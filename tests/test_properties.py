@@ -975,6 +975,46 @@ def test_largestar_converges_on_long_chain(spark):
     assert got == {(i, 0) for i in range(401)}
 
 
+# --- systematic PPS sampling (r_sample_pps core) ---------------------------
+_pps_docs = st.lists(
+    st.integers(min_value=1, max_value=500),  # per-doc weight (n_chars)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(weights=_pps_docs)
+@settings(**_SETTINGS)
+def test_sample_pps_matches_serial_grid(spark, tmp_path_factory, weights):
+    """The distributed PPS selection (two-phase prefix + integer grid) must
+    equal a serial cumulative-sum walk exactly: same selected docs, same
+    multiplicities, and sum(n_ticks) == K as an identity -- over corpora
+    with single-doc, equal-weight, and heavily-skewed weight profiles."""
+    from delta_lake_stock_pipeline_spark.operators import reshape
+
+    k = reshape._PPS_K
+    total = sum(weights)
+    want, cw = {}, 0
+    for i, w in enumerate(weights):
+        prev = cw
+        cw += w
+        t = (cw * k) // total - (prev * k) // total
+        if t >= 1:
+            want[i] = (cw, t)
+    assert sum(t for _, t in want.values()) == k
+
+    d = str(tmp_path_factory.mktemp("pps_prop"))
+    rows = [(i, "x" * w, "en", "s0", w) for i, w in enumerate(weights)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["cum_weight"], r["n_ticks"])
+        for r in reshape.sample_pps(spark, d).collect()
+    }
+    assert got == want
+
+
 # --- count-min sketch (x_cms_anchor core) ---------------------------------
 _cms_counts = st.lists(
     st.tuples(

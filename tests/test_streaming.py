@@ -438,6 +438,43 @@ def test_materialized_rollup_equals_batch(spark, tmp_path):
     assert ops[0].startswith("MATERIALIZE") and "MERGE" in ops
 
 
+def test_registered_streaming_lifecycle_keys_commit_incrementally(spark):
+    """The two EXECUTED streaming query keys (s_incremental_mv,
+    s_cdc_upsert) must (a) replay the fixture as 3 micro-batches -- the
+    version history shows the initial write plus one MERGE per later
+    batch, proof the path is incremental, not a single overwrite -- and
+    (b) serve repeat calls from the session cache (the committed table,
+    not a re-run: same path object). Value parity with the batch twins is
+    the oracle suite's job; this pins the EXECUTION shape."""
+    from delta_lake_stock_pipeline_spark import storage
+    from delta_lake_stock_pipeline_spark.streaming import windows as sw
+
+    sw.clear_mv_dirs()
+    try:
+        sw.incremental_mv(spark, SF_DIR).collect()
+        sw.cdc_upsert(spark, SF_DIR).collect()
+        key = (spark.sparkContext.applicationId, SF_DIR)
+        for tables, first_op in (
+            (sw._mv_tables, "MATERIALIZE"),
+            (sw._cdc_tables, "STREAM WRITE"),
+        ):
+            tbl = tables[key]
+            ops = [
+                r["operation"]
+                for r in storage.history(spark, tbl).collect()
+            ]
+            assert ops[0].startswith(first_op), ops
+            assert ops.count("MERGE") == 2, ops
+        # Repeat call must reuse the committed table, not re-stream.
+        assert sw._mv_tables[key] == sw._mv_tables[key]
+        before = dict(sw._mv_tables), dict(sw._cdc_tables)
+        sw.incremental_mv(spark, SF_DIR).collect()
+        sw.cdc_upsert(spark, SF_DIR).collect()
+        assert (dict(sw._mv_tables), dict(sw._cdc_tables)) == before
+    finally:
+        sw.clear_mv_dirs()
+
+
 def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
     """The custom connector's streaming face (Spark 4
     SimpleDataSourceStreamReader): each availableNow run drains exactly
