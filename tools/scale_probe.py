@@ -678,6 +678,51 @@ def cc_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def r9_probe(spark) -> None:
+    """Round-9 probe for the three new non-streaming families, each with a
+    different scale axis:
+
+    * t_quality_classifier -- scoring must run at SCAN speed (the model is
+      one constant-folded projection): 100k/400k docs (20x/80x sf0.1),
+      expect ~linear wall.
+    * r_sample_pps -- the two-phase prefix decomposition over the same
+      corpora: the driver-side state is one (pid, offset) list however
+      large the corpus; expect ~linear wall.
+    * x_cms_anchor -- sketch built from the PRE-AGGREGATED key counts:
+      1M/4M/16M events with ~n/16 distinct users, so the d-way explode
+      grows with KEYS, not rows; the fact-table term is the one hash-agg.
+    """
+    from delta_lake_stock_pipeline_spark.operators.aggregates import cms_anchor
+    from delta_lake_stock_pipeline_spark.operators.reshape import sample_pps
+    from delta_lake_stock_pipeline_spark.operators.text import (
+        quality_classifier,
+    )
+
+    try:
+        for n in DOC_SIZES:
+            d = f"{BASE}/r9docs_{n}"
+            synth_documents(spark, n, f"{d}/documents.parquet")
+            for name, fn in (
+                ("t_quality_classifier", quality_classifier),
+                ("r_sample_pps", sample_pps),
+            ):
+                sec = time_query(fn, spark, d)
+                print(f"{name:>22} docs={n:>8,}  {sec:6.2f}s", flush=True)
+            shutil.rmtree(d, ignore_errors=True)
+        for n in EVENT_SIZES:
+            d = f"{BASE}/r9ev_{n}"
+            synth_events(spark, n, f"{d}/events.parquet")
+            sec = time_query(cms_anchor, spark, d)
+            print(
+                f"{'x_cms_anchor':>22} rows={n:>10,} keys~{n // 16:>9,}"
+                f"  {sec:6.2f}s",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def _probe_session():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -699,6 +744,7 @@ _FLAG_PROBES = [
     ("--indicators", indicator_probe),
     ("--dedup", dedup_probe),
     ("--cc", cc_probe),
+    ("--r9", r9_probe),
 ]
 
 
