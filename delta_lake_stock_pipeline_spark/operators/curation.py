@@ -346,6 +346,42 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling -- the link that closes the
+    curation chain feature-hash -> classifier -> SAMPLER: draw K
+    systematic-PPS ticks proportional to each doc's trained-classifier
+    quality mass (``text.qc_score_column``, the frozen CCNet/Gopher-style
+    scorer), floored at 1 micro-unit so negative-scored docs keep a
+    vanishing-but-nonzero draw probability (the standard
+    temperature-floor stance, here exact). High-quality docs are drawn
+    with multiplicity; sum(n_ticks) == K identically.
+
+    Scale shape: one scan computes the score (constant-folded projection,
+    no model broadcast), then the shared ``reshape.pps_select`` core --
+    two-phase prefix decomposition, 1-row broadcast weight total. Both
+    halves reuse the exact engine/oracle definitions of their parent keys
+    (qc_score_sql, the PPS grid), so this key cannot drift from either."""
+    from .reshape import _PPS_K, pps_select
+    from .text import qc_score_column
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(qc_score_column(), F.lit(1).cast("long")).alias("q_weight"),
+    )
+    return (
+        pps_select(spark, docs, "q_weight", _PPS_K)
+        .select(
+            "doc_id",
+            "source",
+            "q_weight",
+            F.col("cw").alias("cum_weight"),
+            "n_ticks",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "c_contamination": contamination_check,
     "c_seq_packing": sequence_packing,
@@ -353,11 +389,40 @@ QUERIES = {
     "c_blocklist_redaction": blocklist_redaction,
     "c_temperature_mix": temperature_mix,
     "c_dsir": dsir_selection,
+    "c_quality_mix": quality_mix,
 }
 
 from .reshape import md5_bucket_sql as _mb_sql
 
+from .reshape import _PPS_K as _K
+from .text import qc_score_sql as _qc_sql
+
 ORACLES = {
+    # Composition of the two parent oracles, one definition each: the
+    # SHARED qc_score_sql classifier fragment (floored at 1) feeding the
+    # r_sample_pps integer tick grid.
+    "c_quality_mix": f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   greatest({_qc_sql()}, 1) AS q_weight
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, q_weight,
+                   SUM(q_weight) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(q_weight) OVER () AS w_total
+            FROM w
+        )
+        SELECT doc_id, source, CAST(q_weight AS BIGINT) AS q_weight,
+               CAST(cw AS BIGINT) AS cum_weight,
+               CAST((cw * {_K}) // w_total
+                    - ((cw - q_weight) * {_K}) // w_total AS BIGINT)
+                   AS n_ticks
+        FROM c
+        WHERE (cw * {_K}) // w_total
+              - ((cw - q_weight) * {_K}) // w_total >= 1
+        ORDER BY doc_id
+    """,
     # Same md5 bucket fold (the SHARED md5_bucket_sql fragment) and the
     # single-ln quantization: every logw_micro is an exact integer,
     # compared bit-for-bit.

@@ -91,6 +91,36 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPS_K = 50
 
 
+def pps_select(
+    spark: SparkSession, df: DataFrame, weight_col: str, k: int
+) -> DataFrame:
+    """Systematic-PPS core, factored so the character-mass sampler
+    (``r_sample_pps``) and the classifier-weighted sampler
+    (``curation.quality_mix``) share one selection definition: rows with
+    a positive integer ``weight_col`` and a ``doc_id`` order -> the rows
+    holding at least one of the K grid ticks, with ``cw`` (inclusive
+    cumulative weight) and ``n_ticks`` (multiplicity) columns appended.
+    Global prefix via the shared two-phase ``ranged_with_offsets``
+    decomposition; the weight total rides a 1-row broadcast cross join."""
+    from .scale import ranged_with_offsets
+
+    ranged = ranged_with_offsets(spark, df, "doc_id", weight_col)
+    win = Window.partitionBy("pid").orderBy("doc_id")
+    total = df.agg(F.sum(weight_col).cast("long").alias("w_total"))
+    ticks = F.expr(f"(cw * {k}) div w_total") - F.expr(
+        f"((cw - {weight_col}) * {k}) div w_total"
+    )
+    return (
+        ranged.withColumn(
+            "cw", (F.col("off") + F.sum(weight_col).over(win)).cast("long")
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_ticks", ticks.cast("long"))
+        .filter(F.col("n_ticks") >= 1)
+        .drop("pid", "off", "w_total")
+    )
+
+
 def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic probability-proportional-to-size sample: K ticks on the
     cumulative CHARACTER-MASS axis of the corpus in doc_id order -- the
@@ -107,33 +137,18 @@ def sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id, per-partition totals as driver metadata, per-partition
     window -- never a single-partition global window. The corpus total W
     rides a 1-row broadcast cross join (_BNLJ_OK class)."""
-    from .scale import ranged_with_offsets
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    ranged = ranged_with_offsets(spark, docs, "doc_id", "n_chars")
-    win = Window.partitionBy("pid").orderBy("doc_id")
-    total = docs.agg(F.sum("n_chars").cast("long").alias("w_total"))
-    ticks = F.expr(f"(cw * {_PPS_K}) div w_total") - F.expr(
-        f"((cw - n_chars) * {_PPS_K}) div w_total"
-    )
     return (
-        ranged.select(
-            "doc_id",
-            "source",
-            "n_chars",
-            (F.col("off") + F.sum("n_chars").over(win)).cast("long").alias("cw"),
-        )
-        .crossJoin(F.broadcast(total))
+        pps_select(spark, docs, "n_chars", _PPS_K)
         .select(
             "doc_id",
             "source",
             "n_chars",
             F.col("cw").alias("cum_weight"),
-            ticks.cast("long").alias("n_ticks"),
+            "n_ticks",
         )
-        .filter(F.col("n_ticks") >= 1)
         .orderBy("doc_id")
     )
 

@@ -119,25 +119,14 @@ _QC_WEIGHTS = [
 _QC_BIAS = -1542155
 
 
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-quality-classifier scoring (the fasttext/logistic stage of
-    CCNet- and Gopher-class curation pipelines): every document priced by
-    a frozen linear scorer over its hashing-trick features, emitting the
-    EXACT integer micro-unit score ``bias + sum over tokens of
-    sign(token) * weight[bucket(token)]`` and the keep prediction.
-
-    Scale shape: the dot product folds inside ONE codegen'd projection --
-    ``aggregate`` over the token array with the 64 frozen weights as a
-    constant-folded array literal, bucket/sign from the shared
-    ``reshape.md5_bucket`` md5 contract -- so scoring is embarrassingly
-    parallel with NO shuffle (the only exchange below the sort is the
-    scan); a 100 TB corpus scores at scan speed. No vocabulary, no
-    broadcast model, no UDF: the model IS an expression. Weights are
-    integer micro-units, so engine and oracle scores are bit-identical
-    (tools/train_quality_classifier.py regenerates them
-    deterministically)."""
+def qc_score_column() -> F.Column:
+    """The frozen classifier as ONE Catalyst expression over a ``text``
+    column: exact BIGINT micro-unit score ``bias + sum over tokens of
+    sign(token) * weight[bucket(token)]``. Shared by ``t_quality_classifier``
+    and the quality-weighted sampler (``curation.quality_mix``) so the two
+    keys cannot diverge on the model."""
     coefs = F.array(*[F.lit(int(w)) for w in _QC_WEIGHTS])
-    score = (
+    return (
         F.aggregate(
             F.filter(_tokens(), lambda t: t != F.lit("")),
             F.lit(0).cast("long"),
@@ -157,12 +146,45 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         + F.lit(_QC_BIAS)
-    )
+    ).cast("long")
+
+
+# DuckDB rendering of qc_score_column, interpolated into every consuming
+# oracle (one definition, like reshape.md5_bucket_sql).
+def qc_score_sql() -> str:
+    from .reshape import md5_bucket_sql
+
+    weights = ", ".join(str(w) for w in _QC_WEIGHTS)
+    return f"""CAST(COALESCE(list_sum(list_transform(
+                   list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                   x -> ([{weights}])[{md5_bucket_sql("x", len(_QC_WEIGHTS))} + 1]
+                        * (1 - 2 * (CAST('0x' || substr(md5(x), 9, 8)
+                                         AS BIGINT) % 2)))), 0)
+                    + ({_QC_BIAS}) AS BIGINT)"""
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quality-classifier scoring (the fasttext/logistic stage of
+    CCNet- and Gopher-class curation pipelines): every document priced by
+    a frozen linear scorer over its hashing-trick features, emitting the
+    EXACT integer micro-unit score ``bias + sum over tokens of
+    sign(token) * weight[bucket(token)]`` and the keep prediction.
+
+    Scale shape: the dot product folds inside ONE codegen'd projection --
+    ``aggregate`` over the token array with the 64 frozen weights as a
+    constant-folded array literal, bucket/sign from the shared
+    ``reshape.md5_bucket`` md5 contract -- so scoring is embarrassingly
+    parallel with NO shuffle (the only exchange below the sort is the
+    scan); a 100 TB corpus scores at scan speed. No vocabulary, no
+    broadcast model, no UDF: the model IS an expression. Weights are
+    integer micro-units, so engine and oracle scores are bit-identical
+    (tools/train_quality_classifier.py regenerates them
+    deterministically)."""
     return (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            score.cast("long").alias("score_micro"),
+            qc_score_column().alias("score_micro"),
         )
         .withColumn("keep_pred", (F.col("score_micro") > 0).cast("int"))
         .orderBy("doc_id")
@@ -912,21 +934,14 @@ ORACLES = {
     "t_novelty": _NOVELTY_ORACLE,
     # Shared aug expression + shared regex constants; md5-pinned redaction.
     "t_pii_redaction": _pii_oracle(),
-    # Frozen _QC_WEIGHTS interpolated into BOTH engine and oracle; same
-    # md5 bucket/sign fold as t_feature_hash. COALESCE covers the
-    # token-less doc (Spark's aggregate returns the 0 accumulator;
-    # DuckDB's list_sum of an empty list is NULL).
+    # Frozen _QC_WEIGHTS interpolated into BOTH engine and oracle via the
+    # SHARED qc_score_sql fragment (same md5 bucket/sign fold as
+    # t_feature_hash). Its COALESCE covers the token-less doc (Spark's
+    # aggregate returns the 0 accumulator; DuckDB's list_sum of an empty
+    # list is NULL).
     "t_quality_classifier": f"""
         WITH scored AS (
-            SELECT doc_id,
-                   CAST(COALESCE(list_sum(list_transform(
-                       list_filter(string_split(lower(text), ' '),
-                                   x -> x <> ''),
-                       x -> ([{", ".join(str(w) for w in _QC_WEIGHTS)}])
-                                [{_mb_sql("x", 64)} + 1]
-                            * (1 - 2 * (CAST('0x' || substr(md5(x), 9, 8)
-                                             AS BIGINT) % 2)))), 0)
-                        + ({_QC_BIAS}) AS BIGINT) AS score_micro
+            SELECT doc_id, {qc_score_sql()} AS score_micro
             FROM documents
         )
         SELECT doc_id, score_micro,

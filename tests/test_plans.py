@@ -397,6 +397,8 @@ _BNLJ_OK = {
     "r_sample_bernoulli_anchor",
     # The 1-row corpus weight total W meets the cumulative-weight rows.
     "r_sample_pps",
+    # Same PPS core: the 1-row quality-mass total rides the cross join.
+    "c_quality_mix",
     # The 5-literal-row query batch scores against the corpus via a
     # broadcast nested loop (vec_id != query_id) -- the intended
     # batch-scoring shape: every corpus row meets each of the 5 queries.

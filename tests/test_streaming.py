@@ -438,6 +438,38 @@ def test_materialized_rollup_equals_batch(spark, tmp_path):
     assert ops[0].startswith("MATERIALIZE") and "MERGE" in ops
 
 
+def test_write_ordered_batches_pins_admission_order(spark, tmp_path):
+    """The CDC replay helper must produce one data file per tile with
+    STRICTLY increasing mtimes (the file source admits by modification
+    time, so equal stamps would race) and tile membership must follow the
+    (ts, event_id) order -- batch 1 holds the oldest third."""
+    import os
+
+    from delta_lake_stock_pipeline_spark.streaming.windows import (
+        _write_ordered_batches,
+    )
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events")
+    _write_ordered_batches(events, src, ["ts", "event_id"])
+    parts = sorted(
+        (os.path.getmtime(os.path.join(src, f)), f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    assert len(parts) == 3
+    stamps = [t for t, _ in parts]
+    assert stamps[0] < stamps[1] < stamps[2]
+    # The oldest-stamped file must hold the globally oldest rows.
+    first = spark.read.parquet(os.path.join(src, parts[0][1]))
+    rest = [
+        spark.read.parquet(os.path.join(src, f)) for _, f in parts[1:]
+    ]
+    max_first = first.agg(F.max("ts")).collect()[0][0]
+    for df in rest:
+        assert df.agg(F.min("ts")).collect()[0][0] >= max_first
+
+
 def test_registered_streaming_lifecycle_keys_commit_incrementally(spark):
     """The two EXECUTED streaming query keys (s_incremental_mv,
     s_cdc_upsert) must (a) replay the fixture as 3 micro-batches -- the
