@@ -710,12 +710,29 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
     in one row), no driver data path. The edge set only shrinks toward
     |nodes| - |components| star edges, and per Kiveris et al. the round
     count is O(log^2 n) independent of diameter -- the property that
-    makes it the 100 TB form. Convergence here is an exact symmetric
-    difference on the (tiny) checkpointed edge table; at full scale the
-    same loop uses the per-round changed-edge COUNTER (computed map-side
-    in the rewrite itself, as min_label_components already does) --
-    O(1)-row driver involvement either way.
+    makes it the 100 TB form. Convergence is ONE map-side-combinable
+    aggregate per round -- the edge set's (count, sum child, sum parent,
+    sum xxhash64) signature, compared to the previous round's 4 numbers
+    driver-side -- the O(1)-row form that survives any edge-set size. A
+    false "converged" needs a 64-bit hash-SUM collision between two
+    distinct canonical edge sets of equal size in the same round
+    (~2^-64; the union-find property test and the shared closure oracle
+    stand behind it besides).
     """
+
+    def signature(e: DataFrame) -> tuple:
+        # Hash values span the full signed-64 range, so their SUM must be
+        # accumulated in decimal(38,0) -- ANSI mode raises on long
+        # overflow after as few as two rows otherwise (caught by the
+        # union-find property test on first run).
+        row = e.agg(
+            F.count("*"),
+            F.sum("child"),
+            F.sum("parent"),
+            F.sum(F.xxhash64("child", "parent").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -733,6 +750,7 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    sig = signature(edges)
     # Runaway guard only: O(log^2 n) worst case in theory, but a pure
     # 1M-node PATH (the adversarial topology) needs ~log2(n) ~ 20 rounds,
     # so the bound sits well past that; near-dup fixtures converge in <=5.
@@ -766,12 +784,11 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        changed = (
-            small.exceptAll(edges).count() + edges.exceptAll(small).count()
-        )
+        new_sig = signature(small)
         edges = small
-        if changed == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     else:  # pragma: no cover
         raise RuntimeError("star contraction did not converge in 25 rounds")
     # Fixpoint edge set is a forest of depth-1 stars rooted at component
