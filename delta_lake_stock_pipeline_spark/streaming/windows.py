@@ -182,40 +182,58 @@ def click_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFr
 # committed table.
 _mv_tables: dict[tuple[str, str], str] = {}
 _cdc_tables: dict[tuple[str, str], str] = {}
+_dedup_out: dict[tuple[str, str], str] = {}
 
 
 def clear_mv_dirs() -> None:
-    """Delete every incremental-MV / CDC scratch dir this process wrote
+    """Delete every executed-streaming scratch dir this process wrote
     (conftest/bench call this next to the other operator-cache clears)."""
-    for path in list(_mv_tables.values()) + list(_cdc_tables.values()):
+    for path in (
+        list(_mv_tables.values())
+        + list(_cdc_tables.values())
+        + list(_dedup_out.values())
+    ):
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     _mv_tables.clear()
     _cdc_tables.clear()
+    _dedup_out.clear()
 
 
-def _write_ordered_batches(df: DataFrame, src: str, order_cols, n: int = 3):
-    """Split ``df`` into ``n`` time-ordered micro-batch files (ntile over
-    ``order_cols``) with EXPLICIT ascending mtimes: the file stream source
-    admits files in modification-time order, and a CDC log replay is only
-    meaningful if batch order follows log order -- two same-millisecond
-    parquet writes would otherwise race. The fixed epoch keeps the replay
-    deterministic across hosts."""
-    from pyspark.sql import Window
-
-    tiled = df.withColumn(
-        "__tile", F.ntile(n).over(Window.orderBy(*order_cols))
-    )
+def _write_ordered_files(dfs, src: str) -> None:
+    """Write each DataFrame as one parquet file in ``src`` with EXPLICIT
+    ascending mtimes: the file stream source admits files in
+    modification-time order, and an ordered replay is only meaningful if
+    batch order follows log order -- two same-millisecond parquet writes
+    would otherwise race. The fixed epoch keeps the replay deterministic
+    across hosts."""
     stamped: set[str] = set()
-    for i in range(n):
-        tiled.filter(F.col("__tile") == i + 1).drop("__tile").coalesce(
-            1
-        ).write.mode("append").parquet(src)
+    for i, df in enumerate(dfs):
+        df.coalesce(1).write.mode("append").parquet(src)
         t = 1_000_000_000 + i * 60
         for name in os.listdir(src):
             p = os.path.join(src, name)
             if p not in stamped and os.path.isfile(p):
                 os.utime(p, (t, t))
                 stamped.add(p)
+
+
+def _time_tiles(df: DataFrame, order_cols, n: int = 3) -> list[DataFrame]:
+    """``df`` split into ``n`` contiguous tiles of the ``order_cols``
+    order (the CDC-log shape: tile i+1 holds strictly-later rows)."""
+    from pyspark.sql import Window
+
+    tiled = df.withColumn(
+        "__tile", F.ntile(n).over(Window.orderBy(*order_cols))
+    )
+    return [
+        tiled.filter(F.col("__tile") == i + 1).drop("__tile")
+        for i in range(n)
+    ]
+
+
+def _write_ordered_batches(df: DataFrame, src: str, order_cols, n: int = 3):
+    """Time-ordered micro-batch files for a plain (duplicate-free) replay."""
+    _write_ordered_files(_time_tiles(df, order_cols, n), src)
 
 
 def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +329,53 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming dedup, EXECUTED: the fixture events replayed
+    as three time-ordered micro-batches where batches 2 and 3 carry
+    INJECTED exact duplicates of every 5th batch-1 row (the at-least-once
+    redelivery shape), run through the real bounded-state path
+    (``runtime.dedup_within_watermark``:
+    ``dropDuplicatesWithinWatermark(["event_id"])`` under the 2-day
+    horizon). The emitted row set must equal the original events table
+    EXACTLY -- each duplicate is excluded either by dedup state (its key
+    is newer than the watermark, so the state entry is live) or by the
+    watermark's late filter (older than the horizon -- and then its
+    first copy was already emitted in batch 1), so the oracle is simply
+    the input relation and any leak or loss flips the driver hash.
+
+    Scale shape: state is bounded by the lateness horizon x arrival
+    rate, NOT the stream's history -- the property that distinguishes
+    this from plain ``dropDuplicates`` at 100 TB. Runs once per
+    (session, fixture); emissions land in parquet via foreachBatch."""
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _dedup_out:
+        scratch = tempfile.mkdtemp(prefix="spark_stream_dedup_")
+        src = os.path.join(scratch, "src")
+        out = os.path.join(scratch, "out")
+        ckpt = os.path.join(scratch, "ckpt")
+        events = load_table(spark, sf_dir, "events")
+        b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
+        dups = b1.filter(F.col("event_id") % 5 == 0)
+        _write_ordered_files(
+            [b1, b2.unionByName(dups), b3.unionByName(dups)], src
+        )
+        runtime.run_available_now(
+            runtime.dedup_within_watermark(
+                runtime.events_stream(spark, src)
+            ),
+            ckpt,
+            out,
+        )
+        _dedup_out[key] = out
+    return (
+        spark.read.parquet(_dedup_out[key])
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "s_tumbling_daily": tumbling_daily,
     "s_sliding_2d_1d": sliding_2d_1d,
@@ -319,6 +384,7 @@ QUERIES = {
     "s_interval_join_outer": click_purchase_attribution_outer,
     "s_incremental_mv": incremental_mv,
     "s_cdc_upsert": cdc_upsert,
+    "s_stream_dedup": stream_dedup,
 }
 
 ORACLES = {
@@ -353,6 +419,15 @@ ORACLES = {
         )
         WHERE rn = 1
         ORDER BY user_id
+    """,
+    # The engine side EXECUTES the watermark-bounded dedup over a replay
+    # carrying injected at-least-once duplicates; the oracle is the input
+    # relation itself -- exactly-once means output == input, row for row.
+    "s_stream_dedup": """
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type, value
+        FROM events
+        ORDER BY event_id
     """,
     "s_tumbling_daily": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
