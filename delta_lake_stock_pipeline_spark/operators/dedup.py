@@ -790,7 +790,7 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
             break
         sig = new_sig
     else:  # pragma: no cover
-        raise RuntimeError("star contraction did not converge in 25 rounds")
+        raise RuntimeError("star contraction did not converge in 40 rounds")
     # Fixpoint edge set is a forest of depth-1 stars rooted at component
     # minima: children label from their star edge, roots label themselves.
     return nodes.join(edges, nodes.doc_id == edges.child, "left").select(

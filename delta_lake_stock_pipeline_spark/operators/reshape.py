@@ -106,7 +106,12 @@ def pps_select(
 
     ranged = ranged_with_offsets(spark, df, "doc_id", weight_col)
     win = Window.partitionBy("pid").orderBy("doc_id")
-    total = df.agg(F.sum(weight_col).cast("long").alias("w_total"))
+    # Total weight from the CHECKPOINTED ranged frame, not the input plan:
+    # aggregating `df` would re-run the whole upstream (for c_quality_mix
+    # that is the classifier fold over every token of every document) a
+    # second time, while the checkpoint is a cheap materialized scan
+    # (round-9 review finding).
+    total = ranged.agg(F.sum(weight_col).cast("long").alias("w_total"))
     ticks = F.expr(f"(cw * {k}) div w_total") - F.expr(
         f"((cw - {weight_col}) * {k}) div w_total"
     )

@@ -264,18 +264,24 @@ def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _mv_tables:
         scratch = tempfile.mkdtemp(prefix="spark_incr_mv_")
-        src = os.path.join(scratch, "src")
-        tbl = os.path.join(scratch, "tbl")
-        ckpt = os.path.join(scratch, "ckpt")
-        events = load_table(spark, sf_dir, "events")
-        for i in range(3):
-            events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-        runtime.materialize_daily_rollup(
-            runtime.events_stream(spark, src), tbl, ckpt, delay="3650 days"
-        )
-        _mv_tables[key] = tbl
+        try:
+            src = os.path.join(scratch, "src")
+            tbl = os.path.join(scratch, "tbl")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            for i in range(3):
+                events.filter(F.col("event_id") % 3 == i).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
+            runtime.materialize_daily_rollup(
+                runtime.events_stream(spark, src), tbl, ckpt, delay="3650 days"
+            )
+            _mv_tables[key] = tbl
+        except BaseException:
+            # A failed replay never registers in the cache dict, so
+            # clear_mv_dirs could not reap it -- reap here instead.
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
     return (
         read_table(spark, _mv_tables[key])
         .select("event_date", "event_type", "n_events", "total_value")
@@ -308,20 +314,24 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _cdc_tables:
         scratch = tempfile.mkdtemp(prefix="spark_cdc_upsert_")
-        src = os.path.join(scratch, "src")
-        tbl = os.path.join(scratch, "tbl")
-        ckpt = os.path.join(scratch, "ckpt")
-        events = load_table(spark, sf_dir, "events")
-        _write_ordered_batches(events, src, ["ts", "event_id"])
-        runtime.stream_upsert_to_table(
-            runtime.events_stream(spark, src),
-            tbl,
-            key_cols=["user_id"],
-            partition_cols=["event_type"],
-            checkpoint_dir=ckpt,
-            order_col="ts",
-        )
-        _cdc_tables[key] = tbl
+        try:
+            src = os.path.join(scratch, "src")
+            tbl = os.path.join(scratch, "tbl")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            _write_ordered_batches(events, src, ["ts", "event_id"])
+            runtime.stream_upsert_to_table(
+                runtime.events_stream(spark, src),
+                tbl,
+                key_cols=["user_id"],
+                partition_cols=["event_type"],
+                checkpoint_dir=ckpt,
+                order_col="ts",
+            )
+            _cdc_tables[key] = tbl
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
     return (
         read_table(spark, _cdc_tables[key])
         .select("user_id", "event_id", "ts", "event_type", "value")
@@ -352,23 +362,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _dedup_out:
         scratch = tempfile.mkdtemp(prefix="spark_stream_dedup_")
-        src = os.path.join(scratch, "src")
-        out = os.path.join(scratch, "out")
-        ckpt = os.path.join(scratch, "ckpt")
-        events = load_table(spark, sf_dir, "events")
-        b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
-        dups = b1.filter(F.col("event_id") % 5 == 0)
-        _write_ordered_files(
-            [b1, b2.unionByName(dups), b3.unionByName(dups)], src
-        )
-        runtime.run_available_now(
-            runtime.dedup_within_watermark(
-                runtime.events_stream(spark, src)
-            ),
-            ckpt,
-            out,
-        )
-        _dedup_out[key] = out
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
+            dups = b1.filter(F.col("event_id") % 5 == 0)
+            _write_ordered_files(
+                [b1, b2.unionByName(dups), b3.unionByName(dups)], src
+            )
+            runtime.run_available_now(
+                runtime.dedup_within_watermark(
+                    runtime.events_stream(spark, src)
+                ),
+                ckpt,
+                out,
+            )
+            _dedup_out[key] = out
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
     return (
         spark.read.parquet(_dedup_out[key])
         .select("user_id", "event_id", "ts", "event_type", "value")

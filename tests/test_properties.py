@@ -959,7 +959,7 @@ def test_largestar_converges_on_long_chain(spark):
     """A 400-edge path has diameter 400 -- far past min_label_components'
     fixed 20-round budget BY DESIGN (that loop is priced for shallow
     near-dup components) -- while star contraction's round count is
-    diameter-independent: it must converge inside its 25-round bound and
+    diameter-independent: it must converge inside its 40-round bound and
     label the whole chain with node 0."""
     from delta_lake_stock_pipeline_spark.operators.dedup import (
         largestar_components,

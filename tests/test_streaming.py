@@ -498,7 +498,6 @@ def test_registered_streaming_lifecycle_keys_commit_incrementally(spark):
             assert ops[0].startswith(first_op), ops
             assert ops.count("MERGE") == 2, ops
         # Repeat call must reuse the committed table, not re-stream.
-        assert sw._mv_tables[key] == sw._mv_tables[key]
         before = dict(sw._mv_tables), dict(sw._cdc_tables)
         sw.incremental_mv(spark, SF_DIR).collect()
         sw.cdc_upsert(spark, SF_DIR).collect()
