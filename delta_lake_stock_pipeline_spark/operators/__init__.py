@@ -95,6 +95,7 @@ _DRIVER_WINDOW_ROTATION = [
     "r_sample_pps",
     "c_quality_mix",
     "s_stream_dedup",
+    "x_attribution_linear",
     # --- re-proof: the query changed this round (excerpt augmentation) ---
     "d_containment_pairs",
     # --- freshness re-proofs: oldest green driver rows, ledger order ---
@@ -140,7 +141,6 @@ _DRIVER_WINDOW_ROTATION = [
     "r_hash_split",
     "w_rank",
     "w_value_functions",
-    "w_lag_lead",
 ]
 
 

@@ -618,6 +618,76 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution, linear model -- the ad-tech/warehouse
+    staple beside the funnel: every purchase's value is split EVENLY
+    across the same user's clicks in the preceding day (the
+    s_interval_join window), and each click reports its total credited
+    value across all purchases it touched. Exactness: the purchase value
+    enters integer micro-units once (same double -> round both engines),
+    the even split is integer division with the REMAINDER assigned to the
+    earliest touch (first-click bonus -- a deterministic total order, no
+    fractional credit ever rounds differently per engine).
+
+    Scale shape: the click-purchase pairing is the interval join's plan
+    (one shuffle per side on user_id, range residual); the per-purchase
+    touch count and the remainder rank are windows over the pair table
+    partitioned by purchase (bounded fan-out: touches per purchase);
+    final rollup is one hash-agg on click_id."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("purch_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_micro"),
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purch_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    per_purchase = Window.partitionBy("purchase_id")
+    first_touch = Window.partitionBy("purchase_id").orderBy(
+        "click_ts", "click_id"
+    )
+    enriched = pairs.select(
+        "click_id",
+        F.col("click_user").alias("user_id"),
+        "value_micro",
+        F.count("*").over(per_purchase).alias("n_touches"),
+        F.row_number().over(first_touch).alias("rk"),
+    )
+    # `div` keeps the split in exact integer arithmetic end to end --
+    # double division + cast could land one micro-unit off the floor at
+    # representation boundaries, and the remainder identity below (base*n
+    # + bonus == value) must hold exactly on both engines.
+    credited = enriched.select(
+        "click_id",
+        "user_id",
+        F.expr("value_micro div n_touches").alias("base"),
+        (
+            (F.col("value_micro") % F.col("n_touches"))
+            * (F.col("rk") == 1).cast("long")
+        ).alias("bonus"),
+    )
+    return (
+        credited.groupBy("click_id", "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases_credited"),
+            F.sum(F.col("base") + F.col("bonus")).cast("long").alias(
+                "credit_micro"
+            ),
+        )
+        .orderBy("click_id")
+    )
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users bucketed by first-seen ISO week, and
     for each later week how many of that cohort were active -- the classic
@@ -1113,6 +1183,7 @@ QUERIES = {
     "a9_ohlc_resample": ohlc_resample,
     "x_retention_cohorts": retention_cohorts,
     "x_funnel": funnel_steps,
+    "x_attribution_linear": attribution_linear,
     "x_rolling_mau_anchor": rolling_mau_anchor,
     "x_histogram": value_histogram,
     "x_rollup": rollup_agg,
@@ -1206,6 +1277,37 @@ ORACLES = {
                TRUE AS mau_ok
         FROM days dd JOIN pairs p ON p.d BETWEEN dd.d - 27 AND dd.d
         GROUP BY dd.d
+    """,
+    # Linear multi-touch attribution: value enters integer micro-units
+    # once (same double multiply + HALF round on both engines), then the
+    # even split and first-touch remainder are pure integer arithmetic.
+    "x_attribution_linear": """
+        WITH pairs AS (
+            SELECT c.event_id AS click_id, c.user_id AS user_id,
+                   CAST(c.ts AS TIMESTAMP) AS click_ts,
+                   p.event_id AS purchase_id,
+                   CAST(ROUND(p.value * 1000000) AS BIGINT) AS value_micro
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+             AND CAST(p.ts AS TIMESTAMP)
+                 <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ), enr AS (
+            SELECT click_id, user_id, value_micro,
+                   COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches,
+                   ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                      ORDER BY click_ts, click_id) AS rk
+            FROM pairs
+        )
+        SELECT click_id, user_id,
+               COUNT(*) AS n_purchases_credited,
+               CAST(SUM(value_micro // n_touches
+                        + CASE WHEN rk = 1 THEN value_micro % n_touches
+                               ELSE 0 END) AS BIGINT) AS credit_micro
+        FROM enr
+        GROUP BY click_id, user_id
+        ORDER BY click_id
     """,
     # Step k's time = MIN event time >= step k-1's time, in exact integer
     # microseconds -- identical chained-CTE formulation on both engines.

@@ -1015,6 +1015,42 @@ def test_sample_pps_matches_serial_grid(spark, tmp_path_factory, weights):
     assert got == want
 
 
+# --- linear attribution (x_attribution_linear) -----------------------------
+def test_attribution_conserves_value(spark, sf_dir):
+    """Credit conservation is an exact identity, not a tolerance: the sum
+    of all per-click credited micro-units equals the summed micro-value
+    of every purchase that had at least one preceding-day click (the
+    integer split's remainder goes to the first touch, so nothing is
+    created or lost)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_stock_pipeline_spark.operators import aggregates
+    from delta_lake_stock_pipeline_spark.sources.fixtures import load_table
+
+    got = (
+        aggregates.attribution_linear(spark, sf_dir)
+        .agg(F.sum("credit_micro"))
+        .collect()[0][0]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    credited_purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ts") >= F.col("cts"))
+            & (F.col("ts") <= F.col("cts") + F.expr("INTERVAL 1 DAY")),
+            "left_semi",
+        )
+        .select(F.round(F.col("value") * 1_000_000).cast("long").alias("vm"))
+    )
+    want = credited_purchases.agg(F.sum("vm")).collect()[0][0]
+    assert got == want and got > 0
+
+
 # --- count-min sketch (x_cms_anchor core) ---------------------------------
 _cms_counts = st.lists(
     st.tuples(
