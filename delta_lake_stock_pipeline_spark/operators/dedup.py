@@ -791,6 +791,20 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
         sig = new_sig
     else:  # pragma: no cover
         raise RuntimeError("star contraction did not converge in 40 rounds")
+    # Fixpoint backstop (ADVICE r9): the ~2^-64 hash-sum signature
+    # collision would break the loop early and SILENTLY mislabel; a true
+    # fixpoint is a star forest, i.e. the edge set is a function of
+    # child. One bounded 2-number aggregate converts that silent failure
+    # into a raised error.
+    n_edges, n_children = edges.agg(
+        F.count("*"), F.count_distinct("child")
+    ).collect()[0]
+    if n_edges != n_children:  # pragma: no cover
+        raise RuntimeError(
+            "star-contraction fixpoint is not a star forest "
+            f"({n_edges} edges over {n_children} children) -- "
+            "convergence-signature collision?"
+        )
     # Fixpoint edge set is a forest of depth-1 stars rooted at component
     # minima: children label from their star edge, roots label themselves.
     return nodes.join(edges, nodes.doc_id == edges.child, "left").select(

@@ -2162,8 +2162,14 @@ def _brute_shingle_pairs(docs):
 def test_shingle_pair_measures_match_brute(spark, tmp_path_factory, docs):
     from delta_lake_stock_pipeline_spark.operators import dedup
 
+    # Offset + stride the doc_ids so SEVERAL hit the excerpt residue
+    # (ADVICE r9: plain enumerate only ever produced doc_id 7 as an
+    # excerpt source, and only when hypothesis drew exactly 8 docs; with
+    # id = 7 + 50*i, every even-indexed doc -- ids 7, 107, 207, ... --
+    # exercises the augmented containment path).
+    ids = [7 + 50 * i for i in range(len(docs))]
     rows = [
-        (i, " ".join(t), "en", s, len(" ".join(t)))
+        (ids[i], " ".join(t), "en", s, len(" ".join(t)))
         for i, (s, t) in enumerate(docs)
     ]
     d = str(tmp_path_factory.mktemp("shingle_prop"))
@@ -2182,7 +2188,7 @@ def test_shingle_pair_measures_match_brute(spark, tmp_path_factory, docs):
         }
     finally:
         dedup.clear_posts_cache()
-    plain = [(i, s, t) for i, (s, t) in enumerate(docs)]
+    plain = [(ids[i], s, t) for i, (s, t) in enumerate(docs)]
     # containment_pairs augments the corpus with deterministic prefix
     # excerpts (dedup._excerpt_docs); mirror it for the containment brute.
     # Jaccard runs on the UN-augmented corpus.

@@ -18,6 +18,25 @@ from delta_lake_stock_pipeline_spark.streaming.windows import tumbling_daily
 from conftest import SF_DIR
 
 
+def test_events_fixture_has_no_user_ts_ties(spark):
+    """s_cdc_upsert precondition (ADVICE r9): the engine's within-batch
+    latest-wins tiebreak (xxhash64 over all columns) and the DuckDB
+    oracle's ``event_id DESC`` tiebreak only agree because the fixture
+    carries no (user_id, ts) ties -- enforce the invariant at both the
+    local test SF and the driver's correctness SF (sf0.01) so a
+    regenerated or larger fixture with ties fails loudly here instead of
+    silently diverging the driver hash."""
+    for d in sorted({SF_DIR, "/root/testdata/sf0.01"}):
+        ties = (
+            load_table(spark, d, "events")
+            .groupBy("user_id", "ts")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert ties == 0, f"(user_id, ts) ties in {d}/events.parquet"
+
+
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     """Events fixture rewritten as a 4-file parquet directory (file source
