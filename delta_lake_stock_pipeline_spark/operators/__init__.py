@@ -72,75 +72,69 @@ DRIVER_WINDOW_SIZE = 50
 # The external driver verifies only the FIRST 50 keys of queries() in
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
-# correctness row. Round-9 window (per VERDICT r8 task 1): with 211/211
-# oracled keys driver-green after round 8, the window turns to freshness --
-# the round-9 additions first (never driver-checked; the policy test names
-# them), then d_containment_pairs (its corpus gained the deterministic
-# excerpt augmentation this round, so the r8 green row attests the OLD
-# query), then the oldest green rows in ledger order: the r3-era blocks
-# (x_stats_moments, fn date/array/map, the j_ join block) -- clearing the
-# verdict's "no key's latest green row predates r4" bar -- then the r5-era
-# rows (sources, TPC-H h_q* x22, samplers, the w_ window block) as far as
-# the remaining slots reach. All 50 are DuckDB-oracled (rows-only keys are
-# excluded by policy: their guarantees are driver-witnessed through oracled
-# anchor twins). Rotation history: ROUND4_NOTES.md, ROUND6_NOTES.md,
-# ROUND7_NOTES.md, ROUND8_NOTES.md, ROUND9_NOTES.md.
+# correctness row. Round-10 window (per VERDICT r9 task 1): with 220/220
+# oracled keys driver-green after round 9, the round-10 additions go first
+# (never driver-checked; the policy test names them), then pure
+# oldest-first freshness in ledger order -- the full r5-era block (the 22
+# keys the r9 verdict lists), then the oldest r6-era rows as far as the
+# remaining slots reach, collapsing the freshness tail to r6+. All 50 are
+# DuckDB-oracled (rows-only keys are excluded by policy: their guarantees
+# are driver-witnessed through oracled anchor twins). Rotation history:
+# ROUND4_NOTES.md, ROUND6_NOTES.md ... ROUND9_NOTES.md, ROUND10_NOTES.md.
 _DRIVER_WINDOW_ROTATION = [
-    # --- round-9 additions: never driver-checked ---
-    "d_cc_largestar",
-    "t_quality_classifier",
-    "x_cms_anchor",
-    "s_incremental_mv",
-    "s_cdc_upsert",
-    "r_sample_pps",
-    "c_quality_mix",
-    "s_stream_dedup",
-    "x_attribution_linear",
-    # --- re-proof: the query changed this round (excerpt augmentation) ---
-    "d_containment_pairs",
-    # --- freshness re-proofs: oldest green driver rows, ledger order ---
-    # r3 block (the last rows predating r4):
-    "x_stats_moments",
-    "fn_date_funcs",
-    "fn_array_funcs",
-    "fn_map_funcs",
-    "j_broadcast",
-    "j_hint_shuffle_hash",
-    "j_sortmerge",
-    "j_semi",
-    "j_anti",
-    "j_outer",
-    "j_range",
-    "j_theta",
-    # r5 block, ledger order:
-    "src_csv_roundtrip",
-    "src_orc_roundtrip",
-    "fn_try_funcs",
-    "h_q1_pricing_summary",
-    "h_q3_shipping_priority",
-    "h_q5_local_supplier_volume",
-    "h_q6_forecast_revenue",
-    "h_q10_returned_items",
-    "h_q18_large_volume_customer",
-    "h_q2_min_price_part",
-    "h_q4_order_priority",
-    "h_q7_volume_shipping",
-    "h_q8_market_share",
-    "h_q9_product_profit",
-    "h_q12_priority_shipping",
-    "h_q13_customer_distribution",
-    "h_q14_promo_effect",
-    "h_q15_top_supplier",
-    "h_q16_supplier_variety",
-    "h_q17_small_quantity",
-    "h_q19_disjunctive_revenue",
-    "h_q11_important_stock",
-    "h_q20_potential_promotion",
-    "h_q21_sole_late_supplier",
-    "h_q22_dormant_customers",
-    "r_hash_split",
-    "w_rank",
-    "w_value_functions",
+    # --- round-10 additions: never driver-checked ---
+    "m_image_neardup",
+    # --- freshness re-proofs: r5-era greens, ledger order ---
+    "w_lag_lead",
+    "w_moving_avg",
+    "w_cumulative",
+    "w_ntile",
+    "w_range_interval",
+    "d_exact_summary",
+    "d_exact_keys",
+    "d_ngram_jaccard",
+    "d_minhash_lsh_anchor",
+    "d_dup_clusters",
+    "d_dup_clusters_sql",
+    "d_fuzzy_levenshtein",
+    "d_keep_latest",
+    "c_contamination",
+    "c_seq_packing",
+    "c_domain_mix",
+    "c_blocklist_redaction",
+    "v_cosine_topk",
+    "v_label_centroids",
+    "v_quantized_cosine",
+    "st_lifecycle_rollup",
+    "st_time_travel_rollup",
+    # --- freshness re-proofs: oldest r6-era greens, ledger order ---
+    "a9_ohlc_resample",
+    "x_retention_cohorts",
+    "x_funnel",
+    "x_rolling_mau_anchor",
+    "x_histogram",
+    "x_hll_anchor",
+    "x_theta_anchor",
+    "x_kll_anchor",
+    "x_percentile_approx_anchor",
+    "src_json_roundtrip",
+    "j_asof",
+    "j_asof_forward",
+    "j_bloom_pruned",
+    "j_lateral_topn",
+    "x_salted_skew_join",
+    "x_global_row_ids",
+    "r_pivot",
+    "w_sessionize",
+    "w_gap_fill",
+    "w_backtest_naive",
+    "t_token_count",
+    "t_repetition",
+    "t_curation_pipeline",
+    "t_word_frequency",
+    "t_quality_score",
+    "t_lang_id",
+    "t_fingerprint",
 ]
 
 

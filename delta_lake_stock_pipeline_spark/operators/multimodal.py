@@ -82,15 +82,16 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pgm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> real binary PGM images: the document's UTF-8 bytes become
-    the pixel plane of a ``width x height`` 8-bit graymap (truncated or
-    space-padded to fit), wrapped in a genuine P5 container. Pure JVM
-    expressions -- header text via ``format_string``, pixel plane via binary
-    ``substr``/``concat`` -- so image synthesis never leaves the executors."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("body")
-    )
+def _pgm_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) rows -> real binary PGM images: the document's
+    UTF-8 bytes become the pixel plane of a ``width x height`` 8-bit
+    graymap (truncated or space-padded to fit), wrapped in a genuine P5
+    container. Pure JVM expressions -- header text via ``format_string``,
+    pixel plane via binary ``substr``/``concat`` -- so image synthesis
+    never leaves the executors. Factored out of ``_pgm_table`` so
+    ``image_neardup`` can run the same codec over its twin-augmented
+    corpus."""
+    docs = docs.select("doc_id", F.encode("text", "utf-8").alias("body"))
     n = F.octet_length("body")
     width = (n % 64 + 1).alias("width")
     height = ((n / 64).cast("int") % 64 + 1).alias("height")
@@ -120,6 +121,11 @@ def _pgm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pad_bytes",
         F.concat(header, plane).alias("payload"),
     )
+
+
+def _pgm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> real binary PGM images (see ``_pgm_of``)."""
+    return _pgm_of(load_table(spark, sf_dir, "documents"))
 
 
 def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +412,14 @@ def image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cnt = 0 makes the strict inequality false). Arrow-batched
     ``mapInPandas`` like the rest of the family; embarrassingly
     parallel, one scan, no shuffle except the deterministic sort."""
-    media = _pgm_table(spark, sf_dir).select("doc_id", "payload")
+    return _ahash_of(_pgm_table(spark, sf_dir)).orderBy("doc_id")
+
+
+def _ahash_of(media: DataFrame) -> DataFrame:
+    """aHash core over (doc_id, payload) PGM rows -> (doc_id,
+    n_bright_blocks, ahash_hi, ahash_lo); shared by ``image_ahash`` and
+    ``image_neardup`` (which hashes a twin-augmented corpus)."""
+    media = media.select("doc_id", "payload")
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -434,12 +447,132 @@ def image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         hash_batches,
         "doc_id bigint, n_bright_blocks int, ahash_hi bigint, ahash_lo bigint",
-    ).orderBy("doc_id")
+    )
+
+
+# --- image near-dup pairing (VERDICT r9 task 2) ---------------------------
+#
+# Twin augmentation: every doc with doc_id % MOD == RES gains a
+# deterministically perturbed PGM twin under doc_id + BASE -- same text
+# with every 'e' replaced by 'E' (-32 on ~10% of pixel bytes). aHash is
+# brightness-shift tolerant BY DESIGN (bit b compares block b's mean to
+# the IMAGE mean, so a roughly uniform shift moves both sides together),
+# which makes this the canonical "same image, re-encoded/re-exposed"
+# near-duplicate: measured twin hamming concentrates near 0 with a tail
+# past the threshold (probe: 374/500 twins within 7 at sf0.1). Mirrored
+# verbatim in the DuckDB oracle. BASE clears every real doc_id at any SF.
+_ND_TWIN_MOD, _ND_TWIN_RES, _ND_TWIN_BASE = 10, 3, 2_000_000
+# Verify gate: hamming <= 7 over the 64 aHash bits. With 8 banding bands,
+# <= 7 differing bits leave >= 1 band untouched (pigeonhole), so banding
+# has EXACT recall at the threshold among pairs sharing a nonzero band
+# (property-tested).
+_ND_HAMMING_MAX = 7
+# Information gate: images whose aHash carries < 8 bright blocks are too
+# sparse for hamming to mean anything (two near-empty hashes sit at tiny
+# distances by construction); real image-dedup gates on hash entropy the
+# same way. Also the hub-control half of the design: the degenerate
+# all-zero band value is skipped at candidate generation (a zero band
+# says "no bright blocks here" -- shared absence is not similarity), which
+# is what keeps the posting lists bounded (measured sf0.1: 19.2M candidate
+# pairs with zero bands admitted vs 398k without).
+_ND_MIN_BRIGHT = 8
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(
+        F.col("doc_id") % _ND_TWIN_MOD == _ND_TWIN_RES
+    ).select(
+        (F.col("doc_id") + _ND_TWIN_BASE).alias("doc_id"),
+        F.expr("replace(text, 'e', 'E')").alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate PAIRS over the aHash fingerprints -- the step
+    a multimodal curation pipeline runs right after hashing, completing
+    fingerprint -> candidate pairs for the image leg the way
+    ``d_ngram_jaccard`` does for text:
+
+    1. hash the twin-augmented corpus with the real PGM codec
+       (``_ahash_of``: decode, 8x8 block grid, bright-bit per block);
+    2. band the 64 bits into eight 8-bit bands and build an inverted
+       index of NONZERO (band, value) postings -- zero bands are shared
+       absence, not similarity, and admitting them is the measured
+       19.2M-pair hub (see ``_ND_MIN_BRIGHT``);
+    3. equi-join postings on (band, value) -- candidate work is
+       sum(posting-list^2), never |docs|^2;
+    4. verify each candidate pair exactly: hamming(a, b) =
+       bit_count(hi^hi) + bit_count(lo^lo) <= 7, both hashes carrying
+       >= 8 bright blocks.
+
+    Recall at the threshold is exact by pigeonhole (<= 7 differing bits
+    across 8 bands leave one band equal) for pairs sharing a nonzero
+    band; the hypothesis property test pins both halves. At 100 TB the
+    hash table is a persisted artifact and the banding join shuffles
+    postings, not images -- the text-dedup shape exactly."""
+    ah = _ahash_of(_pgm_of(_neardup_corpus(spark, sf_dir))).localCheckpoint()
+    band_structs = ", ".join(
+        [
+            f"struct({i} as band, shiftright(ahash_lo, {8 * i}) & 255 as val)"
+            for i in range(4)
+        ]
+        + [
+            f"struct({i + 4} as band, shiftright(ahash_hi, {8 * i}) & 255 as val)"
+            for i in range(4)
+        ]
+    )
+    bands = (
+        ah.select(
+            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("s")
+        )
+        .select("doc_id", "s.band", "s.val")
+        .filter(F.col("val") != 0)
+    )
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    x, y = ah.alias("x"), ah.alias("y")
+    hamming = F.bit_count(F.expr("x.ahash_hi ^ y.ahash_hi")) + F.bit_count(
+        F.expr("x.ahash_lo ^ y.ahash_lo")
+    )
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(
+            (hamming <= _ND_HAMMING_MAX)
+            & (
+                F.least(
+                    F.col("x.n_bright_blocks"), F.col("y.n_bright_blocks")
+                )
+                >= _ND_MIN_BRIGHT
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 QUERIES = {
     "m_audio_fingerprint": audio_fingerprint,
     "m_image_ahash": image_ahash,
+    "m_image_neardup": image_neardup,
     "m_binary_metadata": binary_metadata,
     "m_image_features": image_features,
     "m_image_resize": image_resize,
@@ -449,6 +582,107 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Full independent rebuild of the near-dup pipeline: the augmented
+    # corpus (twin = replace 'e'->'E' under doc_id + BASE), the aHash
+    # grid from first principles (same reconstruction as the
+    # m_image_ahash oracle, over `aug`), the nonzero 8-bit band inverted
+    # index, the candidate equi-join, and the exact
+    # bit_count(xor)+bright verify. `hashes` and `bands` are referenced
+    # more than once, so both are MATERIALIZED (this DuckDB inlines
+    # multiply-referenced CTEs -- the v_mmr_select exponential-expansion
+    # lesson).
+    "m_image_neardup": f"""
+        WITH aug AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_ND_TWIN_BASE} AS doc_id,
+                   replace(text, 'e', 'E') AS text
+            FROM documents
+            WHERE doc_id % {_ND_TWIN_MOD} = {_ND_TWIN_RES}
+        ), meta AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n,
+                   octet_length(encode(text)) % 64 + 1 AS width,
+                   (octet_length(encode(text)) // 64) % 64 + 1 AS height
+            FROM aug
+        ), geo AS (
+            SELECT doc_id, n, width, height,
+                   width * height AS npix,
+                   substring(text, 1, LEAST(n, width * height)) AS body
+            FROM meta
+        ), px AS (
+            SELECT doc_id, width, height, npix,
+                   list_concat(
+                       list_transform(
+                           list_filter(string_split_regex(body, ''),
+                                       x -> x <> ''),
+                           x -> ord(x)),
+                       list_transform(range(npix - LEAST(n, npix)),
+                                      x -> 32)) AS bytes_list
+            FROM geo
+        ), flat AS (
+            SELECT doc_id, width, height, npix,
+                   unnest(bytes_list) AS v,
+                   generate_subscripts(bytes_list, 1) - 1 AS p
+            FROM px
+        ), blocks AS (
+            SELECT doc_id, npix,
+                   ((p // width) * 8 // height) * 8
+                       + ((p % width) * 8 // width) AS blk,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM flat
+            GROUP BY doc_id, npix,
+                     ((p // width) * 8 // height) * 8
+                         + ((p % width) * 8 // width)
+        ), tot AS (
+            SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total FROM blocks
+            GROUP BY doc_id
+        ), bits AS (
+            SELECT b.doc_id, b.blk,
+                   CASE WHEN b.s * b.npix > t.total * b.cnt
+                        THEN 1 ELSE 0 END AS bit
+            FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
+        ), hashes AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(SUM(bit) AS INTEGER) AS n_bright,
+                   CAST(SUM(CASE WHEN bit = 1 AND blk >= 32
+                                 THEN (CAST(1 AS BIGINT)
+                                       << CAST(blk - 32 AS INTEGER))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN bit = 1 AND blk < 32
+                                 THEN (CAST(1 AS BIGINT)
+                                       << CAST(blk AS INTEGER))
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM bits GROUP BY doc_id
+        ), bands AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT doc_id, b.band,
+                       (CASE WHEN b.band < 4
+                             THEN lo >> CAST(8 * b.band AS INTEGER)
+                             ELSE hi >> CAST(8 * (b.band - 4) AS INTEGER)
+                        END) & 255 AS val
+                FROM hashes
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+            ) WHERE val <> 0
+        ), cand AS (
+            SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.val = r.val
+                        AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+               CAST(bit_count(xor(x.hi, y.hi))
+                    + bit_count(xor(x.lo, y.lo)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN hashes x ON c.doc_a = x.doc_id
+        JOIN hashes y ON c.doc_b = y.doc_id
+        WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+                  <= {_ND_HAMMING_MAX}
+          AND LEAST(x.n_bright, y.n_bright) >= {_ND_MIN_BRIGHT}
+        ORDER BY doc_a, doc_b
+    """,
     # Energy-delta fingerprint mirror: same frame-energy reconstruction
     # SHAPE as the m_audio_features oracle but over 32-byte fingerprint
     # frames (_FP_FRAME -- not the 256-byte feature chunks), + a LAG

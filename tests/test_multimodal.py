@@ -46,3 +46,88 @@ def test_synthesized_payloads_are_decodable_images(spark):
         w, h, pix = _parse_pgm(bytes(r["payload"]))
         assert (w, h) == (r["width"], r["height"])
         assert pix.size == r["n_pixels"]
+
+
+def _band_vals(hi: int, lo: int) -> list[tuple[int, int]]:
+    """Python mirror of the engine/oracle 8x8-bit band decomposition."""
+    return [(i, (lo >> (8 * i)) & 255) for i in range(4)] + [
+        (i + 4, (hi >> (8 * i)) & 255) for i in range(4)
+    ]
+
+
+@pytest.mark.parametrize("seed", range(50))
+def test_ahash_banding_recall_under_threshold(seed):
+    """Pigeonhole recall of the m_image_neardup banding: any pair of
+    64-bit hashes at hamming <= 7 leaves at least one of the eight 8-bit
+    bands EQUAL, and whenever an equal band is nonzero the candidate
+    equi-join surfaces the pair. Randomized over seeds instead of
+    hypothesis because the property is pure integer math (no Spark)."""
+    import random
+
+    rng = random.Random(seed)
+    bits = [rng.getrandbits(1) for _ in range(64)]
+    flips = rng.sample(range(64), rng.randint(0, 7))
+    other = list(bits)
+    for f in flips:
+        other[f] ^= 1
+
+    def pack(bs):
+        lo = sum(1 << b for b in range(32) if bs[b])
+        hi = sum(1 << (b - 32) for b in range(32, 64) if bs[b])
+        return hi, lo
+
+    a, b = pack(bits), pack(other)
+    equal = [
+        (band, va)
+        for (band, va), (_, vb) in zip(_band_vals(*a), _band_vals(*b))
+        if va == vb
+    ]
+    assert equal, "hamming <= 7 must leave one of 8 bands untouched"
+    # candidate-generation mirror: nonzero equal band <=> inverted-index hit
+    cand_a = {(band, v) for band, v in _band_vals(*a) if v != 0}
+    cand_b = {(band, v) for band, v in _band_vals(*b) if v != 0}
+    assert bool(cand_a & cand_b) == any(v != 0 for _, v in equal)
+
+
+def test_image_neardup_matches_brute_force(spark):
+    """End-to-end recall AND precision on the real fixture: the banded
+    pipeline's output must equal the all-pairs brute force over the same
+    augmented corpus -- every pair sharing a nonzero band at hamming <= 7
+    with both hashes >= 8 bright blocks, no more, no fewer."""
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        _ND_HAMMING_MAX,
+        _ND_MIN_BRIGHT,
+        _ahash_of,
+        _neardup_corpus,
+        _pgm_of,
+        image_neardup,
+    )
+
+    hashes = {
+        r["doc_id"]: (r["n_bright_blocks"], r["ahash_hi"], r["ahash_lo"])
+        for r in _ahash_of(_pgm_of(_neardup_corpus(spark, SF_DIR))).collect()
+    }
+    want = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        nb_a, hi_a, lo_a = hashes[a]
+        bands_a = {(band, v) for band, v in _band_vals(hi_a, lo_a) if v != 0}
+        for b in ids[i + 1 :]:
+            nb_b, hi_b, lo_b = hashes[b]
+            if min(nb_a, nb_b) < _ND_MIN_BRIGHT:
+                continue
+            bands_b = {
+                (band, v) for band, v in _band_vals(hi_b, lo_b) if v != 0
+            }
+            shared = bands_a & bands_b
+            if not shared:
+                continue
+            hd = bin((hi_a ^ hi_b)).count("1") + bin((lo_a ^ lo_b)).count("1")
+            if hd <= _ND_HAMMING_MAX:
+                want.add((a, b, len(shared), hd))
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"], r["hamming"])
+        for r in image_neardup(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "fixture must witness at least one near-dup pair"
