@@ -84,6 +84,7 @@ DRIVER_WINDOW_SIZE = 50
 _DRIVER_WINDOW_ROTATION = [
     # --- round-10 additions: never driver-checked ---
     "m_image_neardup",
+    "m_audio_neardup",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -134,7 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "t_word_frequency",
     "t_quality_score",
     "t_lang_id",
-    "t_fingerprint",
 ]
 
 

@@ -359,7 +359,14 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows (chunk counts beyond 64 would need halves like
     ``m_image_ahash``; the frame count cap is part of the semantics and
     shared with the oracle). Map-only: one Arrow boundary, no shuffle."""
-    media = _media_table(spark, sf_dir).select("doc_id", "payload")
+    return _afp_of(_media_table(spark, sf_dir)).orderBy("doc_id")
+
+
+def _afp_of(media: DataFrame) -> DataFrame:
+    """Energy-delta fingerprint core over (doc_id, payload) PCM rows ->
+    (doc_id, n_chunks, fp, n_rising); shared by ``audio_fingerprint`` and
+    ``audio_neardup`` (which fingerprints a twin-augmented corpus)."""
+    media = media.select("doc_id", "payload")
     chunk = _FP_FRAME
 
     def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -392,7 +399,7 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         fp_batches,
         "doc_id bigint, n_chunks int, fp bigint, n_rising int",
-    ).orderBy("doc_id")
+    )
 
 
 def image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,10 +576,83 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate PAIRS over the energy-delta fingerprints --
+    the audio leg of the same banded-LSH pipeline as ``image_neardup``,
+    completing the text/image/audio dedup triple end to end
+    (fingerprint -> candidate pairs on all three modalities):
+
+    1. fingerprint the twin-augmented corpus (same 'e' -> 'E' twin
+       transform; the energy-delta bit string is sign-of-difference, so
+       a roughly proportional energy inflation preserves most steps --
+       probe: ALL 500 sf0.1 twins land within hamming 7);
+    2. band the 63 fingerprint bits into eight 8-bit bands, keep
+       NONZERO (band, value) postings (a zero band past a short clip's
+       last frame is shared absence -- the same structural hub as the
+       image side's empty blocks);
+    3. equi-join postings on (band, value);
+    4. verify exactly: bit_count(fp_a ^ fp_b) <= 7, both fingerprints
+       carrying >= 8 rising steps (the entropy gate: near-empty bit
+       strings sit at tiny distances by construction).
+
+    Same pigeonhole recall argument and the same property/brute-force
+    tests as the image key; the DuckDB oracle rebuilds frame energies,
+    fingerprints, bands, candidates and the verify from the raw text."""
+    media = _neardup_corpus(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    fps = _afp_of(media).localCheckpoint()
+    band_structs = ", ".join(
+        f"struct({i} as band, shiftright(fp, {8 * i}) & 255 as val)"
+        for i in range(8)
+    )
+    bands = (
+        fps.select(
+            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("s")
+        )
+        .select("doc_id", "s.band", "s.val")
+        .filter(F.col("val") != 0)
+    )
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    x, y = fps.alias("x"), fps.alias("y")
+    hamming = F.bit_count(F.expr("x.fp ^ y.fp"))
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(
+            (hamming <= _ND_HAMMING_MAX)
+            & (
+                F.least(F.col("x.n_rising"), F.col("y.n_rising"))
+                >= _ND_MIN_BRIGHT
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "m_audio_fingerprint": audio_fingerprint,
     "m_image_ahash": image_ahash,
     "m_image_neardup": image_neardup,
+    "m_audio_neardup": audio_neardup,
     "m_binary_metadata": binary_metadata,
     "m_image_features": image_features,
     "m_image_resize": image_resize,
@@ -681,6 +761,83 @@ ORACLES = {
         WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
                   <= {_ND_HAMMING_MAX}
           AND LEAST(x.n_bright, y.n_bright) >= {_ND_MIN_BRIGHT}
+        ORDER BY doc_a, doc_b
+    """,
+    # Audio twin of the m_image_neardup oracle: the same augmented
+    # corpus, the m_audio_fingerprint frame-energy reconstruction over
+    # it, then nonzero 8-bit bands of the 63-bit fingerprint, the
+    # candidate equi-join, and the exact bit_count(xor)+n_rising verify.
+    # fps/bands MATERIALIZED (multi-referenced CTEs inline otherwise).
+    "m_audio_neardup": f"""
+        WITH aug AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_ND_TWIN_BASE} AS doc_id,
+                   replace(text, 'e', 'E') AS text
+            FROM documents
+            WHERE doc_id % {_ND_TWIN_MOD} = {_ND_TWIN_RES}
+        ), b AS (
+            SELECT doc_id,
+                   list_transform(list_filter(string_split_regex(text, ''),
+                                              x -> x <> ''),
+                                  x -> ord(x)) AS bytes_list
+            FROM aug
+        ), m AS (
+            SELECT doc_id, bytes_list,
+                   GREATEST(CAST(ceil(len(bytes_list) / 32.0) AS INTEGER),
+                            1) AS n_chunks
+            FROM b
+        ), c AS (
+            SELECT doc_id, bytes_list,
+                   CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+            FROM m
+        ), e AS (
+            SELECT doc_id, chunk_idx,
+                   CAST(COALESCE(list_aggregate(
+                       list_transform(
+                           bytes_list[chunk_idx * 32 + 1
+                                      : chunk_idx * 32 + 32],
+                           x -> (x - 128) * (x - 128)),
+                       'sum'), 0) AS BIGINT) AS energy
+            FROM c
+        ), d AS (
+            SELECT doc_id, chunk_idx, energy,
+                   LAG(energy) OVER (PARTITION BY doc_id
+                                     ORDER BY chunk_idx) AS prev
+            FROM e
+        ), fps AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN chunk_idx BETWEEN 1 AND 63
+                                      AND energy > prev
+                                 THEN (CAST(1 AS BIGINT)
+                                       << CAST(chunk_idx - 1 AS INTEGER))
+                                 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN chunk_idx BETWEEN 1 AND 63
+                                      AND energy > prev
+                                 THEN 1 ELSE 0 END) AS INTEGER) AS n_rising
+            FROM d GROUP BY doc_id
+        ), bands AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT doc_id, b2.band,
+                       (fp >> CAST(8 * b2.band AS INTEGER)) & 255 AS val
+                FROM fps
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b2
+            ) WHERE val <> 0
+        ), cand AS (
+            SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.val = r.val
+                        AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+               CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN fps x ON c.doc_a = x.doc_id
+        JOIN fps y ON c.doc_b = y.doc_id
+        WHERE bit_count(xor(x.fp, y.fp)) <= {_ND_HAMMING_MAX}
+          AND LEAST(x.n_rising, y.n_rising) >= {_ND_MIN_BRIGHT}
         ORDER BY doc_a, doc_b
     """,
     # Energy-delta fingerprint mirror: same frame-energy reconstruction

@@ -131,3 +131,60 @@ def test_image_neardup_matches_brute_force(spark):
     }
     assert got == want
     assert want, "fixture must witness at least one near-dup pair"
+
+
+def test_audio_neardup_matches_brute_force(spark):
+    """Audio leg of the banded near-dup pipeline: output must equal the
+    all-pairs brute force over the same augmented corpus -- every pair
+    sharing a nonzero 8-bit fingerprint band at hamming <= 7 with both
+    fingerprints >= 8 rising steps. Twin pairs must be witnessed."""
+    import pyspark.sql.functions as F
+
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        _ND_HAMMING_MAX,
+        _ND_MIN_BRIGHT,
+        _ND_TWIN_BASE,
+        _afp_of,
+        _neardup_corpus,
+        audio_neardup,
+    )
+
+    media = _neardup_corpus(spark, SF_DIR).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    fps = {
+        r["doc_id"]: (r["fp"], r["n_rising"])
+        for r in _afp_of(media).collect()
+    }
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        fp_a, nr_a = fps[a]
+        bands_a = {
+            (band, (fp_a >> (8 * band)) & 255)
+            for band in range(8)
+            if (fp_a >> (8 * band)) & 255
+        }
+        for b in ids[i + 1 :]:
+            fp_b, nr_b = fps[b]
+            if min(nr_a, nr_b) < _ND_MIN_BRIGHT:
+                continue
+            bands_b = {
+                (band, (fp_b >> (8 * band)) & 255)
+                for band in range(8)
+                if (fp_b >> (8 * band)) & 255
+            }
+            shared = bands_a & bands_b
+            if not shared:
+                continue
+            hd = bin(fp_a ^ fp_b).count("1")
+            if hd <= _ND_HAMMING_MAX:
+                want.add((a, b, len(shared), hd))
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"], r["hamming"])
+        for r in audio_neardup(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(
+        b - a == _ND_TWIN_BASE for a, b, _, _ in want
+    ), "fixture must witness at least one twin pair"
