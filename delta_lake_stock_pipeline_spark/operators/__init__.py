@@ -85,6 +85,8 @@ _DRIVER_WINDOW_ROTATION = [
     # --- round-10 additions: never driver-checked ---
     "m_image_neardup",
     "m_audio_neardup",
+    "t_bpe_tokens",
+    "c_seq_packing_bpe",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -133,8 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "t_repetition",
     "t_curation_pipeline",
     "t_word_frequency",
-    "t_quality_score",
-    "t_lang_id",
 ]
 
 

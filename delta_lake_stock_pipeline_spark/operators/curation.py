@@ -160,6 +160,24 @@ def pack_sequences(
     ).orderBy("doc_id")
 
 
+def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``c_seq_packing`` over REAL subword counts: documents are measured
+    with the frozen-BPE tokenizer (``t_bpe_tokens``'s 64 trained merges,
+    one codegen'd replace-chain projection) instead of the whitespace
+    approximation, then packed into 512-token sequences by the same
+    two-phase global-offset core (``pack_sequences``). This is the
+    production billing/packing contract -- sequence budgets are spent in
+    tokenizer units, not words -- and the last missing stage of the
+    curation chain (tokenize -> measure -> pack). Token measurement adds
+    one map-side projection; the packing cost shape is unchanged."""
+    from .text import bpe_token_count_column, with_bpe_columns
+
+    docs = with_bpe_columns(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", bpe_token_count_column().alias("n_tokens"))
+    return pack_sequences(spark, docs)
+
+
 def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing sample: each source gets its own keep rate
     (``100 - 4 * source_index`` percent -- src0 kept fully, src19 at 24%),
@@ -385,6 +403,7 @@ def quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "c_contamination": contamination_check,
     "c_seq_packing": sequence_packing,
+    "c_seq_packing_bpe": sequence_packing_bpe,
     "c_domain_mix": domain_mix,
     "c_blocklist_redaction": blocklist_redaction,
     "c_temperature_mix": temperature_mix,
@@ -395,9 +414,33 @@ QUERIES = {
 from .reshape import md5_bucket_sql as _mb_sql
 
 from .reshape import _PPS_K as _K
+from .text import bpe_count_sql as _bpe_sql
 from .text import qc_score_sql as _qc_sql
 
 ORACLES = {
+    # The c_seq_packing oracle with the SHARED frozen-BPE count fragment
+    # (text.bpe_count_sql -- the same generated replace chain the engine
+    # projects) as the token measure.
+    "c_seq_packing_bpe": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST({_bpe_sql("text")} AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start_token
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(start_token AS BIGINT) AS start_token,
+               CAST(start_token // 512 AS BIGINT) AS first_seq,
+               CAST((start_token + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+               CAST((start_token + n_tokens - 1) // 512
+                    - start_token // 512 + 1 AS BIGINT) AS n_seqs
+        FROM c ORDER BY doc_id
+    """,
     # Composition of the two parent oracles, one definition each: the
     # SHARED qc_score_sql classifier fragment (floored at 1) feeding the
     # r_sample_pps integer tick grid.

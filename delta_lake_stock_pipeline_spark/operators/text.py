@@ -900,6 +900,191 @@ _NOVELTY_ORACLE = """
 """
 
 
+# --- frozen BPE tokenization (VERDICT r9 task 5) --------------------------
+#
+# The 64-merge table below is FROZEN output of tools/train_bpe.py --
+# classic Sennrich-style BPE trained deterministically on the sf0.01
+# corpus (lexicographic tiebreak, sorted iteration; re-running the
+# trainer reproduces it bit-for-bit, asserted by
+# test_properties.py::test_bpe_trainer_reproduces_frozen_merges).
+# Every token is alphanumeric by the trainer's safe-token restriction,
+# so the literals below mean the same bytes in Spark SQL and DuckDB.
+_BPE_MERGES = (
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("a", "s"),
+    ("as", "h"),
+    ("h", "ash"),
+    ("r", "ow"),
+    ("at", "c"),
+    ("atc", "h"),
+    ("b", "atch"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("c", "u"),
+    ("co", "lu"),
+    ("colu", "m"),
+    ("colum", "n"),
+    ("cu", "st"),
+    ("cust", "o"),
+    ("custo", "mer"),
+    ("f", "i"),
+    ("fi", "l"),
+    ("fil", "t"),
+    ("filt", "er"),
+    ("a", "l"),
+    ("al", "l"),
+    ("m", "all"),
+    ("s", "mall"),
+    ("g", "e"),
+    ("l", "ow"),
+    ("mer", "ge"),
+    ("s", "low"),
+    ("c", "t"),
+    ("ct", "or"),
+    ("d", "er"),
+    ("e", "ctor"),
+    ("or", "der"),
+    ("v", "ector"),
+    ("in", "e"),
+    ("l", "ine"),
+    ("a", "b"),
+    ("ab", "l"),
+    ("abl", "e"),
+    ("at", "a"),
+    ("d", "ata"),
+    ("t", "able"),
+    ("u", "p"),
+    ("a", "g"),
+    ("ag", "g"),
+    ("a", "lu"),
+    ("alu", "e"),
+    ("v", "alue"),
+    ("e", "y"),
+    ("k", "ey"),
+)
+
+# Word separator in the flat token string: outside the corpus alphabet
+# (ASCII fixture, asserted by the trainer and the charset probe), never
+# part of a merge, so replaces can never cross a word boundary.
+_BPE_SEP = "§"
+
+
+def bpe_merge_chain_sql(inner: str) -> str:
+    """The 64 frozen merges as ONE nested chain of plain SQL ``replace``
+    calls over a DOUBLE-space-delimited token string (every token is
+    rendered ``' tok '``, so neighbors meet on two spaces): merge
+    (a, b) -> ab is ``replace(s, ' a  b ', ' ab ')``. The double-space
+    rendering is what makes left-to-right non-overlapping replace-all
+    EXACTLY one left-to-right BPE merge pass: each match consumes only
+    the INNER space of each boundary, so adjacent occurrences
+    (``a b a b``, or a run of a repeated token) never overlap -- with
+    single spacing the trailing space of one match is the leading space
+    of the next and replace silently skips it (caught by the hypothesis
+    property test, which pins this chain against the reference per-word
+    merge passes). The replacement keeps single edge spaces, so the
+    invariant survives every merge inductively. Applying merges in
+    training order, each as one full pass, is exact BPE application: a
+    merge can never create an adjacency for an EARLIER pair (merging
+    never deletes tokens between two others). Shared verbatim by the
+    Spark engine and the DuckDB oracle -- ``replace`` is
+    dialect-identical, so the generated expression cannot drift."""
+    expr = inner
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return expr
+
+
+def bpe_count_sql(col: str = "text") -> str:
+    """DuckDB-side count of BPE tokens for ``col``: whitespace runs to
+    the separator, every char rendered ``' c '`` (the double-space token
+    form), the shared merge chain, then count non-separator tokens (the
+    trimmed string splits on the preserved DOUBLE space). Reused by the
+    c_seq_packing_bpe oracle."""
+    base = (
+        "regexp_replace(regexp_replace("
+        f"{col}, '\\s+', '{_BPE_SEP}', 'g'), '(.)', ' \\1 ', 'g')"
+    )
+    merged = bpe_merge_chain_sql(base)
+    return (
+        "len(list_filter(string_split(trim("
+        f"{merged}), '  '), t -> t <> '{_BPE_SEP}' AND t <> ''))"
+    )
+
+
+def bpe_token_count_column() -> F.Column:
+    """Exact BIGINT BPE token count for a ``text`` column -- the engine
+    twin of ``bpe_count_sql``, shared with ``c_seq_packing_bpe``."""
+    return F.size(
+        F.filter(
+            F.split(F.trim(F.col("__bpe_merged")), "  "),
+            lambda t: (t != F.lit(_BPE_SEP)) & (t != F.lit("")),
+        )
+    ).cast("bigint")
+
+
+def with_bpe_columns(docs: DataFrame) -> DataFrame:
+    """Attach ``__bpe_base`` / ``__bpe_merged`` staging columns: the
+    merge chain is one codegen'd projection of nested JVM ``replace``
+    calls -- scan-speed subword tokenization, no UDF, no Python.
+
+    The input is repartitioned to the cluster's parallelism first: the
+    projection is CPU-bound (64 string passes per doc), and a small
+    fixture parquet arrives as ONE input split, which would serialize
+    the whole tokenizer onto one core (measured: 3.5 s single-task vs
+    ~0.5 s spread at sf0.1). At 100 TB the scan's own splits provide the
+    parallelism and the repartition collapses to a cheap no-op-shaped
+    shuffle of (doc_id, text) -- CPU-heavy map work should be split by
+    available cores, not input bytes."""
+    base = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\s+", _BPE_SEP), "(.)", " $1 "
+    )
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return docs.withColumn("__bpe_base", base).withColumn(
+        "__bpe_merged", F.expr(bpe_merge_chain_sql("__bpe_base"))
+    )
+
+
+def bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-subword (BPE) tokenization -- the production stage between
+    raw text and sequence packing that the whitespace ``t_token_count``
+    approximates: apply the 64 deterministically trained merges
+    (``_BPE_MERGES``; reference: Sennrich et al. 2016) to every document
+    and report the exact subword token count plus the md5 of the full
+    tokenized string, which pins the EXACT token sequence, not just its
+    length, against the oracle's independent application of the same
+    merge table.
+
+    Scale shape: the whole tokenizer is one generated projection of
+    nested ``replace`` calls over a space-delimited char string --
+    whole-stage-codegen'd JVM string work, embarrassingly parallel,
+    no shuffle except the deterministic output sort. A 100k-merge
+    production table would move the loop into a Pandas-UDF trie walk
+    (the w_macd Arrow-twin pattern); 64 merges stay cheaper JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        with_bpe_columns(docs)
+        .select(
+            "doc_id",
+            bpe_token_count_column().alias("n_bpe_tokens"),
+            F.md5("__bpe_merged").alias("bpe_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "t_novelty": novelty,
     "t_pii_redaction": pii_redaction,
@@ -919,6 +1104,7 @@ QUERIES = {
     "t_gopher_filter": gopher_filter,
     "t_feature_hash": feature_hash,
     "t_quality_classifier": quality_classifier,
+    "t_bpe_tokens": bpe_tokens,
 }
 
 _MARKER_SQL = {
@@ -930,6 +1116,28 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
 from .reshape import md5_bucket_sql as _mb_sql
 
 ORACLES = {
+    # Independent application of the SAME frozen merge table: the
+    # dialect-shared bpe_merge_chain_sql replace chain over DuckDB's own
+    # regex staging; the md5 pins the exact token sequence byte-for-byte,
+    # so any drift in the chain, the separator handling, or the merge
+    # order mismatches the driver hash.
+    "t_bpe_tokens": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(
+                       text, '\\s+', '{_BPE_SEP}', 'g'),
+                       '(.)', ' \\1 ', 'g') AS b
+            FROM documents
+        ), m AS (
+            SELECT doc_id, {bpe_merge_chain_sql("b")} AS merged FROM s
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(trim(merged), '  '),
+                        t -> t <> '{_BPE_SEP}' AND t <> ''))
+                    AS BIGINT) AS n_bpe_tokens,
+               md5(merged) AS bpe_md5
+        FROM m ORDER BY doc_id
+    """,
     # Trigram novelty; every value BIGINT, ratio in exact basis points.
     "t_novelty": _NOVELTY_ORACLE,
     # Shared aug expression + shared regex constants; md5-pinned redaction.

@@ -2201,3 +2201,68 @@ def test_shingle_pair_measures_match_brute(spark, tmp_path_factory, docs):
     _, want_c = _brute_shingle_pairs(aug)
     assert got_j == want_j
     assert got_c == want_c
+
+
+def _load_bpe_trainer():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "train_bpe",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "train_bpe.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(**{**_SETTINGS, "max_examples": 200})
+def test_bpe_replace_chain_equals_reference_merge(words):
+    """The t_bpe_tokens applier rests on one identity: a left-to-right
+    non-overlapping replace-all of ' a b ' -> ' ab ' on the flat
+    space-delimited token string IS one left-to-right BPE merge pass,
+    and chaining the merges in training order is exact BPE application.
+    Train a fresh table on the generated corpus (so later merges
+    genuinely reference earlier outputs) and pin string-replace against
+    the reference per-word merge passes."""
+    import collections
+    import re
+
+    trainer = _load_bpe_trainer()
+    counts = dict(sorted(collections.Counter(words).items()))
+    merges = trainer.train(counts, n_merges=8)
+
+    # reference: per-word iterative merge passes
+    want = []
+    for w in words:
+        toks = tuple(w)
+        for a, b in merges:
+            toks = trainer.merge_word(toks, a, b)
+        want.extend(toks)
+
+    # applier mirror: the engine/oracle construction with str.replace --
+    # double-space token rendering, so adjacent matches never overlap
+    text = " ".join(words)
+    s = "".join(f" {c} " for c in re.sub(r"\s+", "§", text))
+    for a, b in merges:
+        s = s.replace(f" {a}  {b} ", f" {a}{b} ")
+    got = [t for t in s.strip().split("  ") if t not in ("§", "")]
+    assert got == want
+
+
+def test_bpe_trainer_reproduces_frozen_merges():
+    """The frozen _BPE_MERGES table must be bit-for-bit regenerable from
+    the sf0.01 fixture -- the same reproducibility contract as the
+    quality-classifier weights (no seed, no iteration-order dependence)."""
+    from delta_lake_stock_pipeline_spark.operators.text import _BPE_MERGES
+
+    trainer = _load_bpe_trainer()
+    merges = trainer.train(trainer.word_counts("/root/testdata/sf0.01"))
+    assert tuple(merges) == _BPE_MERGES
