@@ -611,6 +611,15 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic fixpoint (min id per component) -> exact DuckDB oracle
     via WITH RECURSIVE transitive closure.
+
+    Scale ceiling (SCALING.md §round-9 probes): min-label stays the
+    faster form on shallow near-dup graphs (2-4x vs star contraction on
+    fixture-shaped components), but each round broadcasts the full
+    |nodes-with-a-dup| label table and needs O(diameter) rounds -- the
+    broadcast dies around O(10^8) labeled nodes and a chained-copy
+    component stalls the round count. Past either limit the documented
+    fallback is ``cc_largestar`` below: same pair graph, same output
+    contract, O(log^2 n) rounds independent of diameter, no broadcast.
     """
     # Materialize the pair list ONCE before symmetrizing -- a plain union
     # would re-run the whole shingle-join pipeline per branch.
