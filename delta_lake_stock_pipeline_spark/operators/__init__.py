@@ -87,6 +87,7 @@ _DRIVER_WINDOW_ROTATION = [
     "m_audio_neardup",
     "t_bpe_tokens",
     "c_seq_packing_bpe",
+    "m_image_dup_clusters",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -134,7 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "t_token_count",
     "t_repetition",
     "t_curation_pipeline",
-    "t_word_frequency",
 ]
 
 

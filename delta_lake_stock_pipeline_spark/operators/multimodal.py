@@ -576,6 +576,25 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive image-duplicate CLUSTERS: connected components over the
+    verified ``m_image_neardup`` pair graph, labeling every involved image
+    with its component minimum -- the step that collapses "A~B, B~C" into
+    one keeper decision, giving the image leg the same
+    fingerprint -> pairs -> clusters chain the text side has
+    (``d_ngram_jaccard`` -> ``d_dup_clusters``). Runs on the
+    large-star/small-star core (``dedup.largestar_components``): banded
+    hamming graphs chain through intermediate hashes, so the
+    diameter-independent form is the right default here, and the labeling
+    cost is on the (tiny) pair output, never the image table. Same
+    DuckDB transitive-closure oracle shape as ``d_dup_clusters``, nested
+    over the full pair-pipeline rebuild."""
+    from .dedup import largestar_components
+
+    pairs = image_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    return largestar_components(pairs).orderBy("doc_id")
+
+
 def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate PAIRS over the energy-delta fingerprints --
     the audio leg of the same banded-LSH pipeline as ``image_neardup``,
@@ -1110,3 +1129,27 @@ ORACLES = {
         ORDER BY doc_id, chunk_idx
     """,
 }
+
+QUERIES["m_image_dup_clusters"] = image_dup_clusters
+
+# The d_dup_clusters recursive-closure shape nested over the FULL
+# m_image_neardup pair rebuild: the oracle re-derives the pair graph from
+# raw text (twin augmentation, aHash grid, bands, verify) and then walks
+# the transitive closure -- component minimum per involved image, the
+# exact fixpoint largestar_components computes.
+ORACLES["m_image_dup_clusters"] = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({ORACLES["m_image_neardup"]})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
