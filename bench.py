@@ -170,6 +170,12 @@ def main() -> int:
         from delta_lake_stock_pipeline_spark.operators.dedup import _dup_pairs
 
         _setup("dedup_pairs", lambda: _dup_pairs(spark, sf_dir))
+    if names & {"m_image_dup_clusters", "m_image_keeper"}:
+        from delta_lake_stock_pipeline_spark.operators.multimodal import (
+            _nd_clusters,
+        )
+
+        _setup("image_nd_clusters", lambda: _nd_clusters(spark, sf_dir))
 
     band_start = _band_probe(spark, queries, sf_dir)
 
@@ -225,6 +231,7 @@ def main() -> int:
     print(json.dumps(out))
     from delta_lake_stock_pipeline_spark.operators.dedup import clear_posts_cache
     from delta_lake_stock_pipeline_spark.operators.formats import clear_roundtrip_dirs
+    from delta_lake_stock_pipeline_spark.operators.multimodal import clear_nd_cache
     from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
         clear_lifecycle_dirs,
     )
@@ -233,6 +240,7 @@ def main() -> int:
     clear_roundtrip_dirs()
     clear_lifecycle_dirs()
     clear_posts_cache()
+    clear_nd_cache()
     clear_mv_dirs()
     spark.stop()
     return 1 if failures else 0

@@ -88,6 +88,8 @@ _DRIVER_WINDOW_ROTATION = [
     "t_bpe_tokens",
     "c_seq_packing_bpe",
     "m_image_dup_clusters",
+    "m_image_keeper",
+    "t_bpe_vocab",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -133,8 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "w_gap_fill",
     "w_backtest_naive",
     "t_token_count",
-    "t_repetition",
-    "t_curation_pipeline",
 ]
 
 

@@ -1085,6 +1085,30 @@ def bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 SUBWORD frequency: explode the frozen-BPE token
+    stream (same shared tokenizer columns as ``t_bpe_tokens``) into a
+    two-phase hash-agg -- the vocabulary-audit query every tokenized
+    corpus runs (which subwords dominate the token budget). Deterministic
+    top-20 via (count DESC, token) total order. Map-side partial
+    aggregation bounds the shuffle at |vocab| per partition."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = with_bpe_columns(docs).select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("__bpe_merged")), "  "),
+                lambda t: (t != F.lit(_BPE_SEP)) & (t != F.lit("")),
+            )
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "t_novelty": novelty,
     "t_pii_redaction": pii_redaction,
@@ -1105,6 +1129,7 @@ QUERIES = {
     "t_feature_hash": feature_hash,
     "t_quality_classifier": quality_classifier,
     "t_bpe_tokens": bpe_tokens,
+    "t_bpe_vocab": bpe_vocab,
 }
 
 _MARKER_SQL = {
@@ -1137,6 +1162,26 @@ ORACLES = {
                     AS BIGINT) AS n_bpe_tokens,
                md5(merged) AS bpe_md5
         FROM m ORDER BY doc_id
+    """,
+    # Same staging as t_bpe_tokens, unnested into the corpus-level
+    # subword frequency; (n DESC, token) makes the 20-row cut total.
+    "t_bpe_vocab": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(
+                       text, '\\s+', '{_BPE_SEP}', 'g'),
+                       '(.)', ' \\1 ', 'g') AS b
+            FROM documents
+        ), m AS (
+            SELECT doc_id, {bpe_merge_chain_sql("b")} AS merged FROM s
+        ), tok AS (
+            SELECT unnest(list_filter(string_split(trim(merged), '  '),
+                          t -> t <> '{_BPE_SEP}' AND t <> '')) AS token
+            FROM m
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY token
+        ORDER BY n DESC, token LIMIT 20
     """,
     # Trigram novelty; every value BIGINT, ratio in exact basis points.
     "t_novelty": _NOVELTY_ORACLE,
