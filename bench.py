@@ -176,6 +176,12 @@ def main() -> int:
         )
 
         _setup("image_nd_clusters", lambda: _nd_clusters(spark, sf_dir))
+    if names & {"m_audio_dup_clusters", "m_audio_keeper"}:
+        from delta_lake_stock_pipeline_spark.operators.multimodal import (
+            _and_clusters,
+        )
+
+        _setup("audio_nd_clusters", lambda: _and_clusters(spark, sf_dir))
 
     band_start = _band_probe(spark, queries, sf_dir)
 

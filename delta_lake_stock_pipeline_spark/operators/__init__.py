@@ -90,6 +90,8 @@ _DRIVER_WINDOW_ROTATION = [
     "m_image_dup_clusters",
     "m_image_keeper",
     "t_bpe_vocab",
+    "m_audio_dup_clusters",
+    "m_audio_keeper",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -133,8 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "r_pivot",
     "w_sessionize",
     "w_gap_fill",
-    "w_backtest_naive",
-    "t_token_count",
 ]
 
 

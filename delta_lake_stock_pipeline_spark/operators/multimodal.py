@@ -590,11 +590,25 @@ def clear_nd_cache() -> None:
 
 
 def _nd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "image")
     if key not in _ND_CACHE:
         from .dedup import largestar_components
 
         pairs = image_neardup(spark, sf_dir).select("doc_a", "doc_b")
+        _ND_CACHE[key] = largestar_components(pairs).localCheckpoint()
+    return _ND_CACHE[key]
+
+
+def _and_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``_nd_clusters``: star-contraction labels over the
+    verified ``m_audio_neardup`` pair graph (sf0.1: 3,599 pairs, 472
+    labeled clips with one 463-clip near-clique), cached per session and
+    shared by the audio clusters and keeper keys."""
+    key = (spark.sparkContext.applicationId, sf_dir, "audio")
+    if key not in _ND_CACHE:
+        from .dedup import largestar_components
+
+        pairs = audio_neardup(spark, sf_dir).select("doc_a", "doc_b")
         _ND_CACHE[key] = largestar_components(pairs).localCheckpoint()
     return _ND_CACHE[key]
 
@@ -1238,5 +1252,102 @@ ORACLES["m_image_keeper"] = f"""
                    ORDER BY g.n_pixels DESC, c.doc_id)
                 THEN 1 ELSE 0 END AS INTEGER) AS kept
     FROM clusters c JOIN geo g ON c.doc_id = g.doc_id
+    ORDER BY c.doc_id
+"""
+
+
+def audio_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive audio-duplicate CLUSTERS: connected components over the
+    verified ``m_audio_neardup`` pair graph via the shared star-contraction
+    core -- the audio leg of the fingerprint -> pairs -> clusters chain,
+    completing cluster symmetry across all three modalities. The sf0.1
+    graph concentrates into one 463-clip near-clique (short clips share
+    dense low bands), a contraction-friendly but broadcast-hostile shape.
+    Same nested recursive-closure oracle as the image leg."""
+    return _and_clusters(spark, sf_dir).orderBy("doc_id")
+
+
+def audio_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-dedup DECISION artifact: within every ``m_audio_dup_clusters``
+    component keep the LONGEST clip (n_chunks DESC, doc_id tiebreak) --
+    the full recording wins over its excerpt/re-encode, the audio analog
+    of ``m_image_keeper``'s highest-resolution rule. Emits (doc_id,
+    cluster_id, n_chunks, keeper_id, kept); kept = 0 rows are the drop
+    list. Labels come from the cached pair-graph contraction; one join to
+    per-clip length metadata and one window per cluster."""
+    from pyspark.sql import Window
+
+    clusters = _and_clusters(spark, sf_dir)
+    media = _neardup_corpus(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    lens = media.select(
+        "doc_id",
+        F.greatest(
+            F.ceil(F.octet_length("payload") / _FP_FRAME).cast("int"),
+            F.lit(1),
+        ).alias("n_chunks"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chunks"), "doc_id")
+    return (
+        clusters.join(lens, "doc_id")
+        .withColumn("keeper_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chunks",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["m_audio_dup_clusters"] = audio_dup_clusters
+QUERIES["m_audio_keeper"] = audio_keeper
+
+# Audio twins of the image-leg oracles: the same recursive closure and
+# FIRST_VALUE keeper shapes nested over the m_audio_neardup pair rebuild.
+ORACLES["m_audio_dup_clusters"] = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({ORACLES["m_audio_neardup"]})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["m_audio_keeper"] = f"""
+    WITH clusters AS MATERIALIZED ({ORACLES["m_audio_dup_clusters"]}),
+    lens AS (
+        SELECT doc_id,
+               CAST(GREATEST(ceil(octet_length(encode(text)) / 32.0),
+                             1) AS INTEGER) AS n_chunks
+        FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_ND_TWIN_BASE} AS doc_id,
+                   replace(text, 'e', 'E') AS text
+            FROM documents
+            WHERE doc_id % {_ND_TWIN_MOD} = {_ND_TWIN_RES}
+        )
+    )
+    SELECT c.doc_id, c.cluster_id, l.n_chunks,
+           FIRST_VALUE(c.doc_id) OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY l.n_chunks DESC, c.doc_id) AS keeper_id,
+           CAST(CASE WHEN c.doc_id = FIRST_VALUE(c.doc_id) OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY l.n_chunks DESC, c.doc_id)
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM clusters c JOIN lens l ON c.doc_id = l.doc_id
     ORDER BY c.doc_id
 """
