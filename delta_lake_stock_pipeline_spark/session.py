@@ -50,6 +50,23 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+
+    # This sandbox's /tmp is periodically wiped by an external cleaner --
+    # observed DELETING LIVE STATE MID-RUN (blockmgr shuffle files, the
+    # round-trip keys' mkdtemp dirs; tools/plans_probe.py records two
+    # earlier kills). Keep every scratch surface -- Spark's local dirs AND
+    # tempfile.mkdtemp's default -- under the repo instead. Harmless
+    # elsewhere; a real deployment overrides with SPARK_LOCAL_DIRS on
+    # fast local disks.
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    if "TMPDIR" not in os.environ:
+        import tempfile
+
+        os.environ["TMPDIR"] = scratch
+        tempfile.tempdir = None  # drop the cached default so TMPDIR applies
     if shuffle_partitions is None:
         # Measured on local[32] at sf0.1: 32 shuffle partitions run ~3x
         # slower than 16 (per-task overhead + GC dominate at sub-GB scale).
@@ -87,6 +104,7 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local fixtures are small files; keep driver display cheap
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", os.path.join(scratch, "spark-local"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     if _HAVE_DELTA:
