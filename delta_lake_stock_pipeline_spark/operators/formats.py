@@ -3,8 +3,9 @@ extension): the engine's CSV and JSON-lines connectors, proven lossless.
 
 The reference ingests from a REST API and stores Delta/parquet only; a
 general engine also has to interchange with the text formats every data
-vendor ships. Each key here writes the ``orders`` fixture out through the
-format's sink (explicit schema, header on for CSV), reads it back through
+vendor ships (CSV, JSON-lines, ORC, and Spark 4's built-in XML). Each key
+here writes the ``orders`` fixture out through the format's sink (explicit
+schema, header on for CSV), reads it back through
 the matching source, and aggregates; the DuckDB oracle computes the same
 aggregate off the ORIGINAL parquet -- equality proves the round-trip
 preserved every value (long, double, date, string with commas/quotes).
@@ -58,6 +59,8 @@ def _roundtrip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             writer.option("header", "true").csv(path)
         elif fmt == "orc":
             writer.orc(path)
+        elif fmt == "xml":
+            writer.format("xml").option("rowTag", "order").save(path)
         else:
             writer.json(path)
         _written[key] = path
@@ -105,6 +108,33 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema travels IN the file so no explicit DDL on read."""
     path = _roundtrip_path(spark, sf_dir, "orc")
     return _orders_aggregate(spark.read.orc(path))
+
+
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> XML sink -> XML source -> aggregate. Spark 4's built-in
+    XML connector (the Databricks spark-xml package folded into core):
+    one ``<order>`` element per row, values XML-escaped on write and
+    unescaped on parse, read back under the same explicit DDL as the CSV
+    leg (inference over 100 TB of XML would be a full extra pass).
+
+    Scale note: unlike CSV/JSON a row spans multiple physical lines, but
+    the StAX reader still splits the directory by FILE, so a many-file
+    feed (how XML data actually arrives: one document per export) fans
+    out across executors; a single giant XML file would not split --
+    which is a property of the format, stated here so nobody ships one.
+    Aggregate equality against the ORIGINAL parquet proves every value
+    (long, double, timestamp, strings) survived the markup round-trip."""
+    path = _roundtrip_path(spark, sf_dir, "xml")
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        # the reader's default TRIMS element text -- silently lossy for
+        # padded strings (pinned by test_xml_escapes_markup_characters)
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(_ORDERS_DDL)
+        .load(path)
+    )
+    return _orders_aggregate(df)
 
 
 def _binary_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -195,6 +225,7 @@ QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
     "src_orc_roundtrip": orc_roundtrip,
+    "src_xml_roundtrip": xml_roundtrip,
     "src_binary_files": binary_files_source,
     "src_python_datasource": python_datasource,
 }
@@ -214,6 +245,7 @@ ORACLES = {
     "src_csv_roundtrip": _AGG_SQL,
     "src_json_roundtrip": _AGG_SQL,
     "src_orc_roundtrip": _AGG_SQL,
+    "src_xml_roundtrip": _AGG_SQL,
     # Recomputed from the ORIGINAL table: equality proves the binaryFile
     # source returned exactly the bytes the files were written with.
     "src_binary_files": """

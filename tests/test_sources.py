@@ -21,8 +21,10 @@ def _events(spark, sf_dir):
     )
 
 
-def _roundtrip(df, path, fmt, **read_opts):
-    df.write.format(fmt).mode("overwrite").options(header=True).save(path)
+def _roundtrip(df, path, fmt, write_opts=None, **read_opts):
+    df.write.format(fmt).mode("overwrite").options(
+        header=True, **(write_opts or {})
+    ).save(path)
     return (
         df.sparkSession.read.format(fmt)
         .options(**read_opts)
@@ -50,6 +52,38 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     got = _roundtrip(events, str(tmp_path / "orc"), "orc")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, events.collect()))
     assert got.schema == events.schema
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    # Spark 4 built-in XML source; props holds JSON ('{', '"', ':') so the
+    # round-trip exercises XML escaping of markup-significant characters.
+    events = _events(spark, sf_dir)
+    got = _roundtrip(
+        events, str(tmp_path / "xml"), "xml",
+        write_opts={"rowTag": "event"},
+        rowTag="event", ignoreSurroundingSpaces="false",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, events.collect()))
+    assert got.schema == events.schema
+
+
+def test_xml_escapes_markup_characters(spark, tmp_path):
+    """Values containing XML metacharacters must survive the sink/source
+    pair byte-for-byte -- the failure mode unique to a markup format."""
+    rows = [(1, 'a<b>&"c"</b>'), (2, "x]]>y"), (3, "  pad  ")]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    path = str(tmp_path / "esc")
+    df.write.format("xml").option("rowTag", "r").save(path)
+    got = (
+        spark.read.format("xml")
+        .option("rowTag", "r")
+        # default true TRIMS element text -- the markup-format gotcha this
+        # test exists to pin (src_xml_roundtrip's reader sets it too)
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(df.schema)
+        .load(path)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(rows)
 
 
 def test_python_datasource_plans_partition_per_ticker(spark):
