@@ -1171,6 +1171,60 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (name, engine-side string rendering) per profiled column. The NULLIF
+# derivation is the null-path witness: the fixtures carry no NULLs, and a
+# profiler whose null counter was never exercised is untested where it
+# matters most (profiling exists to find dirty data).
+_PROFILE_COLS = (
+    ("event_id", "CAST(event_id AS STRING)"),
+    ("ts", "CAST(ts AS STRING)"),
+    ("user_id", "CAST(user_id AS STRING)"),
+    ("event_type", "event_type"),
+    ("value", "CAST(value AS STRING)"),
+    ("props", "props"),
+    ("etype_nonview", "NULLIF(event_type, 'view')"),
+)
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-profiling scan -- the first query every ingestion
+    pipeline runs on a new feed: row count, NULL count, and exact distinct
+    cardinality for every column of ``events`` (plus one derived nullable
+    column; see ``_PROFILE_COLS``).
+
+    Shape: ONE scan melted by ``stack`` into (column_name, value) pairs,
+    then a single hash-agg -- exactly the row multiplication a multi-column
+    ``COUNT(DISTINCT)`` would plan via Expand, but with the per-column
+    stats landing as ROWS (the profiling report shape) instead of one
+    ever-wider row. Values are compared as strings: both engines render
+    bigint/double/timestamp injectively, and only per-engine injectivity
+    matters for a COUNT(DISTINCT) -- the rendered strings never cross the
+    engine boundary.
+
+    Scale: the melt multiplies the shuffle by |cols|, and partial
+    (map-side) aggregation on (column_name, value) collapses it back to
+    per-partition distinct values before the exchange. At 100 TB one
+    would swap exact distinct for ``approx_count_distinct`` per column in
+    a single un-melted pass (no row multiplication at all) -- the
+    x_approx_count_distinct / x_hll_sketch keys are that path; this key
+    is the exact-report form, priced one shuffle."""
+    branches = ", ".join(f"'{n}', {expr}" for n, expr in _PROFILE_COLS)
+    melted = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {branches}) AS (column_name, v)"
+        )
+    )
+    return (
+        melted.groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+            F.countDistinct("v").alias("n_distinct"),
+        )
+        .orderBy("column_name")
+    )
+
+
 QUERIES = {
     "x_weighted_median": weighted_median,
     "a0_flagship_daily_rollup": flagship_daily_rollup,
@@ -1204,6 +1258,7 @@ QUERIES = {
     "x_approx_topk_anchor": approx_topk_anchor,
     "x_cms_anchor": cms_anchor,
     "x_stats_moments": stats_moments,
+    "x_column_profile": column_profile,
 }
 
 ORACLES = {
@@ -1591,6 +1646,25 @@ ORACLES = {
                ROUND(covar_samp(l_quantity, l_extendedprice), 2)
                    AS covar_qty_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # Same melt, same string renderings (both engines render
+    # bigint/double/timestamp injectively, which is all COUNT(DISTINCT)
+    # needs); COUNT(*) - COUNT(v) is the null counter on both sides.
+    "x_column_profile": """
+        WITH m AS (
+            SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS v FROM events
+            UNION ALL SELECT 'ts', CAST(ts AS VARCHAR) FROM events
+            UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+            UNION ALL SELECT 'event_type', event_type FROM events
+            UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+            UNION ALL SELECT 'props', props FROM events
+            UNION ALL SELECT 'etype_nonview', NULLIF(event_type, 'view') FROM events
+        )
+        SELECT column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(v) AS n_nulls,
+               COUNT(DISTINCT v) AS n_distinct
+        FROM m GROUP BY column_name ORDER BY column_name
     """,
     # x_approx_count_distinct / x_percentile_approx: intentionally no
     # oracle (sketch-based); exact twins are the anchors.
