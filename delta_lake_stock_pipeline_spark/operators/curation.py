@@ -99,6 +99,67 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_NGRAM = 8
+
+
+def token_gram_hashes(toks: DataFrame, n: int = _BPE_NGRAM) -> DataFrame:
+    """Distinct n-gram hashes over a ``(doc_id, toks: array<string>)``
+    frame: one posting row per (doc, distinct gram), gram identity =
+    xxhash64 of the space-joined token window. Separated from
+    ``contamination_check_bpe`` so the property test can drive it with
+    arbitrary synthetic token streams against a brute-force mirror."""
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"""case when size(toks) < {n} then array()
+                        else transform(sequence(1, size(toks) - {n - 1}),
+                                       i -> xxhash64(array_join(slice(toks, i, {n}), ' ')))
+                        end"""
+                )
+            )
+        ).alias("gh"),
+    )
+
+
+def contamination_check_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination in frozen-TOKENIZER space: which training
+    documents share at least one 8-gram of BPE tokens with the held-out
+    eval split (``doc_id % 10 == 0``), and how many distinct token grams
+    leak. This is the form the published decontamination recipes actually
+    run (GPT-3 appendix C, PaLM: 8-13 TOKEN n-grams, not word n-grams) --
+    word-level ``c_contamination`` misses a leak that tokenizes
+    identically but differs in whitespace; token-level doesn't.
+
+    The gram stream deliberately crosses word boundaries: the token
+    sequence a trained model consumes has no word-boundary privileges,
+    so neither does the overlap scan (the ``§`` separator tokens are
+    dropped BEFORE gramming on both engines).
+
+    Scale shape: identical to ``c_contamination`` -- the eval side is a
+    benchmark suite (thousands of docs), its distinct gram-hash set is
+    ``broadcast()``, and the 100 TB train posting table is semi-joined
+    map-side with no shuffle of train grams. Tokenization itself is the
+    shared codegen'd replace chain (``text.with_bpe_columns``) -- scan
+    speed, no UDF."""
+    from .text import bpe_token_array_column, with_bpe_columns
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = with_bpe_columns(docs).select(
+        "doc_id", bpe_token_array_column().alias("toks")
+    )
+    grams = token_gram_hashes(toks)
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
+    train_grams = grams.filter(F.col("doc_id") % 10 != 0)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_bpe_grams"))
+        .orderBy("doc_id")
+    )
+
+
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: documents in doc_id order are laid
     end-to-end and cut into 512-token training sequences; each document
@@ -402,6 +463,7 @@ def quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "c_contamination": contamination_check,
+    "c_contamination_bpe": contamination_check_bpe,
     "c_seq_packing": sequence_packing,
     "c_seq_packing_bpe": sequence_packing_bpe,
     "c_domain_mix": domain_mix,
@@ -415,9 +477,34 @@ from .reshape import md5_bucket_sql as _mb_sql
 
 from .reshape import _PPS_K as _K
 from .text import bpe_count_sql as _bpe_sql
+from .text import bpe_token_list_sql as _bpe_list_sql
 from .text import qc_score_sql as _qc_sql
 
 ORACLES = {
+    # The c_contamination oracle in BPE-token space: the SHARED frozen
+    # tokenizer fragment (text.bpe_token_list_sql -- the same generated
+    # replace chain the engine projects) produces the token list, then
+    # 8-gram membership by STRING vs xxhash64 engine-side (equality
+    # modulo hash collisions, which the match itself verifies). toks is
+    # MATERIALIZED: the grams CTE is referenced twice (train + eval
+    # sides) and the 64-replace chain is the expensive part.
+    "c_contamination_bpe": f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, {_bpe_list_sql("text")} AS w
+            FROM documents
+        ), grams AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w) - 7, 0) + 1),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g
+            FROM toks
+        )
+        SELECT t.doc_id, COUNT(*) AS n_shared_bpe_grams
+        FROM grams t
+        WHERE t.doc_id % 10 <> 0
+          AND t.g IN (SELECT g FROM grams e WHERE e.doc_id % 10 = 0)
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
     # The c_seq_packing oracle with the SHARED frozen-BPE count fragment
     # (text.bpe_count_sql -- the same generated replace chain the engine
     # projects) as the token measure.

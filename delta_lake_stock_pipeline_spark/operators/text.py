@@ -1007,32 +1007,43 @@ def bpe_merge_chain_sql(inner: str) -> str:
     return expr
 
 
-def bpe_count_sql(col: str = "text") -> str:
-    """DuckDB-side count of BPE tokens for ``col``: whitespace runs to
+def bpe_token_list_sql(col: str = "text") -> str:
+    """DuckDB-side LIST of BPE tokens for ``col``: whitespace runs to
     the separator, every char rendered ``' c '`` (the double-space token
-    form), the shared merge chain, then count non-separator tokens (the
-    trimmed string splits on the preserved DOUBLE space). Reused by the
-    c_seq_packing_bpe oracle."""
+    form), the shared merge chain, then the non-separator tokens (the
+    trimmed string splits on the preserved DOUBLE space). Shared by the
+    count below and the c_contamination_bpe gram oracle."""
     base = (
         "regexp_replace(regexp_replace("
         f"{col}, '\\s+', '{_BPE_SEP}', 'g'), '(.)', ' \\1 ', 'g')"
     )
     merged = bpe_merge_chain_sql(base)
     return (
-        "len(list_filter(string_split(trim("
-        f"{merged}), '  '), t -> t <> '{_BPE_SEP}' AND t <> ''))"
+        f"list_filter(string_split(trim({merged}), '  '), "
+        f"t -> t <> '{_BPE_SEP}' AND t <> '')"
+    )
+
+
+def bpe_count_sql(col: str = "text") -> str:
+    """DuckDB-side count of BPE tokens for ``col``. Reused by the
+    c_seq_packing_bpe oracle."""
+    return f"len({bpe_token_list_sql(col)})"
+
+
+def bpe_token_array_column() -> F.Column:
+    """Engine-side ARRAY of BPE tokens from the ``__bpe_merged`` staging
+    column -- the twin of ``bpe_token_list_sql``, shared by the count
+    below, ``t_bpe_vocab``, and ``c_contamination_bpe``."""
+    return F.filter(
+        F.split(F.trim(F.col("__bpe_merged")), "  "),
+        lambda t: (t != F.lit(_BPE_SEP)) & (t != F.lit("")),
     )
 
 
 def bpe_token_count_column() -> F.Column:
     """Exact BIGINT BPE token count for a ``text`` column -- the engine
     twin of ``bpe_count_sql``, shared with ``c_seq_packing_bpe``."""
-    return F.size(
-        F.filter(
-            F.split(F.trim(F.col("__bpe_merged")), "  "),
-            lambda t: (t != F.lit(_BPE_SEP)) & (t != F.lit("")),
-        )
-    ).cast("bigint")
+    return F.size(bpe_token_array_column()).cast("bigint")
 
 
 def with_bpe_columns(docs: DataFrame) -> DataFrame:
@@ -1094,12 +1105,7 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation bounds the shuffle at |vocab| per partition."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = with_bpe_columns(docs).select(
-        F.explode(
-            F.filter(
-                F.split(F.trim(F.col("__bpe_merged")), "  "),
-                lambda t: (t != F.lit(_BPE_SEP)) & (t != F.lit("")),
-            )
-        ).alias("token")
+        F.explode(bpe_token_array_column()).alias("token")
     )
     return (
         toks.groupBy("token")

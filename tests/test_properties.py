@@ -2257,6 +2257,53 @@ def test_bpe_replace_chain_equals_reference_merge(words):
     assert got == want
 
 
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "ba"]), max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_token_gram_hashes_match_brute_force(spark, docs, n):
+    """c_contamination_bpe's gram extractor (sequence/slice/xxhash64 HOF
+    chain) vs a Python sliding window: per doc, the DISTINCT gram set
+    must be exactly the brute's. Gram identity is checked through the
+    same xxhash64 the engine uses by hashing the brute's gram strings
+    with Spark itself -- the hash function cancels, the WINDOWING is
+    what's under test (off-by-one in sequence/slice bounds, short-doc
+    empty case, ambiguous token boundaries like ['a','b'] vs ['ab']
+    which the space join keeps distinct... the small alphabet forces
+    collisions of every such shape)."""
+    from delta_lake_stock_pipeline_spark.operators.curation import (
+        token_gram_hashes,
+    )
+
+    toks = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)],
+        "doc_id bigint, toks array<string>",
+    )
+    got = {
+        (r.doc_id, r.gh)
+        for r in token_gram_hashes(toks, n=n).collect()
+    }
+
+    brute = {
+        (i, " ".join(d[j : j + n]))
+        for i, d in enumerate(docs)
+        for j in range(len(d) - n + 1)
+    }
+    if brute:
+        hashed = spark.createDataFrame(
+            [(i, g) for i, g in brute], "doc_id bigint, g string"
+        ).select("doc_id", F.xxhash64("g").alias("gh"))
+        want = {(r.doc_id, r.gh) for r in hashed.collect()}
+    else:
+        want = set()
+    assert got == want
+
+
 def test_bpe_trainer_reproduces_frozen_merges():
     """The frozen _BPE_MERGES table must be bit-for-bit regenerable from
     the sf0.01 fixture -- the same reproducibility contract as the
