@@ -496,6 +496,31 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(twins)
 
 
+def _ahash_bands(ah: DataFrame) -> DataFrame:
+    """Nonzero 8-bit-band inverted-index postings (doc_id, band, val)
+    over (doc_id, ahash_hi, ahash_lo) rows; the zero-band suppression is
+    the hub control (see ``_ND_MIN_BRIGHT``). Shared by the batch
+    self-join (``image_neardup``) and the incremental admission's
+    asymmetric join (``image_incremental``)."""
+    band_structs = ", ".join(
+        [
+            f"struct({i} as band, shiftright(ahash_lo, {8 * i}) & 255 as val)"
+            for i in range(4)
+        ]
+        + [
+            f"struct({i + 4} as band, shiftright(ahash_hi, {8 * i}) & 255 as val)"
+            for i in range(4)
+        ]
+    )
+    return (
+        ah.select(
+            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("s")
+        )
+        .select("doc_id", "s.band", "s.val")
+        .filter(F.col("val") != 0)
+    )
+
+
 def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate PAIRS over the aHash fingerprints -- the step
     a multimodal curation pipeline runs right after hashing, completing
@@ -520,23 +545,7 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash table is a persisted artifact and the banding join shuffles
     postings, not images -- the text-dedup shape exactly."""
     ah = _ahash_of(_pgm_of(_neardup_corpus(spark, sf_dir))).localCheckpoint()
-    band_structs = ", ".join(
-        [
-            f"struct({i} as band, shiftright(ahash_lo, {8 * i}) & 255 as val)"
-            for i in range(4)
-        ]
-        + [
-            f"struct({i + 4} as band, shiftright(ahash_hi, {8 * i}) & 255 as val)"
-            for i in range(4)
-        ]
-    )
-    bands = (
-        ah.select(
-            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("s")
-        )
-        .select("doc_id", "s.band", "s.val")
-        .filter(F.col("val") != 0)
-    )
+    bands = _ahash_bands(ah)
     cand = (
         bands.alias("l")
         .join(
@@ -662,6 +671,107 @@ def image_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (online) image admission -- the production shape of
+    the image-dedup leg, mirroring ``d_incremental_neardup``: a standing
+    100 TB image corpus is never re-deduped against itself; each arriving
+    batch is checked against the corpus's banded aHash index and admitted
+    or matched. The twin-augmented corpus provides the arrival split for
+    free: the perturbed re-uploads (doc_id >= ``_ND_TWIN_BASE``) ARE the
+    incoming batch, the natural docs the standing corpus.
+
+    Per batch image: its BEST corpus match among banded candidates that
+    pass the exact verify (hamming <= 7, both >= 8 bright blocks), argmin
+    under (hamming ASC, corpus doc ASC); novel images carry NULL match
+    columns and is_novel = 1.
+
+    Scale shape: an ASYMMETRIC equi-join -- batch postings (small)
+    against corpus postings on nonzero (band, val); no self-join, cost
+    linear in the batch for a fixed corpus, and the corpus postings are
+    the maintained index artifact at scale. Within-batch duplicates are
+    ``m_image_neardup``'s separate pass, exactly like the text split."""
+    from pyspark.sql import Window as _W
+
+    ah = _ahash_of(_pgm_of(_neardup_corpus(spark, sf_dir))).localCheckpoint()
+    is_batch = F.col("doc_id") >= _ND_TWIN_BASE
+    corpus, batch = ah.filter(~is_batch), ah.filter(is_batch)
+    cand = (
+        _ahash_bands(batch)
+        .alias("n")
+        .join(
+            _ahash_bands(corpus).alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.val") == F.col("c.val")),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("cand_doc"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    x, y = batch.alias("x"), corpus.alias("y")
+    hamming = F.bit_count(F.expr("x.ahash_hi ^ y.ahash_hi")) + F.bit_count(
+        F.expr("x.ahash_lo ^ y.ahash_lo")
+    )
+    best = (
+        cand.join(x, F.col("new_doc") == F.col("x.doc_id"))
+        .join(y, F.col("cand_doc") == F.col("y.doc_id"))
+        .filter(
+            (hamming <= _ND_HAMMING_MAX)
+            & (
+                F.least(
+                    F.col("x.n_bright_blocks"), F.col("y.n_bright_blocks")
+                )
+                >= _ND_MIN_BRIGHT
+            )
+        )
+        .select(
+            "new_doc",
+            "cand_doc",
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("new_doc").orderBy("hamming", "cand_doc")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        batch.select(F.col("doc_id").alias("new_doc"))
+        .join(best, "new_doc", "left")
+        .select(
+            "new_doc",
+            F.col("cand_doc").alias("matched_doc"),
+            "n_shared_bands",
+            "hamming",
+            F.col("cand_doc").isNull().cast("int").alias("is_novel"),
+        )
+        .orderBy("new_doc")
+    )
+
+
+def _afp_bands(fps: DataFrame) -> DataFrame:
+    """Nonzero 8-bit-band postings (doc_id, band, val) over the 63-bit
+    audio fingerprints -- the audio twin of ``_ahash_bands``, shared by
+    the batch self-join (``audio_neardup``) and the incremental
+    admission's asymmetric join (``audio_incremental``)."""
+    band_structs = ", ".join(
+        f"struct({i} as band, shiftright(fp, {8 * i}) & 255 as val)"
+        for i in range(8)
+    )
+    return (
+        fps.select(
+            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("s")
+        )
+        .select("doc_id", "s.band", "s.val")
+        .filter(F.col("val") != 0)
+    )
+
+
 def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate PAIRS over the energy-delta fingerprints --
     the audio leg of the same banded-LSH pipeline as ``image_neardup``,
@@ -688,17 +798,7 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     fps = _afp_of(media).localCheckpoint()
-    band_structs = ", ".join(
-        f"struct({i} as band, shiftright(fp, {8 * i}) & 255 as val)"
-        for i in range(8)
-    )
-    bands = (
-        fps.select(
-            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("s")
-        )
-        .select("doc_id", "s.band", "s.val")
-        .filter(F.col("val") != 0)
-    )
+    bands = _afp_bands(fps)
     cand = (
         bands.alias("l")
         .join(
@@ -1350,4 +1450,211 @@ ORACLES["m_audio_keeper"] = f"""
                 THEN 1 ELSE 0 END AS INTEGER) AS kept
     FROM clusters c JOIN lens l ON c.doc_id = l.doc_id
     ORDER BY c.doc_id
+"""
+
+QUERIES["m_image_incremental"] = image_incremental
+
+# d_incremental_neardup's oracle shape on the image leg, composed over
+# the FULL m_image_neardup pair rebuild: every corpus->batch pair in the
+# symmetric pair relation has doc_a in the corpus and doc_b in the batch
+# (twin ids sit above every natural id at any SF), so the admission view
+# is a rank-1 filter per batch image under (hamming ASC, corpus doc ASC)
+# left-joined back to the whole batch.
+ORACLES["m_image_incremental"] = f"""
+    WITH pairs AS MATERIALIZED (SELECT * FROM ({ORACLES["m_image_neardup"]})),
+    best AS (
+        SELECT doc_b AS new_doc, doc_a AS matched_doc,
+               n_shared_bands, hamming,
+               ROW_NUMBER() OVER (PARTITION BY doc_b
+                                  ORDER BY hamming, doc_a) AS rn
+        FROM pairs
+        WHERE doc_b >= {_ND_TWIN_BASE} AND doc_a < {_ND_TWIN_BASE}
+    ),
+    batch AS (
+        SELECT doc_id + {_ND_TWIN_BASE} AS new_doc FROM documents
+        WHERE doc_id % {_ND_TWIN_MOD} = {_ND_TWIN_RES}
+    )
+    SELECT b.new_doc, s.matched_doc, s.n_shared_bands,
+           CAST(s.hamming AS INTEGER) AS hamming,
+           CAST(CASE WHEN s.matched_doc IS NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_novel
+    FROM batch b
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) s USING (new_doc)
+    ORDER BY new_doc
+"""
+
+
+def audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (online) audio admission -- ``m_image_incremental``'s
+    shape on the audio leg, completing incremental symmetry across the
+    text/image/audio triple (``d_incremental_neardup`` /
+    ``m_image_incremental`` / here): the perturbed re-uploads
+    (doc_id >= ``_ND_TWIN_BASE``) are the arriving batch, checked
+    against the standing corpus's banded fingerprint index; best corpus
+    match by (hamming ASC, corpus doc ASC) under the exact verify
+    (bit_count(fp^fp) <= 7, both >= 8 rising steps), novel clips
+    flagged. Asymmetric join: batch postings vs corpus postings, never
+    a self-join -- linear in the batch for a fixed corpus."""
+    from pyspark.sql import Window as _W
+
+    media = _neardup_corpus(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    fps = _afp_of(media).localCheckpoint()
+    is_batch = F.col("doc_id") >= _ND_TWIN_BASE
+    corpus, batch = fps.filter(~is_batch), fps.filter(is_batch)
+    cand = (
+        _afp_bands(batch)
+        .alias("n")
+        .join(
+            _afp_bands(corpus).alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.val") == F.col("c.val")),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("cand_doc"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    x, y = batch.alias("x"), corpus.alias("y")
+    hamming = F.bit_count(F.expr("x.fp ^ y.fp"))
+    best = (
+        cand.join(x, F.col("new_doc") == F.col("x.doc_id"))
+        .join(y, F.col("cand_doc") == F.col("y.doc_id"))
+        .filter(
+            (hamming <= _ND_HAMMING_MAX)
+            & (F.least(F.col("x.n_rising"), F.col("y.n_rising")) >= _ND_MIN_BRIGHT)
+        )
+        .select(
+            "new_doc",
+            "cand_doc",
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("new_doc").orderBy("hamming", "cand_doc")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        batch.select(F.col("doc_id").alias("new_doc"))
+        .join(best, "new_doc", "left")
+        .select(
+            "new_doc",
+            F.col("cand_doc").alias("matched_doc"),
+            "n_shared_bands",
+            "hamming",
+            F.col("cand_doc").isNull().cast("int").alias("is_novel"),
+        )
+        .orderBy("new_doc")
+    )
+
+
+QUERIES["m_audio_incremental"] = audio_incremental
+
+# The m_image_incremental oracle composition on the audio leg: every
+# corpus->batch pair in the symmetric m_audio_neardup relation has doc_a
+# in the corpus and doc_b in the batch (twin ids clear every natural id),
+# rank-1 per batch clip under (hamming ASC, corpus doc ASC), left-joined
+# back to the whole batch.
+ORACLES["m_audio_incremental"] = f"""
+    WITH pairs AS MATERIALIZED (SELECT * FROM ({ORACLES["m_audio_neardup"]})),
+    best AS (
+        SELECT doc_b AS new_doc, doc_a AS matched_doc,
+               n_shared_bands, hamming,
+               ROW_NUMBER() OVER (PARTITION BY doc_b
+                                  ORDER BY hamming, doc_a) AS rn
+        FROM pairs
+        WHERE doc_b >= {_ND_TWIN_BASE} AND doc_a < {_ND_TWIN_BASE}
+    ),
+    batch AS (
+        SELECT doc_id + {_ND_TWIN_BASE} AS new_doc FROM documents
+        WHERE doc_id % {_ND_TWIN_MOD} = {_ND_TWIN_RES}
+    )
+    SELECT b.new_doc, s.matched_doc, s.n_shared_bands,
+           CAST(s.hamming AS INTEGER) AS hamming,
+           CAST(CASE WHEN s.matched_doc IS NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_novel
+    FROM batch b
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) s USING (new_doc)
+    ORDER BY new_doc
+"""
+
+
+def av_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate CONSENSUS: the near-dup pairs confirmed by
+    BOTH the image leg (banded aHash + hamming verify) and the audio leg
+    (banded energy-delta fingerprint + hamming verify) over the same
+    twin-augmented corpus. Production multimodal curation uses exactly
+    this agreement rule to raise dedup precision before dropping data:
+    a single perceptual hash family has structural false positives
+    (near-empty images at small hamming, short clips sharing dense low
+    bands), but the two families' false positives are nearly disjoint,
+    so the intersection keeps the true re-uploads and sheds the noise
+    (the per-modality keys keep the recall view).
+
+    Emitted as the full agreement MATRIX (outer join of the two pair
+    relations, per-modality membership flags, ``consensus = 1`` on the
+    intersection) rather than the bare intersection: the disagreement
+    rows are the operational signal -- they are what a curation run
+    inspects to calibrate each modality's threshold, and on the fixture
+    corpus they dominate (the intersection is deliberately strict).
+
+    Shape: an equi-join of the two (tiny) verified pair relations on
+    (doc_a, doc_b) -- the expensive pipelines are the inputs, already
+    banded/blocked; the consensus itself shuffles pairs, never media."""
+    img = image_neardup(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.col("hamming").alias("hamming_image"),
+    )
+    aud = audio_neardup(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.col("hamming").alias("hamming_audio"),
+    )
+    in_img = F.col("hamming_image").isNotNull()
+    in_aud = F.col("hamming_audio").isNotNull()
+    return (
+        img.join(aud, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming_image",
+            "hamming_audio",
+            in_img.cast("int").alias("in_image"),
+            in_aud.cast("int").alias("in_audio"),
+            (in_img & in_aud).cast("int").alias("consensus"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["m_av_consensus"] = av_consensus
+
+# Full-outer equi-join of the two full pair-pipeline rebuilds on
+# (doc_a, doc_b) -- the oracle pays both reconstructions, the engine
+# both pipelines.
+ORACLES["m_av_consensus"] = f"""
+    WITH ipairs AS MATERIALIZED (SELECT * FROM ({ORACLES["m_image_neardup"]})),
+    apairs AS MATERIALIZED (SELECT * FROM ({ORACLES["m_audio_neardup"]}))
+    SELECT COALESCE(i.doc_a, a.doc_a) AS doc_a,
+           COALESCE(i.doc_b, a.doc_b) AS doc_b,
+           CAST(i.hamming AS INTEGER) AS hamming_image,
+           CAST(a.hamming AS INTEGER) AS hamming_audio,
+           CAST(CASE WHEN i.hamming IS NULL THEN 0 ELSE 1 END
+                AS INTEGER) AS in_image,
+           CAST(CASE WHEN a.hamming IS NULL THEN 0 ELSE 1 END
+                AS INTEGER) AS in_audio,
+           CAST(CASE WHEN i.hamming IS NOT NULL AND a.hamming IS NOT NULL
+                THEN 1 ELSE 0 END AS INTEGER) AS consensus
+    FROM ipairs i
+    FULL OUTER JOIN apairs a
+        ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+    ORDER BY 1, 2
 """
