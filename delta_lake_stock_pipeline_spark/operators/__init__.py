@@ -92,6 +92,12 @@ _DRIVER_WINDOW_ROTATION = [
     "t_bpe_vocab",
     "m_audio_dup_clusters",
     "m_audio_keeper",
+    "src_xml_roundtrip",
+    "x_column_profile",
+    "c_contamination_bpe",
+    "m_image_incremental",
+    "m_audio_incremental",
+    "m_av_consensus",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -129,12 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "j_asof",
     "j_asof_forward",
     "j_bloom_pruned",
-    "j_lateral_topn",
-    "x_salted_skew_join",
-    "x_global_row_ids",
-    "r_pivot",
-    "w_sessionize",
-    "w_gap_fill",
 ]
 
 
