@@ -170,6 +170,33 @@ def main() -> int:
         from delta_lake_stock_pipeline_spark.operators.dedup import _dup_pairs
 
         _setup("dedup_pairs", lambda: _dup_pairs(spark, sf_dir))
+    # Fingerprint artifact tables first (consumed by the neardup /
+    # incremental / consensus keys AND by the cluster builds below, so
+    # the mapInPandas decode+hash cost lands here exactly once).
+    if names & {
+        "m_image_neardup",
+        "m_image_incremental",
+        "m_av_consensus",
+        "m_image_dup_clusters",
+        "m_image_keeper",
+    }:
+        from delta_lake_stock_pipeline_spark.operators.multimodal import (
+            _ahash_table,
+        )
+
+        _setup("image_fingerprints", lambda: _ahash_table(spark, sf_dir))
+    if names & {
+        "m_audio_neardup",
+        "m_audio_incremental",
+        "m_av_consensus",
+        "m_audio_dup_clusters",
+        "m_audio_keeper",
+    }:
+        from delta_lake_stock_pipeline_spark.operators.multimodal import (
+            _afp_table,
+        )
+
+        _setup("audio_fingerprints", lambda: _afp_table(spark, sf_dir))
     if names & {"m_image_dup_clusters", "m_image_keeper"}:
         from delta_lake_stock_pipeline_spark.operators.multimodal import (
             _nd_clusters,

@@ -544,7 +544,7 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band; the hypothesis property test pins both halves. At 100 TB the
     hash table is a persisted artifact and the banding join shuffles
     postings, not images -- the text-dedup shape exactly."""
-    ah = _ahash_of(_pgm_of(_neardup_corpus(spark, sf_dir))).localCheckpoint()
+    ah = _ahash_table(spark, sf_dir)
     bands = _ahash_bands(ah)
     cand = (
         bands.alias("l")
@@ -596,6 +596,34 @@ _ND_CACHE: dict = {}
 
 def clear_nd_cache() -> None:
     _ND_CACHE.clear()
+
+
+def _ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached aHash fingerprints of the twin-augmented corpus --
+    consumed by five keys (image neardup/incremental/clusters/keeper and
+    the consensus matrix), so the mapInPandas decode+hash pipeline runs
+    ONCE per session instead of per key. At 100 TB this IS the persisted
+    fingerprint artifact table the maintenance loop owns; bench.py
+    prices the build as a setup line."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ahash")
+    if key not in _ND_CACHE:
+        _ND_CACHE[key] = _ahash_of(
+            _pgm_of(_neardup_corpus(spark, sf_dir))
+        ).localCheckpoint()
+    return _ND_CACHE[key]
+
+
+def _afp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached audio fingerprints of the twin-augmented corpus --
+    the audio twin of ``_ahash_table`` (neardup/incremental/clusters/
+    keeper/consensus consumers)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "afp")
+    if key not in _ND_CACHE:
+        media = _neardup_corpus(spark, sf_dir).select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        _ND_CACHE[key] = _afp_of(media).localCheckpoint()
+    return _ND_CACHE[key]
 
 
 def _nd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,7 +720,7 @@ def image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``m_image_neardup``'s separate pass, exactly like the text split."""
     from pyspark.sql import Window as _W
 
-    ah = _ahash_of(_pgm_of(_neardup_corpus(spark, sf_dir))).localCheckpoint()
+    ah = _ahash_table(spark, sf_dir)
     is_batch = F.col("doc_id") >= _ND_TWIN_BASE
     corpus, batch = ah.filter(~is_batch), ah.filter(is_batch)
     cand = (
@@ -794,10 +822,7 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same pigeonhole recall argument and the same property/brute-force
     tests as the image key; the DuckDB oracle rebuilds frame energies,
     fingerprints, bands, candidates and the verify from the raw text."""
-    media = _neardup_corpus(spark, sf_dir).select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    fps = _afp_of(media).localCheckpoint()
+    fps = _afp_table(spark, sf_dir)
     bands = _afp_bands(fps)
     cand = (
         bands.alias("l")
@@ -1497,10 +1522,7 @@ def audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     a self-join -- linear in the batch for a fixed corpus."""
     from pyspark.sql import Window as _W
 
-    media = _neardup_corpus(spark, sf_dir).select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    fps = _afp_of(media).localCheckpoint()
+    fps = _afp_table(spark, sf_dir)
     is_batch = F.col("doc_id") >= _ND_TWIN_BASE
     corpus, batch = fps.filter(~is_batch), fps.filter(is_batch)
     cand = (
