@@ -723,12 +723,82 @@ def r9_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def r10_probe(spark) -> None:
+    """Round-10 continuation probe, one axis per new family:
+
+    * c_contamination_bpe -- the 64-replace tokenizer chain + 8-gram
+      explode + broadcast semi-join at 100k/400k docs; expect ~linear
+      (the chain is per-doc CPU, the gram posting shuffle is map-side
+      semi-joined against the broadcast eval set).
+    * x_column_profile -- the 7-way melt + exact-distinct hash-agg at
+      1M/4M/16M events; expect ~linear (partial agg collapses each
+      partition to its distinct values before the exchange).
+    * m_image_incremental -- the asymmetric banded admission at
+      20k/80k docs (4x/16x the sf0.1 image corpus). The DESIGN
+      finding this probe exists to record: 8-bit bands have only
+      8 x 255 nonzero posting keys, so posting lists grow linearly with
+      the corpus and candidate pairs ~quadratically -- at 100 TB the
+      band width must grow with log(corpus) (16/24-bit bands keep
+      per-key lists bounded), exactly like the text side's hub caps.
+      Cold = fingerprint build + admission; warm = admission against
+      the cached fingerprint artifact (the per-batch production cost).
+    """
+    from delta_lake_stock_pipeline_spark.operators.aggregates import (
+        column_profile,
+    )
+    from delta_lake_stock_pipeline_spark.operators.curation import (
+        contamination_check_bpe,
+    )
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        clear_nd_cache,
+        image_incremental,
+    )
+
+    try:
+        for n in DOC_SIZES:
+            d = f"{BASE}/r10docs_{n}"
+            synth_documents(spark, n, f"{d}/documents.parquet")
+            sec = time_query(contamination_check_bpe, spark, d)
+            print(
+                f"{'c_contamination_bpe':>22} docs={n:>8,}  {sec:6.2f}s",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+        for n in EVENT_SIZES:
+            d = f"{BASE}/r10ev_{n}"
+            synth_events(spark, n, f"{d}/events.parquet")
+            sec = time_query(column_profile, spark, d)
+            print(
+                f"{'x_column_profile':>22} rows={n:>10,}  {sec:6.2f}s",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+        for n in [20_000, 80_000]:
+            d = f"{BASE}/r10img_{n}"
+            synth_documents(spark, n, f"{d}/documents.parquet")
+            cold = time_query(
+                image_incremental, spark, d, n_runs=1, setup=clear_nd_cache
+            )
+            warm = time_query(image_incremental, spark, d, n_runs=1)
+            print(
+                f"{'m_image_incremental':>22} docs={n:>8,}"
+                f"  cold={cold:6.2f}s warm={warm:6.2f}s",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+            clear_nd_cache()
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def _probe_session():
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
+        # same /tmp-cleaner immunity as session.get_spark
+        .config("spark.local.dir", "/root/repo/.tmp/spark-local")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -745,6 +815,7 @@ _FLAG_PROBES = [
     ("--dedup", dedup_probe),
     ("--cc", cc_probe),
     ("--r9", r9_probe),
+    ("--r10", r10_probe),
 ]
 
 
