@@ -73,10 +73,10 @@ DRIVER_WINDOW_SIZE = 50
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
 # correctness row. Round-10 window (per VERDICT r9 task 1): with 220/220
-# oracled keys driver-green after round 9, the round-10 additions go first
-# (never driver-checked; the policy test names them), then pure
-# oldest-first freshness in ledger order -- the full r5-era block (the 22
-# keys the r9 verdict lists), then the oldest r6-era rows as far as the
+# oracled keys driver-green after round 9, the 15 round-10 additions go
+# first (never driver-checked; the policy test forces them), then pure
+# oldest-first freshness in ledger order -- the FULL r5-era block (the 22
+# keys the r9 verdict lists), then the 13 oldest r6-era rows the
 # remaining slots reach, collapsing the freshness tail to r6+. All 50 are
 # DuckDB-oracled (rows-only keys are excluded by policy: their guarantees
 # are driver-witnessed through oracled anchor twins). Rotation history:

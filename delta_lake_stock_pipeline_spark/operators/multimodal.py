@@ -717,7 +717,16 @@ def image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against corpus postings on nonzero (band, val); no self-join, cost
     linear in the batch for a fixed corpus, and the corpus postings are
     the maintained index artifact at scale. Within-batch duplicates are
-    ``m_image_neardup``'s separate pass, exactly like the text split."""
+    ``m_image_neardup``'s separate pass, exactly like the text split.
+
+    Band-width rule (probe-backed, SCALING.md round-10): 8-bit bands
+    have only 8 x 255 nonzero posting keys, so per-key lists grow
+    linearly with the corpus and candidates quadratically (measured:
+    warm admission 4.4 s at 20k docs -> 38.7 s at 80k). Past ~100k
+    images the band width must grow ~log(corpus) (16/24-bit bands, or
+    band over a wider perceptual hash) to keep lists bounded -- kept
+    8-bit HERE because recall at hamming <= 7 over 8 bands is
+    pigeonhole-exact, which fewer/wider bands would forfeit."""
     from pyspark.sql import Window as _W
 
     ah = _ahash_table(spark, sf_dir)
