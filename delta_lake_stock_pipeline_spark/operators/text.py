@@ -440,6 +440,92 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score -- the KenLM-class filter one
+    rung above ``t_unigram_logprob``: per document (>= 2 tokens), the
+    mean negative log probability of its bigram transitions under
+    ``p(w|prev) = 0.75 * c(prev,w)/c(prev) + 0.25 * c(w)/N`` (fixed-weight
+    Jelinek-Mercer interpolation; the unigram backoff term keeps unseen
+    continuations finite). Repetitive/boilerplate text scores LOW
+    (predictable transitions), noisy text HIGH -- the CCNet-style
+    perplexity bucketing signal, at bigram order.
+
+    Determinism design (the ``unigram_logprob`` discipline, one order
+    up): the only float steps -- two divisions, one add, one ln -- form a
+    SINGLE scalar expression of (c_bigram, c_ctx, c_uni, N) evaluated
+    once per distinct bigram in the deterministic LM table, floored to
+    integer micro-nats; the per-doc aggregate is then a sum of LONGS,
+    accumulation-order-free on any partitioning. The bigram stream
+    itself is a zero-shuffle per-row HOF (``transform(sequence(...))``
+    over the token array, 1-based ``element_at`` on both engines).
+
+    Scale shape: token explode -> two hash-aggs (bigram counts, context
+    counts from the SAME stream, so the definitions cannot drift at
+    document boundaries) + the unigram table; the scored join is
+    broadcast here (|distinct bigrams| fixture-small). At 100 TB the
+    bigram table outgrows broadcast -> plain shuffle join on (prev, w)
+    with map-side partial sums; everything else is unchanged. Context
+    counts are derived from the bigram stream (NOT the unigram table):
+    c(prev) must count non-final positions only, or p would leak mass
+    at document ends."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias(
+                "toks"
+            ),
+        )
+        .filter(F.size("toks") >= 2)
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)), i -> "
+                "struct(element_at(toks, i - 1) as prev, "
+                "element_at(toks, i) as w))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.w")
+    uni = docs.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    total = uni.agg(F.sum("cu").alias("n_corpus"))
+    cb = bg.groupBy("prev", "w").agg(F.count("*").alias("cb"))
+    cc = bg.groupBy("prev").agg(F.count("*").alias("cc"))
+    lm = (
+        cb.join(cc, "prev")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prev",
+            "w",
+            F.floor(
+                F.log(
+                    F.lit(0.75) * F.col("cb") / F.col("cc")
+                    + F.lit(0.25) * F.col("cu") / F.col("n_corpus")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lm), ["prev", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum("q").cast("double") / (F.count("*") * F.lit(1000000.0)),
+                4,
+            ).alias("nats_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF: the top-20 (document, term) pairs by term-frequency x
     inverse-document-frequency -- the classic distinctive-term signal that
@@ -1128,6 +1214,7 @@ QUERIES = {
     "t_fingerprint": fingerprint,
     "t_bigram_frequency": bigram_frequency,
     "t_unigram_logprob": unigram_logprob,
+    "t_bigram_logprob": bigram_logprob,
     "t_tfidf": tfidf_top_terms,
     "t_bm25": bm25_top_terms,
     "t_winnow": winnow_fingerprint,
@@ -1523,6 +1610,53 @@ ORACLES = {
                ROUND(-CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 4)
                    AS nats_per_token
         FROM toks t JOIN lq USING (w)
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    # The unigram oracle one order up: bigram stream via the same 1-based
+    # element_at/list indexing HOF, context counts FROM the bigram stream,
+    # the interpolation + ln + floor as ONE scalar expression per distinct
+    # bigram (micro-nat LONGs; same float-determinism discipline).
+    "t_bigram_logprob": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), d2 AS (
+            SELECT doc_id, toks FROM d WHERE len(toks) >= 2
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(2, len(toks) + 1),
+                                         i -> struct_pack(
+                                             prev := toks[i - 1],
+                                             w := toks[i]))) AS b
+            FROM d2
+        ), bgf AS (
+            SELECT doc_id, b.prev AS prev, b.w AS w FROM bg
+        ), uni AS (
+            SELECT w, COUNT(*) AS cu
+            FROM (SELECT unnest(toks) AS w FROM d2)
+            GROUP BY w
+        ), cb AS (
+            SELECT prev, w, COUNT(*) AS cb FROM bgf GROUP BY prev, w
+        ), cc AS (
+            SELECT prev, COUNT(*) AS cc FROM bgf GROUP BY prev
+        ), lm AS (
+            SELECT cb.prev, cb.w,
+                   CAST(floor(ln(0.75 * CAST(cb.cb AS DOUBLE)
+                                      / CAST(cc.cc AS DOUBLE)
+                                 + 0.25 * CAST(uni.cu AS DOUBLE)
+                                        / (SELECT SUM(cu) FROM uni))
+                              * 1000000) AS BIGINT) AS q
+            FROM cb
+            JOIN cc ON cb.prev = cc.prev
+            JOIN uni ON cb.w = uni.w
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 4)
+                   AS nats_per_bigram
+        FROM bgf t JOIN lm ON t.prev = lm.prev AND t.w = lm.w
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
 }
