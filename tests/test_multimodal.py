@@ -188,3 +188,109 @@ def test_audio_neardup_matches_brute_force(spark):
     assert any(
         b - a == _ND_TWIN_BASE for a, b, _, _ in want
     ), "fixture must witness at least one twin pair"
+
+
+def test_image_incremental_matches_pair_derivation(spark):
+    """The asymmetric admission must be exactly derivable from the
+    symmetric pair relation: for every batch image, the best corpus
+    match among (corpus -> batch) pairs under (hamming ASC, corpus id
+    ASC), novel when none -- proving the asymmetric banded join drops no
+    candidate the self-join form finds (and admits none it doesn't)."""
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        _ND_TWIN_BASE,
+        image_incremental,
+        image_neardup,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"], r["hamming"])
+        for r in image_neardup(spark, SF_DIR).collect()
+        if r["doc_b"] >= _ND_TWIN_BASE and r["doc_a"] < _ND_TWIN_BASE
+    ]
+    best = {}
+    for a, b, nsb, hd in pairs:
+        cur = best.get(b)
+        if cur is None or (hd, a) < (cur[3], cur[0]):
+            best[b] = (a, b, nsb, hd)
+    got = {
+        r["new_doc"]: (
+            r["matched_doc"],
+            r["n_shared_bands"],
+            r["hamming"],
+            r["is_novel"],
+        )
+        for r in image_incremental(spark, SF_DIR).collect()
+    }
+    batch_ids = {b for b in got}
+    assert batch_ids, "fixture must have a batch"
+    for b in batch_ids:
+        if b in best:
+            a, _, nsb, hd = best[b]
+            assert got[b] == (a, nsb, hd, 0)
+        else:
+            assert got[b] == (None, None, None, 1)
+    # every matched pair's batch doc is present
+    assert set(best) <= batch_ids
+
+
+def test_audio_incremental_matches_pair_derivation(spark):
+    """Audio twin of the image derivation test."""
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        _ND_TWIN_BASE,
+        audio_incremental,
+        audio_neardup,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["n_shared_bands"], r["hamming"])
+        for r in audio_neardup(spark, SF_DIR).collect()
+        if r["doc_b"] >= _ND_TWIN_BASE and r["doc_a"] < _ND_TWIN_BASE
+    ]
+    best = {}
+    for a, b, nsb, hd in pairs:
+        cur = best.get(b)
+        if cur is None or (hd, a) < (cur[3], cur[0]):
+            best[b] = (a, b, nsb, hd)
+    got = {
+        r["new_doc"]: (
+            r["matched_doc"],
+            r["n_shared_bands"],
+            r["hamming"],
+            r["is_novel"],
+        )
+        for r in audio_incremental(spark, SF_DIR).collect()
+    }
+    for b in got:
+        if b in best:
+            a, _, nsb, hd = best[b]
+            assert got[b] == (a, nsb, hd, 0)
+        else:
+            assert got[b] == (None, None, None, 1)
+
+
+def test_av_consensus_matches_pair_sets(spark):
+    """The consensus matrix must be exactly the union of the two pair
+    relations with correct membership flags."""
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        audio_neardup,
+        av_consensus,
+        image_neardup,
+    )
+
+    img = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_neardup(spark, SF_DIR).collect()
+    }
+    aud = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_neardup(spark, SF_DIR).collect()
+    }
+    rows = av_consensus(spark, SF_DIR).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == set(img) | set(aud)
+    for r in rows:
+        k = (r["doc_a"], r["doc_b"])
+        assert r["hamming_image"] == img.get(k)
+        assert r["hamming_audio"] == aud.get(k)
+        assert r["in_image"] == int(k in img)
+        assert r["in_audio"] == int(k in aud)
+        assert r["consensus"] == int(k in img and k in aud)

@@ -2313,3 +2313,33 @@ def test_bpe_trainer_reproduces_frozen_merges():
     trainer = _load_bpe_trainer()
     merges = trainer.train(trainer.word_counts("/root/testdata/sf0.01"))
     assert tuple(merges) == _BPE_MERGES
+
+
+def test_column_profile_matches_pandas_brute(spark):
+    """x_column_profile vs an independent pandas computation over the
+    same parquet -- a third implementation next to the DuckDB oracle.
+    Counts (not renderings) are compared: per-engine injective
+    stringification means distinct counts agree with pandas' typed
+    nunique, which is exactly the key's correctness claim."""
+    import pandas as pd
+
+    from conftest import SF_DIR
+
+    from delta_lake_stock_pipeline_spark.operators.aggregates import (
+        column_profile,
+    )
+
+    got = {
+        r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in column_profile(spark, SF_DIR).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    n = len(pdf)
+    want = {}
+    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]:
+        s = pdf[c]
+        want[c] = (n, int(s.isna().sum()), int(s.nunique(dropna=True)))
+    s = pdf["event_type"].where(pdf["event_type"] != "view")
+    want["etype_nonview"] = (n, int(s.isna().sum()), int(s.nunique(dropna=True)))
+    assert got == want
+    assert want["etype_nonview"][1] > 0, "null path must be exercised"
