@@ -1689,3 +1689,122 @@ ORACLES["m_av_consensus"] = f"""
         ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
     ORDER BY 1, 2
 """
+
+
+_SCENE_CUT_MEAN_DELTA = 8  # mean-byte units; exact via cross-multiplication
+
+
+def scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-change) detection over the sampled video
+    frames -- the analysis stage downstream of ``m_frame_sample``'s
+    plumbing: a frame boundary is a CUT when the mean pixel value jumps
+    by more than ``_SCENE_CUT_MEAN_DELTA`` between consecutive frames
+    (threshold-on-frame-delta, the classic pixel-domain shot detector).
+    Frame geometry is frame_sample's: duration = n % 120 + 1 seconds,
+    n_frames = min(2 fps x duration, 16); frame f covers the byte span
+    [floor(f*n/nf), floor((f+1)*n/nf)) of the payload (the fixture's
+    video plane is the document byte stream, ASCII by the charset probe,
+    so char codes ARE the byte values on both engines).
+
+    Exactness design: per-frame (energy, count) are integer sums; the
+    cut predicate |e_f/c_f - e_g/c_g| > T is evaluated cross-multiplied
+    in BIGINTs (the weighted-median trick) -- no float ever forms, so
+    the oracle match is exact by construction.
+
+    Scale shape: the whole detector is ONE projection of array HOFs
+    (split -> ascii -> per-frame aggregate(slice) -> explode of the
+    nf-1 comparisons) -- scan-speed JVM codegen, zero Python, zero
+    shuffle except the output sort; at 100 TB with real codecs the
+    per-frame energy comes from the decode UDF (m_image_features'
+    stage) and THIS key's compare/explode shape is unchanged."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(filter(split(text, ''), c -> c <> ''), "
+                "c -> cast(ascii(c) as bigint))"
+            ).alias("codes"),
+        )
+        .withColumn("n", F.size("codes").cast("bigint"))
+        .filter(F.col("n") >= 16)
+        .withColumn("nf", F.least((F.col("n") % 120 + 1) * 2, F.lit(16)))
+    )
+    framed = docs.select(
+        "doc_id",
+        "nf",
+        F.expr(
+            "transform(sequence(0, cast(nf - 1 as int)), f -> "
+            "aggregate(slice(codes, cast(f * n div nf as int) + 1, "
+            "cast((f + 1) * n div nf - f * n div nf as int)), "
+            "0L, (a, x) -> a + x))"
+        ).alias("es"),
+        F.expr(
+            "transform(sequence(0, cast(nf - 1 as int)), f -> "
+            "(f + 1) * n div nf - f * n div nf)"
+        ).alias("cs"),
+    )
+    t = _SCENE_CUT_MEAN_DELTA
+    return (
+        framed.select(
+            "doc_id",
+            "es",
+            "cs",
+            F.explode(
+                F.expr("sequence(1, cast(nf - 1 as int))")
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.expr(
+                f"""cast(case when abs(element_at(es, frame_idx + 1)
+                                       * element_at(cs, frame_idx)
+                                   - element_at(es, frame_idx)
+                                       * element_at(cs, frame_idx + 1))
+                               > {t} * element_at(cs, frame_idx)
+                                     * element_at(cs, frame_idx + 1)
+                          then 1 else 0 end as int)"""
+            ).alias("is_cut"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+QUERIES["m_scene_changes"] = scene_changes
+
+# Full SQL mirror: same char-code plane, same frame geometry, same
+# integer cross-multiplied cut predicate (DuckDB lists are 1-based like
+# element_at; range(0, nf) excludes nf like sequence(0, nf-1) includes
+# nf-1 -- bounds verified by the shared formulas, not by luck: both
+# sides compute floor(f*n/nf) spans).
+ORACLES["m_scene_changes"] = f"""
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(list_filter(string_split_regex(text, ''),
+                                          c -> c <> ''),
+                              c -> CAST(ord(c) AS BIGINT)) AS codes
+        FROM documents WHERE text IS NOT NULL
+    ), geo AS (
+        SELECT doc_id, codes, len(codes) AS n,
+               LEAST((len(codes) % 120 + 1) * 2, 16) AS nf
+        FROM codes WHERE len(codes) >= 16
+    ), framed AS (
+        SELECT doc_id, nf,
+               list_transform(range(0, nf), f ->
+                   CAST(list_sum(codes[(f * n) // nf + 1 :
+                                       ((f + 1) * n) // nf]) AS BIGINT))
+                   AS es,
+               list_transform(range(0, nf), f ->
+                   ((f + 1) * n) // nf - (f * n) // nf) AS cs
+        FROM geo
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(CASE WHEN abs(es[f + 1] * cs[f] - es[f] * cs[f + 1])
+                          > {_SCENE_CUT_MEAN_DELTA} * cs[f] * cs[f + 1]
+                THEN 1 ELSE 0 END AS INTEGER) AS is_cut
+    FROM framed, unnest(range(1, nf)) AS u(f)
+    ORDER BY doc_id, frame_idx
+"""

@@ -791,6 +791,64 @@ def r10_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def r10b_probe(spark) -> None:
+    """Second round-10 continuation batch:
+
+    * t_bigram_logprob -- 100k/400k docs. The axis that matters is the
+      DISTINCT-BIGRAM table (the broadcast side): zipf-ish synthesis
+      keeps it sublinear in corpus size, and the probe prints its
+      cardinality next to the wall so the docstring's broadcast->shuffle
+      threshold claim has a measured footing.
+    * m_scene_changes -- 100k/400k docs; one HOF projection, expect
+      ~linear scan-speed wall.
+    """
+    from pyspark.sql import functions as PF
+
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        scene_changes,
+    )
+    from delta_lake_stock_pipeline_spark.operators.text import bigram_logprob
+
+    try:
+        for n in DOC_SIZES:
+            d = f"{BASE}/r10bdocs_{n}"
+            synth_documents(spark, n, f"{d}/documents.parquet")
+            docs = spark.read.parquet(f"{d}/documents.parquet").select(
+                PF.expr(
+                    "filter(split(lower(text), ' '), x -> x <> '')"
+                ).alias("toks")
+            )
+            n_bigrams = (
+                docs.filter(PF.size("toks") >= 2)
+                .select(
+                    PF.explode(
+                        PF.expr(
+                            "transform(sequence(2, size(toks)), i -> "
+                            "struct(element_at(toks, i - 1) as p, "
+                            "element_at(toks, i) as w))"
+                        )
+                    ).alias("b")
+                )
+                .select("b.p", "b.w")
+                .distinct()
+                .count()
+            )
+            sec = time_query(bigram_logprob, spark, d)
+            print(
+                f"{'t_bigram_logprob':>22} docs={n:>8,} "
+                f"distinct_bigrams={n_bigrams:>10,}  {sec:6.2f}s",
+                flush=True,
+            )
+            sec = time_query(scene_changes, spark, d)
+            print(
+                f"{'m_scene_changes':>22} docs={n:>8,}  {sec:6.2f}s",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def _probe_session():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -816,6 +874,7 @@ _FLAG_PROBES = [
     ("--cc", cc_probe),
     ("--r9", r9_probe),
     ("--r10", r10_probe),
+    ("--r10b", r10b_probe),
 ]
 
 
