@@ -100,6 +100,7 @@ _DRIVER_WINDOW_ROTATION = [
     "m_av_consensus",
     "t_bigram_logprob",
     "m_scene_changes",
+    "s_stream_sessions",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -134,7 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "x_kll_anchor",
     "x_percentile_approx_anchor",
     "src_json_roundtrip",
-    "j_asof",
 ]
 
 

@@ -183,6 +183,7 @@ def click_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFr
 _mv_tables: dict[tuple[str, str], str] = {}
 _cdc_tables: dict[tuple[str, str], str] = {}
 _dedup_out: dict[tuple[str, str], str] = {}
+_sess_out: dict[tuple[str, str], str] = {}
 
 
 def clear_mv_dirs() -> None:
@@ -192,11 +193,13 @@ def clear_mv_dirs() -> None:
         list(_mv_tables.values())
         + list(_cdc_tables.values())
         + list(_dedup_out.values())
+        + list(_sess_out.values())
     ):
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     _mv_tables.clear()
     _cdc_tables.clear()
     _dedup_out.clear()
+    _sess_out.clear()
 
 
 def _write_ordered_files(dfs, src: str) -> None:
@@ -219,12 +222,17 @@ def _write_ordered_files(dfs, src: str) -> None:
 
 def _time_tiles(df: DataFrame, order_cols, n: int = 3) -> list[DataFrame]:
     """``df`` split into ``n`` contiguous tiles of the ``order_cols``
-    order (the CDC-log shape: tile i+1 holds strictly-later rows)."""
+    order (the CDC-log shape: tile i+1 holds strictly-later rows).
+    The tiled frame is localCheckpointed ONCE: each returned tile is a
+    filter over the materialized split, not a re-run of the global
+    ntile sort -- writing the n tile files previously re-sorted the
+    whole input n times (measured: the 5-file session replay spent
+    15.1 s in writes, ~6 s after this)."""
     from pyspark.sql import Window
 
     tiled = df.withColumn(
         "__tile", F.ntile(n).over(Window.orderBy(*order_cols))
-    )
+    ).localCheckpoint()
     return [
         tiled.filter(F.col("__tile") == i + 1).drop("__tile")
         for i in range(n)
@@ -390,6 +398,89 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization, EXECUTED: the fixture events replayed as
+    three TIME-ORDERED micro-batches through the real watermarked
+    ``session_window`` path (``runtime.session_counts``: merge-on-overlap
+    session state, append mode -- a session emits only once the watermark
+    passes its end + gap, so sessions SPANNING batch boundaries are held
+    open and merged across batches before finalizing), flushed with the
+    two-sentinel pattern (+40d/+80d single-row batches; state cleanup
+    lags one batch, so the first sentinel needs the second to finalize
+    under -- the test_streaming equivalence test's shape, here made
+    driver-visible). The committed emissions, sentinels excluded, must
+    equal the batch session aggregation EXACTLY -- same oracle as
+    ``s_session_window``, so the driver's value hash proves the
+    stateful merge path converges to the batch answer.
+
+    Scale shape: session state is bounded by (lateness horizon x active
+    users), never stream history; each append emission is final (no
+    retractions downstream). The one driver-side scalar is max(ts) for
+    sentinel placement -- a replay-harness parameter, not data."""
+    import datetime
+
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _sess_out:
+        scratch = tempfile.mkdtemp(prefix="spark_stream_sess_")
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            tiles = _time_tiles(events, ["ts", "event_id"])
+            max_ts = events.agg(F.max("ts")).collect()[0][0]
+            sentinels = [
+                spark.createDataFrame(
+                    [
+                        (
+                            10**9 + i,
+                            max_ts + datetime.timedelta(days=days),
+                            10**9 + i,
+                            "click",
+                            0.0,
+                            "{}",
+                        )
+                    ],
+                    events.schema,
+                )
+                for i, days in enumerate([40, 80])
+            ]
+            _write_ordered_files(tiles + sentinels, src)
+            # Stateful streaming cost is (state stores x micro-batches):
+            # one store per shuffle partition commits per batch, so the
+            # session default (16) pays 80 store commits for a 5-batch
+            # replay (A/B at sf0.001: 16 -> 11.3 s, 4 -> 5.2 s, 1 ->
+            # 3.2 s, identical rows). Pin 4 for the replay -- a real
+            # deployment sizes state partitions to active-key
+            # cardinality, never the batch-join default; the conf is
+            # checkpoint-pinned at first run, which is why it is set
+            # BEFORE the stream starts and restored after.
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                runtime.run_available_now(
+                    runtime.session_counts(
+                        runtime.events_stream(spark, src)
+                    ),
+                    ckpt,
+                    out,
+                )
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            _sess_out[key] = out
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
+    return (
+        spark.read.parquet(_sess_out[key])
+        .filter(F.col("user_id") < 10**9)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
 QUERIES = {
     "s_tumbling_daily": tumbling_daily,
     "s_sliding_2d_1d": sliding_2d_1d,
@@ -399,6 +490,7 @@ QUERIES = {
     "s_incremental_mv": incremental_mv,
     "s_cdc_upsert": cdc_upsert,
     "s_stream_dedup": stream_dedup,
+    "s_stream_sessions": stream_sessions,
 }
 
 ORACLES = {
@@ -442,6 +534,33 @@ ORACLES = {
                event_type, value
         FROM events
         ORDER BY event_id
+    """,
+    # The engine side EXECUTES the watermarked session_window replay;
+    # finalized emissions must equal the batch gaps-and-islands
+    # sessionization -- the s_session_window oracle verbatim.
+    "s_stream_sessions": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
     """,
     "s_tumbling_daily": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
