@@ -101,6 +101,8 @@ _DRIVER_WINDOW_ROTATION = [
     "t_bigram_logprob",
     "m_scene_changes",
     "s_stream_sessions",
+    "w_twap",
+    "x_session_funnel",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -133,8 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "x_hll_anchor",
     "x_theta_anchor",
     "x_kll_anchor",
-    "x_percentile_approx_anchor",
-    "src_json_roundtrip",
 ]
 
 

@@ -2055,6 +2055,131 @@ def _ewma_oracle() -> str:
     """
 
 
+def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP (time-weighted average value) per event_type -- the
+    time-weighted twin of ``w_vwap``: each observation is weighted by
+    how long it REMAINED the latest value (interval to the next event
+    in the type's stream), the standard execution benchmark for
+    irregularly-spaced series where row-weighted averages over-count
+    bursts. The last observation per type carries no interval and is
+    excluded (n-1 intervals).
+
+    Exactness: value -> integer milli-units via DECIMAL(18,3) (the
+    fixture's values carry 3 decimals), interval -> exact BIGINT
+    microseconds from a (ts, event_id)-total-ordered lead; each
+    product and both running sums live in DECIMAL(38,0) (a
+    milli-value x 90-day-microsecond product already brushes 2^62, so
+    LONG sums would overflow at larger spans); the emit is ONE double
+    division + round, identical on both engines.
+
+    Scale shape: one shuffle on event_type, one WindowExec for the
+    lead, map-side-partial decimal sums. Type cardinality is the
+    partition count -- at 100 TB the natural key is the instrument id,
+    exactly the per-symbol partitioning a market feed has natively."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(ROUND(value * 1000) AS BIGINT)").alias("v_milli"),
+    )
+    stepped = base.select(
+        "event_type",
+        "v_milli",
+        (
+            F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(F.col("dt_us").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("total_dt_us"),
+            F.round(
+                F.sum(
+                    (F.col("v_milli") * F.col("dt_us")).cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum(F.col("dt_us").cast("decimal(38,0)")).cast("double")
+                / 1000.0,
+                6,
+            ).alias("twap_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-SESSION ordered conversion funnel: for every w_sessionize
+    session, how far the user progressed through view -> click ->
+    purchase IN ORDER (a click before the first view does not count;
+    the product-analytics composition of the sessionize and x_funnel
+    keys, which respectively ignore ordering-within-gap and sessions).
+
+    Step times are conditional mins chained through three window passes
+    over the SAME (user_id, session_idx) clustering: t_view = min view
+    ts; t_click = min click ts strictly after t_view; t_purchase = min
+    purchase ts strictly after t_click; reached = how many are set.
+
+    Scale shape: ONE exchange total -- the session index window hashes
+    on user_id, and every later window/groupBy keys on (user_id,
+    session_idx), whose co-location hash(user_id) already satisfies
+    (the subset rule the sessionize docstring documents); the three
+    funnel windows add sorts, not shuffles."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts", 1).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+            > _SESSION_GAP_US
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = events.withColumn(
+        "session_idx", F.sum(is_new).over(run).cast("bigint")
+    )
+    p = Window.partitionBy("user_id", "session_idx")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(p)
+    staged = sess.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(p)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(p)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    return (
+        staged.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (
+                F.max("t_view").isNotNull().cast("int")
+                + F.max("t_click").isNotNull().cast("int")
+                + F.max("t_purchase").isNotNull().cast("int")
+            ).alias("reached"),
+        )
+        .select("user_id", "session_start", "reached")
+        .orderBy("user_id", "session_start")
+    )
+
+
+
 QUERIES = {
     "w_rank": window_rank,
     "w_value_functions": window_value_functions,
@@ -2064,6 +2189,8 @@ QUERIES = {
     "w_ntile": window_ntile,
     "w_range_interval": window_range_interval,
     "w_sessionize": window_sessionize,
+    "w_twap": window_twap,
+    "x_session_funnel": session_funnel,
     "w_gap_fill": window_gap_fill,
     "w_interpolate": window_interpolate,
     "w_backtest_naive": window_backtest_naive,
@@ -2088,6 +2215,78 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same milli-unit/derived-interval construction; DECIMAL(38,0) sums
+    # on both sides, one double division at the end.
+    "w_twap": """
+        WITH stepped AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 1000) AS BIGINT) AS v_milli,
+                   CAST(epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                                ORDER BY ts, event_id))
+                        - epoch_us(ts) AS BIGINT) AS dt_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(CAST(dt_us AS DECIMAL(38,0))) AS BIGINT)
+                   AS total_dt_us,
+               ROUND(CAST(SUM(CAST(v_milli * dt_us AS DECIMAL(38,0)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(dt_us AS DECIMAL(38,0))) AS DOUBLE)
+                     / 1000.0, 6) AS twap_value
+        FROM stepped
+        WHERE dt_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+    # The s_session_window session definition with event_type retained,
+    # then the three chained conditional mins (each step strictly after
+    # the previous step's time) via per-session grouped passes.
+    "x_session_funnel": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM flagged
+        ), s1 AS (
+            SELECT user_id, session_idx,
+                   MIN(ts) AS session_start,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM sessions GROUP BY user_id, session_idx
+        ), s2 AS (
+            SELECT s.user_id, s.session_idx, s.session_start, s.t_view,
+                   MIN(CASE WHEN e.event_type = 'click' AND e.ts > s.t_view
+                            THEN e.ts END) AS t_click
+            FROM s1 s
+            JOIN sessions e USING (user_id, session_idx)
+            GROUP BY s.user_id, s.session_idx, s.session_start, s.t_view
+        ), s3 AS (
+            SELECT s.user_id, s.session_idx, s.session_start, s.t_view,
+                   s.t_click,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                                 AND e.ts > s.t_click
+                            THEN e.ts END) AS t_purchase
+            FROM s2 s
+            JOIN sessions e USING (user_id, session_idx)
+            GROUP BY s.user_id, s.session_idx, s.session_start, s.t_view,
+                     s.t_click
+        )
+        SELECT user_id, session_start,
+               CAST((CASE WHEN t_view IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN t_click IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END)
+                    AS INTEGER) AS reached
+        FROM s3 ORDER BY user_id, session_start
+    """,
+
     # Running max minus value is exact double math on both engines (no
     # accumulation-order sensitivity), so the comparison needs no
     # tolerance and no rounding.
