@@ -32,9 +32,9 @@ def _replay_shuffle_partitions(spark: SparkSession, n: int = 4):
     streaming cost is (state stores x micro-batches): one store per
     shuffle partition commits per batch, and the per-batch MERGE/dedup
     passes pay per-partition task overhead the same way, so the
-    batch-join default (16) buys nothing at replay scale (A/B at
-    sf0.01: sessions 11.3 -> 5.2 s, dedup 11.7 -> 5.8 s, mv 41.4 ->
-    31.7 s, cdc 5.1 -> 3.8 s; identical committed rows). A real
+    batch-join default (16) buys nothing at replay scale (A/B: dedup
+    11.7 -> 5.8 s, mv 41.4 -> 31.7 s, cdc 5.1 -> 3.8 s at sf0.01;
+    sessions 11.3 -> 5.2 s at sf0.001; identical committed rows). A real
     deployment sizes state partitions to active-key cardinality. The
     conf is checkpoint-pinned at first run, which is why it must be
     set BEFORE the stream starts; restored after."""

@@ -378,6 +378,9 @@ _BNLJ_OK = {
     "j_theta",
     # Corpus-total N rides along as a 1-row broadcast cross join.
     "t_unigram_logprob",
+    # Same idiom one order up: the 1-row corpus total meets the
+    # distinct-bigram LM table.
+    "t_bigram_logprob",
     "t_tfidf",
     # Same class: (n_docs x total_len) is a 1-row broadcast cross join.
     "t_bm25",
