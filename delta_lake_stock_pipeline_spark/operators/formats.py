@@ -21,11 +21,11 @@ order differs across engines at the last bit, decimal is exact.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import scratch_mkdtemp
 from ..sources.fixtures import load_table
 
 _ORDERS_DDL = (
@@ -53,7 +53,7 @@ def _roundtrip_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write ``orders`` through the ``fmt`` sink once per session+fixture."""
     key = (spark.sparkContext.applicationId, sf_dir, fmt)
     if key not in _written:
-        path = os.path.join(tempfile.mkdtemp(prefix=f"spark_{fmt}_rt_"), "orders")
+        path = os.path.join(scratch_mkdtemp(prefix=f"spark_{fmt}_rt_"), "orders")
         writer = load_table(spark, sf_dir, "orders").write
         if fmt == "csv":
             writer.option("header", "true").csv(path)
@@ -155,7 +155,7 @@ def _binary_dir(spark: SparkSession, sf_dir: str) -> str:
             .orderBy("doc_id")
             .collect()
         )
-        path = os.path.join(tempfile.mkdtemp(prefix="spark_bin_rt_"), "docs")
+        path = os.path.join(scratch_mkdtemp(prefix="spark_bin_rt_"), "docs")
         os.makedirs(path)
         for r in rows:
             with open(os.path.join(path, f"{int(r[0]):04d}.bin"), "wb") as fh:

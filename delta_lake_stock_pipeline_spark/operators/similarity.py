@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, norm
+from ..session import scratch_root
 from ..sources.fixtures import load_table
 
 _PAIR_SIM_THRESHOLD = 0.4
@@ -466,7 +467,6 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]
     rename into place) so concurrent builders can't observe a half-index.
     """
     import json
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _ivf_cache:
@@ -477,7 +477,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]
         f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
         f":{_IVF_K}:{_IVF_TRAIN_ITERS}".encode()
     ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_ivf", tag)
+    base = os.path.join(scratch_root(), "spark_graft_ivf", tag)
     idx = os.path.join(base, "index")
     meta = os.path.join(base, "centroids.json")
 
@@ -936,7 +936,6 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, "np.ndarray"]:
     paid once per corpus, not once per query) with atomic tmp-dir+rename
     builds."""
     import json
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _pq_index_cache:
@@ -947,7 +946,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, "np.ndarray"]:
         f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
         f":{_PQ_M}:{_PQ_K}:{_PQ_TRAIN_ITERS}:{_PQ_SAMPLE}".encode()
     ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_pq", tag)
+    base = os.path.join(scratch_root(), "spark_graft_pq", tag)
     idx = os.path.join(base, "codes")
     meta = os.path.join(base, "codebooks.json")
 
@@ -1035,8 +1034,6 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     query prunes to nprobe partition directories AND reads 64x-compressed
     rows -- the two savings multiply. Reuses the trained IVF centroids and
     PQ codebooks; disk-cached and atomically built like its parents."""
-    import tempfile
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _ivfpq_index_cache:
         return _ivfpq_index_cache[key]
@@ -1047,7 +1044,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
         f":{_IVF_K}:{_IVF_TRAIN_ITERS}:{_PQ_M}:{_PQ_K}"
         f":{_PQ_TRAIN_ITERS}:{_PQ_SAMPLE}".encode()
     ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_ivfpq", tag)
+    base = os.path.join(scratch_root(), "spark_graft_ivfpq", tag)
     idx = os.path.join(base, "codes")
 
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):

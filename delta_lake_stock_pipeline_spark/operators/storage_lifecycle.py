@@ -21,11 +21,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import scratch_mkdtemp
 from ..sources.fixtures import load_table
 from ..storage import (
     delete_where,
@@ -56,7 +56,7 @@ def clear_lifecycle_dirs() -> None:
 def _mutated_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _tables:
-        path = os.path.join(tempfile.mkdtemp(prefix="spark_lifecycle_"), "orders")
+        path = os.path.join(scratch_mkdtemp(prefix="spark_lifecycle_"), "orders")
         orders = load_table(spark, sf_dir, "orders")
         # v0: full write partitioned by priority.
         write_partitioned(orders, path, _PART_COLS)
@@ -122,7 +122,7 @@ def _evolved_table(spark: SparkSession, sf_dir: str) -> str:
     base bytes -- the 100 TB-honest append shape."""
     key = ("evo", spark.sparkContext.applicationId, sf_dir)
     if key not in _tables:
-        path = os.path.join(tempfile.mkdtemp(prefix="spark_lifecycle_"), "orders_evo")
+        path = os.path.join(scratch_mkdtemp(prefix="spark_lifecycle_"), "orders_evo")
         orders = load_table(spark, sf_dir, "orders")
         base = orders.withColumn("batch", F.lit("base"))
         write_partitioned(base, path, ["batch"])
@@ -183,7 +183,7 @@ def _bucketed_db(spark: SparkSession, sf_dir: str) -> str:
             f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
         ).hexdigest()[:10]
         db = f"spark_graft_bucketed_{tag}"
-        loc = tempfile.mkdtemp(prefix="spark_bucketed_")
+        loc = scratch_mkdtemp(prefix="spark_bucketed_")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"

@@ -120,6 +120,33 @@ def get_spark(
     return spark
 
 
+def scratch_root() -> str:
+    """The repo's ``.tmp/`` scratch root (created on demand). Every
+    engine scratch surface -- mkdtemp dirs AND the persistent ANN index
+    caches -- lives here rather than /tmp, which this sandbox's cleaner
+    deletes MID-RUN (see get_spark). Bonus for the index caches: the
+    repo root persists across processes, so the one-time builds survive
+    where a wiped /tmp would force a rebuild."""
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp"
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def scratch_mkdtemp(prefix: str) -> str:
+    """``tempfile.mkdtemp`` pinned under ``scratch_root()``. The
+    get_spark TMPDIR default covers sessions built HERE, but the
+    external driver builds its own vanilla session, under which a bare
+    mkdtemp would land in /tmp -- the directory this sandbox's cleaner
+    deletes MID-RUN (see get_spark). Every engine scratch dir (format
+    round-trips, lifecycle tables, streaming replays) routes through
+    this instead."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+
+
 def stop_spark_if_local(spark: SparkSession) -> None:
     """Stop the session when running against a local master.
 

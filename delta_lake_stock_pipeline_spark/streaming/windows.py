@@ -18,11 +18,11 @@ from __future__ import annotations
 import contextlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import scratch_mkdtemp
 from ..sources.fixtures import load_table
 
 
@@ -292,7 +292,7 @@ def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _mv_tables:
-        scratch = tempfile.mkdtemp(prefix="spark_incr_mv_")
+        scratch = scratch_mkdtemp(prefix="spark_incr_mv_")
         try:
             src = os.path.join(scratch, "src")
             tbl = os.path.join(scratch, "tbl")
@@ -346,7 +346,7 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _cdc_tables:
-        scratch = tempfile.mkdtemp(prefix="spark_cdc_upsert_")
+        scratch = scratch_mkdtemp(prefix="spark_cdc_upsert_")
         try:
             src = os.path.join(scratch, "src")
             tbl = os.path.join(scratch, "tbl")
@@ -395,7 +395,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _dedup_out:
-        scratch = tempfile.mkdtemp(prefix="spark_stream_dedup_")
+        scratch = scratch_mkdtemp(prefix="spark_stream_dedup_")
         try:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
@@ -450,7 +450,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _sess_out:
-        scratch = tempfile.mkdtemp(prefix="spark_stream_sess_")
+        scratch = scratch_mkdtemp(prefix="spark_stream_sess_")
         try:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
