@@ -159,6 +159,45 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+_MICRO_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, micros LONG"
+
+
+def _running_user_micros(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    import numpy as np
+
+    (n, micros) = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        micros += int(
+            np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype("int64").sum()
+        )
+    state.update((n, micros))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "micros": [micros]})
+
+
+def running_user_micros(stream: DataFrame) -> DataFrame:
+    """``running_user_counts`` with the value sum carried as INTEGER
+    MICRO-UNITS (``floor(value*1e6 + 0.5)`` -- half-up, identical to SQL
+    ROUND for the fixture's non-negative values) instead of a float
+    accumulator: integer addition is order-free, so the cross-batch
+    cumulative state is bit-reproducible and DuckDB-oracle-able however
+    the replay batches or shuffles the rows -- the driver-visible form of
+    the applyInPandasWithState surface (windows.stateful_counts)."""
+    return (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_user_micros,
+            outputStructType=_MICRO_OUTPUT_SCHEMA,
+            stateStructType="n LONG, micros LONG",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_user_counts_tws(stream: DataFrame) -> DataFrame:
     """Running per-user count/sum via ``transformWithStateInPandas`` (the
     Spark 4 successor of ``applyInPandasWithState``: typed state handles --

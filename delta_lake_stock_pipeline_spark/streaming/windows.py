@@ -205,22 +205,28 @@ _mv_tables: dict[tuple[str, str], str] = {}
 _cdc_tables: dict[tuple[str, str], str] = {}
 _dedup_out: dict[tuple[str, str], str] = {}
 _sess_out: dict[tuple[str, str], str] = {}
+_join_out: dict[tuple[str, str], str] = {}
+_late_out: dict[tuple[str, str], str] = {}
+_stateful_out: dict[tuple[str, str], str] = {}
 
 
 def clear_mv_dirs() -> None:
     """Delete every executed-streaming scratch dir this process wrote
     (conftest/bench call this next to the other operator-cache clears)."""
-    for path in (
-        list(_mv_tables.values())
-        + list(_cdc_tables.values())
-        + list(_dedup_out.values())
-        + list(_sess_out.values())
+    for cache in (
+        _mv_tables,
+        _cdc_tables,
+        _dedup_out,
+        _sess_out,
+        _join_out,
+        _late_out,
+        _stateful_out,
     ):
-        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
-    _mv_tables.clear()
-    _cdc_tables.clear()
-    _dedup_out.clear()
-    _sess_out.clear()
+        for entry in cache.values():
+            # _late_out stores (out_dir, cutoff_ts); the rest bare paths.
+            path = entry[0] if isinstance(entry, tuple) else entry
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+        cache.clear()
 
 
 def _write_ordered_files(dfs, src: str) -> None:
@@ -495,6 +501,220 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, EXECUTED: the fixture events replayed
+    as three TIME-ORDERED micro-batches through the real watermarked
+    self-join path (``runtime.purchase_attribution``: both sides
+    watermarked, the 1-day interval condition bounding the buffered-click
+    state), emissions committed via foreachBatch. A click meeting its
+    purchase in a LATER batch does real cross-batch state work: the click
+    is buffered, survives eviction (the 2-day watermark delay exceeds the
+    1-day join interval, and time-ordered tiles mean no input is ever
+    late), and matches eagerly when the purchase arrives. The committed
+    pairs must equal the batch interval join EXACTLY -- same oracle as
+    ``s_interval_join``, so the driver's value hash proves the join-state
+    buffering/eviction machinery loses and invents nothing.
+
+    Scale shape: join state is bounded by (interval + watermark delay) x
+    arrival rate per side -- never stream history; that bound is the whole
+    reason the interval condition is mandatory at 100 TB."""
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _join_out:
+        scratch = scratch_mkdtemp(prefix="spark_stream_join_")
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            _write_ordered_batches(events, src, ["ts", "event_id"])
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.purchase_attribution(
+                        runtime.events_stream(spark, src)
+                    ),
+                    ckpt,
+                    out,
+                )
+            _join_out[key] = out
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
+    return (
+        spark.read.parquet(_join_out[key])
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP, EXECUTED: the fixture events replayed as
+    three time-ordered micro-batches where batch 3 also carries INJECTED
+    rows stamped with the corpus's OLDEST timestamp -- by then far behind
+    the watermark (the in-operator guard asserts their day-window closed
+    before batch 3's watermark), so the append-mode tumbling aggregate
+    (``runtime.tumbling_counts``) must silently drop every one of them
+    rather than re-open the already-finalized day. Two far-future
+    sentinel batches then drag the watermark forward to flush the final
+    real windows (state cleanup lags one batch -- the two-sentinel
+    pattern of ``stream_sessions``). The committed windows, sentinels
+    excluded, must equal the batch daily rollup over the ORIGINAL events
+    only -- any leaked late row emits a duplicate window_start and flips
+    the driver hash. This is the finite-horizon semantics that
+    ``s_incremental_mv`` deliberately side-stepped with its full-span
+    horizon: here lateness beyond the horizon is the behavior under
+    proof, not a hazard to be avoided.
+
+    Scale shape: the drop is exactly what bounds aggregate state at
+    100 TB -- state holds only windows newer than (max event time -
+    horizon), so a deployment prices state as horizon x group arity,
+    never stream history."""
+    import datetime
+
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _late_out:
+        scratch = scratch_mkdtemp(prefix="spark_stream_late_")
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
+            min_ts, max_ts = events.agg(
+                F.min("ts"), F.max("ts")
+            ).collect()[0]
+            # Batch 3 evaluates rows against the watermark set at batch
+            # 2's end (max ts seen - 2-day delay); the injected rows'
+            # 1-day window must already have closed under it or the test
+            # proves nothing. The fixtures span 30 days so this holds
+            # with ~25 days of margin; a reshaped fixture fails loudly.
+            t2_max = b2.agg(F.max("ts")).collect()[0][0]
+            wm_at_b3 = t2_max - datetime.timedelta(days=2)
+            win_end = min_ts.replace(
+                hour=0, minute=0, second=0, microsecond=0
+            ) + datetime.timedelta(days=1)
+            if win_end >= wm_at_b3:
+                raise ValueError(
+                    f"late-row window end {win_end} not behind the "
+                    f"batch-3 watermark {wm_at_b3}; fixture too short"
+                )
+            late = spark.createDataFrame(
+                [
+                    (2 * 10**9 + i, min_ts, 999_000 + i, "purchase", 77.77, "{}")
+                    for i in range(7)
+                ],
+                events.schema,
+            )
+            sentinels = [
+                spark.createDataFrame(
+                    [
+                        (
+                            10**9 + i,
+                            max_ts + datetime.timedelta(days=days),
+                            10**9 + i,
+                            "click",
+                            0.0,
+                            "{}",
+                        )
+                    ],
+                    events.schema,
+                )
+                for i, days in enumerate([40, 80])
+            ]
+            _write_ordered_files(
+                [b1, b2, b3.unionByName(late)] + sentinels, src
+            )
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.tumbling_counts(
+                        runtime.events_stream(spark, src)
+                    ),
+                    ckpt,
+                    out,
+                )
+            _late_out[key] = (out, max_ts)
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
+    out, max_ts = _late_out[key]
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("window_start") <= F.lit(max_ts))
+        .select("window_start", "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, EXECUTED: running per-user count/sum via
+    ``applyInPandasWithState`` (``runtime.running_user_micros``) replayed
+    over three time-ordered micro-batches, update-mode emissions
+    committed per batch. Each emission carries the CUMULATIVE state (the
+    value sum as order-free integer micro-units, so the cross-batch
+    accumulator is bit-reproducible); a user active in all three batches
+    emits three strictly-growing rows, and the final row per user (argmax
+    n_events -- strictly monotone, tie-free) must equal the batch
+    groupBy. The driver's value hash therefore proves the state-store
+    round-trip itself: get -> accumulate -> update -> re-read next batch,
+    across real checkpointed micro-batch commits -- the escape-hatch API
+    the built-in aggregates can't replace, here held to the same oracle
+    standard as the built-ins.
+
+    Scale shape: one shuffle by key per batch; state is one (n, micros)
+    pair per ACTIVE user (RocksDB-resident on a real cluster), sized by
+    key cardinality, never stream length."""
+    from pyspark.sql import Window
+
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _stateful_out:
+        scratch = scratch_mkdtemp(prefix="spark_stateful_counts_")
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            _write_ordered_batches(events, src, ["ts", "event_id"])
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.running_user_micros(
+                        runtime.events_stream(spark, src)
+                    ),
+                    ckpt,
+                    out,
+                    output_mode="update",
+                )
+            _stateful_out[key] = out
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.read.parquet(_stateful_out[key])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("micros") / F.lit(1_000_000.0), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "s_tumbling_daily": tumbling_daily,
     "s_sliding_2d_1d": sliding_2d_1d,
@@ -505,6 +725,9 @@ QUERIES = {
     "s_cdc_upsert": cdc_upsert,
     "s_stream_dedup": stream_dedup,
     "s_stream_sessions": stream_sessions,
+    "s_stream_join": stream_join,
+    "s_stream_late": stream_late_data,
+    "s_stateful_counts": stateful_counts,
 }
 
 ORACLES = {
@@ -575,6 +798,50 @@ ORACLES = {
         FROM sessions
         GROUP BY user_id, session_id
         ORDER BY user_id, session_start
+    """,
+    # The engine side EXECUTES the watermarked stream-stream interval
+    # self-join replay; the committed pairs must equal the batch interval
+    # join -- the s_interval_join oracle verbatim.
+    "s_stream_join": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               ROUND(p.value, 2) AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ORDER BY click_id, purchase_id
+    """,
+    # The engine side EXECUTES the append-mode tumbling replay carrying
+    # injected beyond-horizon late rows; the watermark must DROP exactly
+    # those, so the oracle is the daily rollup over the ORIGINAL events
+    # only -- the s_tumbling_daily oracle verbatim.
+    "s_stream_late": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    # The engine side EXECUTES the applyInPandasWithState replay (integer
+    # micro-unit value accumulator: floor(value*1e6 + 0.5), half-up ==
+    # SQL ROUND for the fixture's non-negative values); the final
+    # update-mode emission per user must equal the batch per-user rollup.
+    "s_stateful_counts": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                          / 1000000.0, 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "s_tumbling_daily": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
