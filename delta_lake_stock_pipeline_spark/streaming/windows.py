@@ -208,6 +208,7 @@ _sess_out: dict[tuple[str, str], str] = {}
 _join_out: dict[tuple[str, str], str] = {}
 _late_out: dict[tuple[str, str], str] = {}
 _stateful_out: dict[tuple[str, str], str] = {}
+_enrich_out: dict[tuple[str, str], str] = {}
 
 
 def clear_mv_dirs() -> None:
@@ -221,6 +222,7 @@ def clear_mv_dirs() -> None:
         _join_out,
         _late_out,
         _stateful_out,
+        _enrich_out,
     ):
         for entry in cache.values():
             # _late_out stores (out_dir, cutoff_ts); the rest bare paths.
@@ -715,6 +717,63 @@ def stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment, EXECUTED: the fixture events
+    replayed as three time-ordered micro-batches through the real
+    stream-static join path (``runtime.enrich_with_static_dim``: each
+    event picks up its user's segment from a BATCH dimension table,
+    broadcast and re-read per micro-batch -- zero state, zero stream-side
+    shuffle), emissions committed via foreachBatch. The dim is derived
+    deterministically from the corpus (``user_id % 2`` -> even/odd
+    segment) so the DuckDB oracle can recompute the enrichment inline;
+    the committed rows must equal the batch broadcast join row-for-row,
+    proving the per-batch dim re-read + broadcast plan loses and invents
+    nothing across replay commits.
+
+    Scale shape: the canonical lookup-enrichment -- at 100 TB the dim
+    broadcast is the same decision as the batch ``j_broadcast``, and
+    the per-micro-batch re-read is what lets a slowly-changing dim
+    update without restarting the stream."""
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _enrich_out:
+        scratch = scratch_mkdtemp(prefix="spark_stream_enrich_")
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            dim = (
+                events.select("user_id")
+                .distinct()
+                .withColumn(
+                    "user_segment",
+                    F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise(
+                        F.lit("odd")
+                    ),
+                )
+            )
+            _write_ordered_batches(events, src, ["ts", "event_id"])
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.enrich_with_static_dim(
+                        runtime.events_stream(spark, src), dim
+                    ),
+                    ckpt,
+                    out,
+                )
+            _enrich_out[key] = out
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
+    return (
+        spark.read.parquet(_enrich_out[key])
+        .select("event_id", "user_id", "ts", "event_type", "value", "user_segment")
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "s_tumbling_daily": tumbling_daily,
     "s_sliding_2d_1d": sliding_2d_1d,
@@ -728,6 +787,7 @@ QUERIES = {
     "s_stream_join": stream_join,
     "s_stream_late": stream_late_data,
     "s_stateful_counts": stateful_counts,
+    "s_stream_enrich": stream_enrich,
 }
 
 ORACLES = {
@@ -842,6 +902,20 @@ ORACLES = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    # The engine side EXECUTES the stream-static broadcast-enrichment
+    # replay; the dim is a pure function of user_id, so the oracle
+    # recomputes the segment inline over the original events.
+    "s_stream_enrich": """
+        SELECT event_id,
+               user_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               event_type,
+               value,
+               CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                   AS user_segment
+        FROM events
+        ORDER BY event_id
     """,
     "s_tumbling_daily": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
