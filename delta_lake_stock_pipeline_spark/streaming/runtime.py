@@ -198,6 +198,29 @@ def running_user_micros(stream: DataFrame) -> DataFrame:
     )
 
 
+def top_spenders(stream: DataFrame, k: int = 10) -> DataFrame:
+    """Complete-mode leaderboard: per-user event count + value total
+    (order-free integer micro-units, so the cross-batch totals are
+    bit-reproducible), sorted by total descending with user_id breaking
+    exact-micro ties deterministically. Complete mode re-emits EVERY
+    group each micro-batch -- the one output mode whose state must hold
+    the whole result, so it is only priced for bounded-cardinality
+    results (a dashboard top-k keyed by users, never by events); that
+    constraint is the reason append/update exist and is exactly what a
+    leaderboard accepts."""
+    return (
+        stream.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")).alias(
+                "micros"
+            ),
+        )
+        .orderBy(F.col("micros").desc(), F.col("user_id"))
+        .limit(k)
+    )
+
+
 def running_user_counts_tws(stream: DataFrame) -> DataFrame:
     """Running per-user count/sum via ``transformWithStateInPandas`` (the
     Spark 4 successor of ``applyInPandasWithState``: typed state handles --

@@ -209,6 +209,8 @@ _join_out: dict[tuple[str, str], str] = {}
 _late_out: dict[tuple[str, str], str] = {}
 _stateful_out: dict[tuple[str, str], str] = {}
 _enrich_out: dict[tuple[str, str], str] = {}
+_topk_out: dict[tuple[str, str], str] = {}
+_restart_out: dict[tuple[str, str], str] = {}
 
 
 def clear_mv_dirs() -> None:
@@ -223,6 +225,8 @@ def clear_mv_dirs() -> None:
         _late_out,
         _stateful_out,
         _enrich_out,
+        _topk_out,
+        _restart_out,
     ):
         for entry in cache.values():
             # _late_out stores (out_dir, cutoff_ts); the rest bare paths.
@@ -675,8 +679,6 @@ def stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle by key per batch; state is one (n, micros)
     pair per ACTIVE user (RocksDB-resident on a real cluster), sized by
     key cardinality, never stream length."""
-    from pyspark.sql import Window
-
     from . import runtime
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -701,9 +703,18 @@ def stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         except BaseException:
             shutil.rmtree(scratch, ignore_errors=True)
             raise
+    return _final_user_rows(spark, _stateful_out[key])
+
+
+def _final_user_rows(spark: SparkSession, out: str) -> DataFrame:
+    """Latest update-mode emission per user from a committed
+    ``running_user_micros`` replay (argmax n_events -- strictly monotone
+    per user, so tie-free), projected to the batch-rollup shape."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.read.parquet(_stateful_out[key])
+        spark.read.parquet(out)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
@@ -715,6 +726,122 @@ def stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE-mode streaming leaderboard, EXECUTED: the fixture events
+    replayed as three time-ordered micro-batches through the real
+    complete-mode path (``runtime.top_spenders``: unwatermarked agg ->
+    streaming sort -> limit 10 -- sorting a streaming Dataset is legal
+    ONLY after aggregation in complete mode, which this key exercises),
+    every batch re-emitting the full top-10 snapshot, foreachBatch
+    OVERWRITING the committed table each time. The surviving final
+    snapshot must equal the batch top-10, proving the third output mode
+    end-to-end and completing the append (enrich/join/sessions) /
+    update (mv/stateful) / complete triple at the driver-oracle
+    standard. Value totals ride as order-free integer micro-units so the
+    cross-batch state is bit-reproducible; user_id breaks exact-micro
+    ties deterministically.
+
+    Scale shape: complete mode's state holds EVERY group, so it is only
+    priced for bounded-cardinality results (a dashboard keyed by users,
+    never by events) -- the constraint this key documents by existing."""
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _topk_out:
+        scratch = scratch_mkdtemp(prefix="spark_stream_topk_")
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            _write_ordered_batches(events, src, ["ts", "event_id"])
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.top_spenders(runtime.events_stream(spark, src)),
+                    ckpt,
+                    out,
+                    output_mode="complete",
+                )
+            _topk_out[key] = out
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
+    return (
+        spark.read.parquet(_topk_out[key])
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("micros") / F.lit(1_000_000.0), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+    )
+
+
+def stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RESTART recovery, EXECUTED: tiles 1-2 of the fixture run
+    through the stateful ``running_user_micros`` path to termination, THEN
+    tile 3 lands in the source dir and a brand-new query starts on the
+    SAME checkpoint. The second query must restore both halves of the
+    checkpoint or the driver hash flips: the file-source offset log
+    (re-admitting tiles 1-2 would double-count into live state) and the
+    per-user state store (losing it would make batch-3 emissions restart
+    from zero, so the max-n_events row per user would miss tile 3). The
+    accumulated update-mode emissions across BOTH query lifetimes reduce
+    to the batch per-user rollup -- the ``s_stateful_counts`` oracle
+    verbatim -- so this key proves the property every production stream
+    actually relies on: kill -9 between micro-batches loses nothing.
+
+    Scale shape: recovery cost is the checkpoint read (offsets + state
+    store files), independent of stream history length."""
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _restart_out:
+        scratch = scratch_mkdtemp(prefix="spark_stream_restart_")
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
+            _write_ordered_files([b1, b2], src)
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.running_user_micros(
+                        runtime.events_stream(spark, src)
+                    ),
+                    ckpt,
+                    out,
+                    output_mode="update",
+                )
+            # Land tile 3 only after query 1 has fully terminated, mtime
+            # stamped later than the first two so discovery order stays
+            # the log order (the _write_ordered_files epoch + 2 slots).
+            before = set(os.listdir(src))
+            b3.coalesce(1).write.mode("append").parquet(src)
+            t = 1_000_000_000 + 2 * 60
+            for name in os.listdir(src):
+                p = os.path.join(src, name)
+                if name not in before and os.path.isfile(p):
+                    os.utime(p, (t, t))
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.running_user_micros(
+                        runtime.events_stream(spark, src)
+                    ),
+                    ckpt,
+                    out,
+                    output_mode="update",
+                )
+            _restart_out[key] = out
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
+    return _final_user_rows(spark, _restart_out[key])
 
 
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +915,8 @@ QUERIES = {
     "s_stream_late": stream_late_data,
     "s_stateful_counts": stateful_counts,
     "s_stream_enrich": stream_enrich,
+    "s_stream_topk": stream_topk,
+    "s_stream_restart": stream_restart,
 }
 
 ORACLES = {
@@ -895,6 +1024,34 @@ ORACLES = {
     # SQL ROUND for the fixture's non-negative values); the final
     # update-mode emission per user must equal the batch per-user rollup.
     "s_stateful_counts": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                          / 1000000.0, 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    # The engine side EXECUTES the complete-mode agg -> sort -> limit
+    # replay, foreachBatch overwriting the snapshot per batch; the final
+    # snapshot must equal the batch top-10 (micro-unit total ranks,
+    # user_id breaks exact-micro ties).
+    "s_stream_topk": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                          / 1000000.0, 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) DESC,
+                 user_id
+        LIMIT 10
+    """,
+    # The engine side EXECUTES the two-query-lifetime restart replay
+    # (tiles 1-2, terminate, land tile 3, NEW query on the SAME
+    # checkpoint); accumulated emissions reduce to the batch per-user
+    # rollup -- the s_stateful_counts oracle verbatim.
+    "s_stream_restart": """
         SELECT user_id,
                COUNT(*) AS n_events,
                CAST(ROUND(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
