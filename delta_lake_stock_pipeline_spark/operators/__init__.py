@@ -73,7 +73,7 @@ DRIVER_WINDOW_SIZE = 50
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
 # correctness row. Round-10 window (per VERDICT r9 task 1): with 220/220
-# oracled keys driver-green after round 9, the 26 round-10 additions go
+# oracled keys driver-green after round 9, the 27 round-10 additions go
 # first (never driver-checked; the policy test forces them), then pure
 # oldest-first freshness in ledger order -- the FULL r5-era block (the 22
 # keys the r9 verdict lists), then the oldest r6-era rows the
@@ -109,6 +109,7 @@ _DRIVER_WINDOW_ROTATION = [
     "s_stream_enrich",
     "s_stream_topk",
     "s_stream_restart",
+    "s_stream_join_outer",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -134,7 +135,6 @@ _DRIVER_WINDOW_ROTATION = [
     "st_time_travel_rollup",
     # --- freshness re-proofs: oldest r6-era greens, ledger order ---
     "a9_ohlc_resample",
-    "x_retention_cohorts",
 ]
 
 

@@ -211,6 +211,7 @@ _stateful_out: dict[tuple[str, str], str] = {}
 _enrich_out: dict[tuple[str, str], str] = {}
 _topk_out: dict[tuple[str, str], str] = {}
 _restart_out: dict[tuple[str, str], str] = {}
+_join_outer_out: dict[tuple[str, str], str] = {}
 
 
 def clear_mv_dirs() -> None:
@@ -227,6 +228,7 @@ def clear_mv_dirs() -> None:
         _enrich_out,
         _topk_out,
         _restart_out,
+        _join_outer_out,
     ):
         for entry in cache.values():
             # _late_out stores (out_dir, cutoff_ts); the rest bare paths.
@@ -844,6 +846,94 @@ def stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_user_rows(spark, _restart_out[key])
 
 
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, EXECUTED: the fixture
+    events replayed as three time-ordered micro-batches through the real
+    watermarked outer-join path (``runtime.purchase_attribution_outer``),
+    then two far-future sentinel batches each carrying one click AND one
+    purchase (distinct synthetic users, so they can never join anything)
+    to drag BOTH sides' watermarks forward -- the global watermark is
+    their MIN, so a one-sided sentinel flushes nothing. Matched pairs
+    emit eagerly; an unmatched click's NULL-purchase row emits ONLY when
+    the watermark passes ``click_ts + 1 day`` and its state is evicted,
+    which is the semantics under proof here: the outer emission is a
+    side effect of state cleanup, the reason Spark rejects un-bounded
+    outer stream-stream joins outright. The committed rows, sentinels
+    excluded, must equal the batch left-outer interval join EXACTLY --
+    every fixture click appears exactly once per match or once with
+    NULLs, so a click evicted early, flushed twice, or never flushed
+    flips the driver hash.
+
+    Scale shape: identical state bound to the inner form ((interval +
+    delay) x arrival rate per side); the outer rows add zero state, only
+    an emission at eviction time."""
+    import datetime
+
+    from . import runtime
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _join_outer_out:
+        scratch = scratch_mkdtemp(prefix="spark_stream_join_outer_")
+        try:
+            src = os.path.join(scratch, "src")
+            out = os.path.join(scratch, "out")
+            ckpt = os.path.join(scratch, "ckpt")
+            events = load_table(spark, sf_dir, "events")
+            b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
+            max_ts = events.agg(F.max("ts")).collect()[0][0]
+            sentinels = [
+                spark.createDataFrame(
+                    [
+                        (
+                            10**9 + 10 * i,
+                            max_ts + datetime.timedelta(days=days),
+                            10**9 + 10 * i,
+                            "click",
+                            0.0,
+                            "{}",
+                        ),
+                        (
+                            10**9 + 10 * i + 1,
+                            max_ts + datetime.timedelta(days=days),
+                            10**9 + 10 * i + 1,
+                            "purchase",
+                            0.0,
+                            "{}",
+                        ),
+                    ],
+                    events.schema,
+                )
+                for i, days in enumerate([40, 80])
+            ]
+            _write_ordered_files([b1, b2, b3] + sentinels, src)
+            with _replay_shuffle_partitions(spark):
+                runtime.run_available_now(
+                    runtime.purchase_attribution_outer(
+                        runtime.events_stream(spark, src)
+                    ),
+                    ckpt,
+                    out,
+                )
+            _join_outer_out[key] = (out, max_ts)
+        except BaseException:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise
+    out, max_ts = _join_outer_out[key]
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("click_ts") <= F.lit(max_ts))
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment, EXECUTED: the fixture events
     replayed as three time-ordered micro-batches through the real
@@ -917,6 +1007,7 @@ QUERIES = {
     "s_stream_enrich": stream_enrich,
     "s_stream_topk": stream_topk,
     "s_stream_restart": stream_restart,
+    "s_stream_join_outer": stream_join_outer,
 }
 
 ORACLES = {
@@ -1031,6 +1122,24 @@ ORACLES = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    # The engine side EXECUTES the watermarked LEFT OUTER stream-stream
+    # interval join replay (two-sentinel flush of the NULL-side rows);
+    # committed rows, sentinels excluded, must equal the batch left-outer
+    # interval join -- the s_interval_join_outer oracle verbatim.
+    "s_stream_join_outer": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               ROUND(p.value, 2) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 DAY
+        ORDER BY click_id, purchase_id NULLS FIRST
     """,
     # The engine side EXECUTES the complete-mode agg -> sort -> limit
     # replay, foreachBatch overwriting the snapshot per batch; the final
