@@ -209,6 +209,12 @@ def main() -> int:
         )
 
         _setup("audio_nd_clusters", lambda: _and_clusters(spark, sf_dir))
+    if names & {"m_video_dup_clusters", "m_video_keeper"}:
+        from delta_lake_stock_pipeline_spark.operators.multimodal import (
+            _vnd_clusters,
+        )
+
+        _setup("video_nd_clusters", lambda: _vnd_clusters(spark, sf_dir))
 
     band_start = _band_probe(spark, queries, sf_dir)
 

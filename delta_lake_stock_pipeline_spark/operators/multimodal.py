@@ -2008,3 +2008,109 @@ ORACLES["m_video_neardup"] = """
     HAVING COUNT(*) >= 12
     ORDER BY doc_a, doc_b
 """
+
+
+def _vnd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin of ``_nd_clusters``: star-contraction labels over the
+    verified ``m_video_neardup`` pair graph, cached per session and
+    shared by the video clusters and keeper keys. Unlike the audio leg's
+    near-clique, the exact-frame pair graph is all 2-node twin
+    components on the fixtures -- the easy topology; the shared core is
+    used for uniformity (and because a real corpus's re-encode chains
+    A~B~C make the closure non-trivial immediately)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "video")
+    if key not in _ND_CACHE:
+        from .dedup import largestar_components
+
+        pairs = video_neardup(spark, sf_dir).select("doc_a", "doc_b")
+        _ND_CACHE[key] = largestar_components(pairs).localCheckpoint()
+    return _ND_CACHE[key]
+
+
+def video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive video-duplicate CLUSTERS over the verified
+    ``m_video_neardup`` pair graph via the shared star-contraction core,
+    completing cluster symmetry across all four near-dup legs (text,
+    image, audio, video). Same nested recursive-closure oracle as the
+    other legs."""
+    return _vnd_clusters(spark, sf_dir).orderBy("doc_id")
+
+
+def video_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-dedup DECISION artifact: within every component keep the
+    LONGEST clip (duration == payload length under frame_sample's
+    geometry; n_chars DESC, doc_id tiebreak). The corruption twins
+    preserve length exactly, so on the fixtures the rule falls through
+    to the doc_id tiebreak and the NATURAL clip wins over its corrupted
+    twin -- which is precisely the curation intent. Emits (doc_id,
+    cluster_id, n_chars, keeper_id, kept); kept = 0 rows are the drop
+    list."""
+    from pyspark.sql import Window
+
+    clusters = _vnd_clusters(spark, sf_dir)
+    lens = _video_corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        clusters.join(lens, "doc_id")
+        .withColumn("keeper_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["m_video_dup_clusters"] = video_dup_clusters
+QUERIES["m_video_keeper"] = video_keeper
+
+# Video twins of the image/audio-leg oracles: the same recursive closure
+# and FIRST_VALUE keeper shapes nested over the m_video_neardup rebuild.
+ORACLES["m_video_dup_clusters"] = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({ORACLES["m_video_neardup"]})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["m_video_keeper"] = f"""
+    WITH clusters AS MATERIALIZED ({ORACLES["m_video_dup_clusters"]}),
+    lens AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        FROM (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + {_VD_TWIN_BASE} AS doc_id,
+                   substr(text, 1, length(text) // 2) || 'Q' ||
+                       substr(text, length(text) // 2 + 2, length(text))
+                   AS text
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % {_VD_TWIN_MOD} = {_VD_TWIN_RES}
+        )
+    )
+    SELECT c.doc_id, c.cluster_id, l.n_chars,
+           FIRST_VALUE(c.doc_id) OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY l.n_chars DESC, c.doc_id) AS keeper_id,
+           CAST(CASE WHEN c.doc_id = FIRST_VALUE(c.doc_id) OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY l.n_chars DESC, c.doc_id)
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM clusters c JOIN lens l ON c.doc_id = l.doc_id
+    ORDER BY c.doc_id
+"""
