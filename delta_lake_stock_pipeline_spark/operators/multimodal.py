@@ -2114,3 +2114,131 @@ ORACLES["m_video_keeper"] = f"""
     FROM clusters c JOIN lens l ON c.doc_id = l.doc_id
     ORDER BY c.doc_id
 """
+
+
+def video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (online) video admission -- completing incremental
+    symmetry across all four near-dup legs (text, image, audio, video):
+    the corruption twins (doc_id >= _VD_TWIN_BASE) are the arriving
+    batch, the natural clips the standing corpus; each batch clip is
+    checked against the corpus's per-frame signature index and matched
+    or admitted. Per batch clip: its BEST corpus match among pairs
+    sharing >= _VD_MIN_SHARED exact frame signatures, argmax under
+    (n_shared_frames DESC, corpus doc ASC); novel clips carry a NULL
+    match and is_novel = 1.
+
+    Scale shape: an ASYMMETRIC equi-join -- batch frames (small)
+    against the corpus frame index on the exact (frame_idx, f_len,
+    f_energy) triple; no self-join, cost linear in the batch for a
+    fixed corpus. Unlike the banded image/audio legs (8-bit bands,
+    posting lists growing with the corpus -- the band-width rule in
+    ``image_incremental``), exact integer frame signatures keep posting
+    keys high-entropy, so per-key lists stay near-constant as the
+    corpus grows; constant-frame hubs would need the text leg's cap."""
+    from pyspark.sql import Window as _W
+
+    fr = _video_frames_of(_video_corpus(spark, sf_dir))
+    is_batch = F.col("doc_id") >= _VD_TWIN_BASE
+    corpus, batch = fr.filter(~is_batch), fr.filter(is_batch)
+    best = (
+        batch.alias("n")
+        .join(
+            corpus.alias("c"),
+            (F.col("n.frame_idx") == F.col("c.frame_idx"))
+            & (F.col("n.f_len") == F.col("c.f_len"))
+            & (F.col("n.f_energy") == F.col("c.f_energy")),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("cand_doc"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= _VD_MIN_SHARED)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("new_doc").orderBy(
+                    F.desc("n_shared_frames"), "cand_doc"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        batch.select(F.col("doc_id").alias("new_doc"))
+        .distinct()
+        .join(best, "new_doc", "left")
+        .select(
+            "new_doc",
+            F.col("cand_doc").alias("matched_doc"),
+            "n_shared_frames",
+            F.col("cand_doc").isNull().cast("int").alias("is_novel"),
+        )
+        .orderBy("new_doc")
+    )
+
+
+QUERIES["m_video_incremental"] = video_incremental
+
+# Asymmetric mirror of the m_video_neardup oracle: batch (twin) frames
+# joined against corpus (natural) frames, best match per batch clip via
+# ROW_NUMBER under the same (n_shared DESC, cand ASC) order.
+ORACLES["m_video_incremental"] = f"""
+    WITH corpus_docs AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ), batch_docs AS (
+        SELECT doc_id + {_VD_TWIN_BASE} AS doc_id,
+               substr(text, 1, length(text) // 2) || 'Q' ||
+                   substr(text, length(text) // 2 + 2, length(text))
+               AS text
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % {_VD_TWIN_MOD} = {_VD_TWIN_RES}
+    ), frames AS (
+        SELECT doc_id, f AS frame_idx,
+               ((f + 1) * n) // 16 - (f * n) // 16 AS f_len,
+               list_sum(codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16])
+                   AS f_energy,
+               is_batch
+        FROM (
+            SELECT doc_id, codes, len(codes) AS n, is_batch
+            FROM (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split_regex(text, ''),
+                                       c -> c <> ''),
+                           c -> CAST(ord(c) AS BIGINT)) AS codes,
+                       is_batch
+                FROM (
+                    SELECT doc_id, text, 0 AS is_batch FROM corpus_docs
+                    UNION ALL
+                    SELECT doc_id, text, 1 AS is_batch FROM batch_docs
+                )
+            )
+            WHERE len(codes) >= 16 AND len(codes) % 120 >= 7
+        ), unnest(range(0, 16)) AS u(f)
+    ), best AS (
+        SELECT n.doc_id AS new_doc,
+               c.doc_id AS cand_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_frames,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.doc_id
+                   ORDER BY COUNT(*) DESC, c.doc_id) AS rn
+        FROM frames n
+        JOIN frames c
+          ON n.frame_idx = c.frame_idx
+         AND n.f_len = c.f_len
+         AND n.f_energy = c.f_energy
+        WHERE n.is_batch = 1 AND c.is_batch = 0
+        GROUP BY n.doc_id, c.doc_id
+        HAVING COUNT(*) >= {_VD_MIN_SHARED}
+    )
+    SELECT b.doc_id AS new_doc,
+           m.cand_doc AS matched_doc,
+           m.n_shared_frames,
+           CAST(CASE WHEN m.cand_doc IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_novel
+    FROM (SELECT DISTINCT doc_id FROM frames WHERE is_batch = 1) b
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) m ON b.doc_id = m.new_doc
+    ORDER BY new_doc
+"""

@@ -342,3 +342,40 @@ def test_video_neardup_matches_brute_force(spark):
     found = {(a, b): s for a, b, s in want}
     for pair in twin_pairs:
         assert found.get(pair, 0) >= 15, f"twin {pair} not recalled"
+
+
+def test_video_incremental_matches_pair_derivation(spark):
+    """The asymmetric video admission must be exactly derivable from the
+    symmetric pair relation: for every batch clip, the best corpus match
+    among (corpus -> batch) pairs under (n_shared_frames DESC, corpus id
+    ASC), novel when none -- proving the asymmetric posting join drops
+    no candidate the self-join form finds (and admits none it doesn't)."""
+    from delta_lake_stock_pipeline_spark.operators.multimodal import (
+        _VD_TWIN_BASE,
+        video_incremental,
+        video_neardup,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["n_shared_frames"])
+        for r in video_neardup(spark, SF_DIR).collect()
+        if r["doc_b"] >= _VD_TWIN_BASE and r["doc_a"] < _VD_TWIN_BASE
+    ]
+    best = {}
+    for a, b, ns in pairs:
+        cur = best.get(b)
+        if cur is None or (-ns, a) < (-cur[2], cur[0]):
+            best[b] = (a, b, ns)
+    got = {
+        r["new_doc"]: (r["matched_doc"], r["n_shared_frames"], r["is_novel"])
+        for r in video_incremental(spark, SF_DIR).collect()
+    }
+    batch_ids = set(got)
+    assert batch_ids, "fixture must have a batch"
+    for b in batch_ids:
+        if b in best:
+            a, _, ns = best[b]
+            assert got[b] == (a, ns, 0)
+        else:
+            assert got[b] == (None, None, 1)
+    assert set(best) <= batch_ids
