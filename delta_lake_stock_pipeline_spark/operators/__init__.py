@@ -73,12 +73,13 @@ DRIVER_WINDOW_SIZE = 50
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
 # correctness row. Round-10 window (per VERDICT r9 task 1): with 220/220
-# oracled keys driver-green after round 9, the 32 round-10 additions go
+# oracled keys driver-green after round 9, the 33 round-10 additions go
 # first (never driver-checked; the policy test forces them), then pure
-# oldest-first freshness in ledger order -- 18 of the 22 r5-era keys the
-# r9 verdict lists (v_label_centroids, v_quantized_cosine,
-# st_lifecycle_rollup, st_time_travel_rollup, last four in ledger
-# order, are displaced to the r11 head by the late additions). All 50 are
+# oldest-first freshness in ledger order -- 17 of the 22 r5-era keys the
+# r9 verdict lists (v_cosine_topk, v_label_centroids,
+# v_quantized_cosine, st_lifecycle_rollup, st_time_travel_rollup, last
+# five in ledger order, are displaced to the r11 head by the late
+# additions). All 50 are
 # DuckDB-oracled (rows-only keys are excluded by policy: their guarantees
 # are driver-witnessed through oracled anchor twins). Rotation history:
 # ROUND4_NOTES.md, ROUND6_NOTES.md ... ROUND9_NOTES.md, ROUND10_NOTES.md.
@@ -116,6 +117,7 @@ _DRIVER_WINDOW_ROTATION = [
     "m_video_dup_clusters",
     "m_video_keeper",
     "m_video_incremental",
+    "x_outliers_zscore",
     # --- freshness re-proofs: r5-era greens, ledger order ---
     "w_lag_lead",
     "w_moving_avg",
@@ -134,7 +136,6 @@ _DRIVER_WINDOW_ROTATION = [
     "c_seq_packing",
     "c_domain_mix",
     "c_blocklist_redaction",
-    "v_cosine_topk",
 ]
 
 

@@ -1225,6 +1225,58 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-sigma outlier detection per event_type -- the value-clipping
+    gate a training-data pipeline runs before ingestion. The textbook
+    float form (|v - mean| > 3*stddev) is order-dependent and
+    sqrt-bearing; here the predicate is cross-multiplied into pure
+    integer arithmetic over micro-unit values so the flagged set is
+    bit-identical on any engine:
+
+        (n*v - S)^2 > 9 * (n*S2 - S^2)        [population variance]
+
+    with v = floor(value*1e6 + 0.5), S = sum(v), S2 = sum(v^2), all in
+    DECIMAL(38,0) (the d_cc_largestar/x_weighted_median idiom; the
+    DuckDB mirror computes the same products in HUGEINT). No float ever
+    forms, so no rounding tolerance exists to get wrong.
+
+    Scale shape: one hash-agg for the per-group (n, S, S2) triple, the
+    1-row-per-group stats broadcast back onto the scan, one map-side
+    predicate, one final hash-agg -- two shuffles total, no window, no
+    sort; at 100 TB the stats side is KBs however large the fact is."""
+    v = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", v.alias("v")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d(F.col("v"))).alias("s"),
+        F.sum(d(F.col("v") * F.col("v"))).alias("s2"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    # No pow(): decimal ** goes through double; square by self-multiply
+    # to stay exact.
+    lhs = (d(F.col("n")) * d(F.col("v")) - F.col("s")) * (
+        d(F.col("n")) * d(F.col("v")) - F.col("s")
+    )
+    rhs = F.lit(9).cast("decimal(38,0)") * (
+        d(F.col("n")) * F.col("s2") - F.col("s") * F.col("s")
+    )
+    return (
+        joined.withColumn("is_outlier", (lhs > rhs).cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+            F.round(F.sum("is_outlier") / F.count("*"), 6).alias(
+                "outlier_rate"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "x_weighted_median": weighted_median,
     "a0_flagship_daily_rollup": flagship_daily_rollup,
@@ -1259,6 +1311,7 @@ QUERIES = {
     "x_cms_anchor": cms_anchor,
     "x_stats_moments": stats_moments,
     "x_column_profile": column_profile,
+    "x_outliers_zscore": outliers_zscore,
 }
 
 ORACLES = {
@@ -1665,6 +1718,37 @@ ORACLES = {
                COUNT(*) - COUNT(v) AS n_nulls,
                COUNT(DISTINCT v) AS n_distinct
         FROM m GROUP BY column_name ORDER BY column_name
+    """,
+    # Exact integer mirror of the cross-multiplied 3-sigma predicate:
+    # HUGEINT products in DuckDB == DECIMAL(38,0) products in Spark
+    # (both exact at these magnitudes); only BIGINT/DOUBLE leave.
+    "x_outliers_zscore": """
+        WITH mv AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+            FROM events
+        ), stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+                   CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+                        AS HUGEINT) AS s2
+            FROM mv GROUP BY event_type
+        )
+        SELECT mv.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN
+                       (CAST(st.n AS HUGEINT) * CAST(mv.v AS HUGEINT) - st.s)
+                     * (CAST(st.n AS HUGEINT) * CAST(mv.v AS HUGEINT) - st.s)
+                     > 9 * (CAST(st.n AS HUGEINT) * st.s2 - st.s * st.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(SUM(CASE WHEN
+                       (CAST(st.n AS HUGEINT) * CAST(mv.v AS HUGEINT) - st.s)
+                     * (CAST(st.n AS HUGEINT) * CAST(mv.v AS HUGEINT) - st.s)
+                     > 9 * (CAST(st.n AS HUGEINT) * st.s2 - st.s * st.s)
+                    THEN 1 ELSE 0 END) / COUNT(*), 6) AS outlier_rate
+        FROM mv JOIN stats st ON mv.event_type = st.event_type
+        GROUP BY mv.event_type ORDER BY mv.event_type
     """,
     # x_approx_count_distinct / x_percentile_approx: intentionally no
     # oracle (sketch-based); exact twins are the anchors.
