@@ -1819,10 +1819,11 @@ ORACLES["m_scene_changes"] = f"""
 # single frame). Length is preserved, so the frame geometry is identical
 # and the twin shares EXACTLY 15 of its 16 frame signatures (16 when the
 # middle char already was 'Q'). Measured on both fixture SFs: twin recall
-# 48/48 and 46/46 at n_shared >= 12, ZERO natural pairs, ~514 candidate
-# pairs from the posting join (vs ~131k all-pairs) -- exact frame
-# signatures are high-entropy enough that coincidental matches are rare
-# and 12-of-16 coincidences nonexistent.
+# 48/48 and 46/46 at n_shared >= 12, ZERO natural pairs, and a few
+# hundred candidate pairs from the posting join (vs ~131k all-pairs) --
+# exact frame signatures are high-entropy enough that coincidental
+# matches are rare and 12-of-16 coincidences nonexistent. (On LOW-entropy
+# frames that stops holding -- see the f_wsum note in _video_frames_of.)
 _VD_TWIN_MOD, _VD_TWIN_RES, _VD_TWIN_BASE = 10, 7, 4_000_000
 # Verify gate: >= 12 of the 16 frame signatures identical. Recall at the
 # gate is exact BY CONSTRUCTION: the posting join finds every pair
@@ -1849,14 +1850,23 @@ def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _video_frames_of(docs: DataFrame) -> DataFrame:
     """Per-frame video signature table (doc_id, frame_idx, f_len,
-    f_energy) for FULL-LENGTH clips (nf == 16, i.e. n % 120 >= 7 under
-    frame_sample's geometry -- the min-duration gate every production
-    video fingerprinter applies). Frame f covers the byte span
-    [floor(f*n/16), floor((f+1)*n/16)) of the payload; its signature is
-    the exact integer (span length, span energy) pair -- scene_changes'
-    char-code plane, so parity with the SQL mirror is already proven
-    there. ONE codegen'd HOF projection + explode: zero Python, zero
-    shuffle."""
+    f_energy, f_wsum) for FULL-LENGTH clips (nf == 16, i.e. n % 120 >= 7
+    under frame_sample's geometry -- the min-duration gate every
+    production video fingerprinter applies). Frame f covers the byte
+    span [floor(f*n/16), floor((f+1)*n/16)) of the payload; its
+    signature is the exact integer triple (span length, span energy,
+    POSITION-WEIGHTED span sum) -- scene_changes' char-code plane, so
+    parity with the SQL mirror is already proven there.
+
+    The weighted sum (sum of i*code_i, i 1-based within the frame) is
+    load-bearing for scale, not decoration: the r10c probe measured
+    plain (len, energy) signatures SATURATING on a low-entropy corpus
+    (synthetic 10-char frames: 12,392 posting keys for 1.6M frames,
+    max list 1,090, 398M candidate pairs at 100k docs -- quadratic
+    blowup), while the weighted term multiplies the key space by the
+    frame's internal-order entropy and collapses coincidental
+    collisions (SCALING.md round-10 continuation, batch 3). ONE
+    codegen'd HOF projection + explode: zero Python, zero shuffle."""
     return (
         docs.select(
             "doc_id",
@@ -1876,11 +1886,16 @@ def _video_frames_of(docs: DataFrame) -> DataFrame:
                     "cast((f + 1) * n div 16 - f * n div 16 as bigint) as f_len, "
                     "aggregate(slice(codes, cast(f * n div 16 as int) + 1, "
                     "cast((f + 1) * n div 16 - f * n div 16 as int)), "
-                    "0L, (a, x) -> a + x) as f_energy))"
+                    "0L, (a, x) -> a + x) as f_energy, "
+                    "aggregate(slice(codes, cast(f * n div 16 as int) + 1, "
+                    "cast((f + 1) * n div 16 - f * n div 16 as int)), "
+                    "named_struct('s', 0L, 'i', 1L), "
+                    "(a, x) -> named_struct('s', a.s + a.i * x, 'i', a.i + 1), "
+                    "a -> a.s) as f_wsum))"
                 )
             ).alias("fr"),
         )
-        .select("doc_id", "fr.frame_idx", "fr.f_len", "fr.f_energy")
+        .select("doc_id", "fr.frame_idx", "fr.f_len", "fr.f_energy", "fr.f_wsum")
     )
 
 
@@ -1891,7 +1906,8 @@ def video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame) rather than packed into a 64-bit word: exact integer frame
     signatures are what make the pairing below threshold-free, and at
     100 TB the long table is the posting list itself (partition by a
-    hash of (f_len, f_energy) and the pairing join is co-located)."""
+    hash of the signature quadruple and the pairing join is
+    co-located)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -1912,19 +1928,21 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     get wrong.
 
     Pipeline: (1) frame the twin-augmented corpus (one corrupted middle
-    character -- see _VD_TWIN_*); (2) posting join on the exact triple
-    (frame_idx, f_len, f_energy) -- candidate work is
-    sum(posting-list^2), never |docs|^2, measured ~514 candidate pairs
-    vs ~131k all-pairs on the fixtures; (3) keep pairs sharing >=
+    character -- see _VD_TWIN_*); (2) posting join on the exact
+    quadruple (frame_idx, f_len, f_energy, f_wsum) -- candidate work is
+    sum(posting-list^2), never |docs|^2; (3) keep pairs sharing >=
     _VD_MIN_SHARED frames. Recall at the gate is exact by construction
     (any pair sharing >= 12 frames shares >= 1, so the posting join
     cannot miss it); the property test brute-forces all-pairs equality.
 
     Scale shape: the pairing is an inverted-index equi-join + count
-    aggregate, the d_ngram_jaccard shape exactly; skew-prone constant
-    frames (a run of identical bytes shared corpus-wide) would need the
-    posting hub cap the text leg documents, not present in the fixture
-    (largest posting list = 2)."""
+    aggregate, the d_ngram_jaccard shape exactly. The posting key MUST
+    carry more entropy than log2(16 x corpus) or the lists hub up: the
+    r10c probe measured the plain (len, energy) pair saturating on a
+    low-entropy synthetic corpus (12,392 keys / 398M candidate pairs at
+    100k docs), which is why the position-weighted sum is part of the
+    signature (SCALING.md round-10 continuation, batch 3); residual
+    constant-frame hubs would take the text leg's posting cap."""
     fr = _video_frames_of(_video_corpus(spark, sf_dir))
     return (
         fr.alias("l")
@@ -1933,6 +1951,7 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l.frame_idx") == F.col("r.frame_idx"))
             & (F.col("l.f_len") == F.col("r.f_len"))
             & (F.col("l.f_energy") == F.col("r.f_energy"))
+            & (F.col("l.f_wsum") == F.col("r.f_wsum"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .groupBy(
@@ -1965,7 +1984,10 @@ ORACLES["m_video_fingerprint"] = """
            CAST(f AS INTEGER) AS frame_idx,
            CAST(((f + 1) * n) // 16 - (f * n) // 16 AS BIGINT) AS f_len,
            CAST(list_sum(codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16])
-                AS BIGINT) AS f_energy
+                AS BIGINT) AS f_energy,
+           CAST(list_sum(list_transform(
+                    codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16],
+                    (x, i) -> i * x)) AS BIGINT) AS f_wsum
     FROM geo, unnest(range(0, 16)) AS u(f)
     ORDER BY doc_id, frame_idx
 """
@@ -1992,7 +2014,10 @@ ORACLES["m_video_neardup"] = """
                f AS frame_idx,
                ((f + 1) * n) // 16 - (f * n) // 16 AS f_len,
                list_sum(codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16])
-                   AS f_energy
+                   AS f_energy,
+               list_sum(list_transform(
+                   codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16],
+                   (x, i) -> i * x)) AS f_wsum
         FROM geo, unnest(range(0, 16)) AS u(f)
     )
     SELECT l.doc_id AS doc_a,
@@ -2003,6 +2028,7 @@ ORACLES["m_video_neardup"] = """
       ON l.frame_idx = r.frame_idx
      AND l.f_len = r.f_len
      AND l.f_energy = r.f_energy
+     AND l.f_wsum = r.f_wsum
      AND l.doc_id < r.doc_id
     GROUP BY l.doc_id, r.doc_id
     HAVING COUNT(*) >= 12
@@ -2129,12 +2155,13 @@ def video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: an ASYMMETRIC equi-join -- batch frames (small)
     against the corpus frame index on the exact (frame_idx, f_len,
-    f_energy) triple; no self-join, cost linear in the batch for a
-    fixed corpus. Unlike the banded image/audio legs (8-bit bands,
-    posting lists growing with the corpus -- the band-width rule in
-    ``image_incremental``), exact integer frame signatures keep posting
-    keys high-entropy, so per-key lists stay near-constant as the
-    corpus grows; constant-frame hubs would need the text leg's cap."""
+    f_energy, f_wsum) quadruple; no self-join, cost linear in the batch
+    for a fixed corpus. The signature's entropy is what keeps per-key
+    posting lists near-constant as the corpus grows -- the r10c probe
+    showed the plain (len, energy) pair is NOT enough on low-entropy
+    frames, hence the position-weighted term (see ``video_neardup``);
+    the banded image/audio legs have the analogous band-width rule in
+    ``image_incremental``."""
     from pyspark.sql import Window as _W
 
     fr = _video_frames_of(_video_corpus(spark, sf_dir))
@@ -2146,7 +2173,8 @@ def video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.alias("c"),
             (F.col("n.frame_idx") == F.col("c.frame_idx"))
             & (F.col("n.f_len") == F.col("c.f_len"))
-            & (F.col("n.f_energy") == F.col("c.f_energy")),
+            & (F.col("n.f_energy") == F.col("c.f_energy"))
+            & (F.col("n.f_wsum") == F.col("c.f_wsum")),
         )
         .groupBy(
             F.col("n.doc_id").alias("new_doc"),
@@ -2199,6 +2227,9 @@ ORACLES["m_video_incremental"] = f"""
                ((f + 1) * n) // 16 - (f * n) // 16 AS f_len,
                list_sum(codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16])
                    AS f_energy,
+               list_sum(list_transform(
+                   codes[(f * n) // 16 + 1 : ((f + 1) * n) // 16],
+                   (x, i) -> i * x)) AS f_wsum,
                is_batch
         FROM (
             SELECT doc_id, codes, len(codes) AS n, is_batch
@@ -2229,6 +2260,7 @@ ORACLES["m_video_incremental"] = f"""
           ON n.frame_idx = c.frame_idx
          AND n.f_len = c.f_len
          AND n.f_energy = c.f_energy
+         AND n.f_wsum = c.f_wsum
         WHERE n.is_batch = 1 AND c.is_batch = 0
         GROUP BY n.doc_id, c.doc_id
         HAVING COUNT(*) >= {_VD_MIN_SHARED}

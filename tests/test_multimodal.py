@@ -317,7 +317,7 @@ def test_video_neardup_matches_brute_force(spark):
     frames: dict[int, set] = {}
     for r in _video_frames_of(_video_corpus(spark, SF_DIR)).collect():
         frames.setdefault(r["doc_id"], set()).add(
-            (r["frame_idx"], r["f_len"], r["f_energy"])
+            (r["frame_idx"], r["f_len"], r["f_energy"], r["f_wsum"])
         )
     ids = sorted(frames)
     want = set()

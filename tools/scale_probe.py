@@ -849,6 +849,49 @@ def r10b_probe(spark) -> None:
         shutil.rmtree(BASE, ignore_errors=True)
 
 
+def r10c_probe(spark) -> None:
+    """Third round-10 continuation batch: the video exact-frame posting
+    index at 100k/400k docs. This probe CHANGED the design: its first
+    run measured the plain (frame_idx, f_len, f_energy) signature
+    saturating on the low-entropy synthetic corpus (10-char frames:
+    12,392 posting keys for 1.6M frames, max list 1,090, 398M candidate
+    pairs, 238 s at 100k docs -- quadratic blowup), so the shipped
+    signature gained the position-weighted span sum (f_wsum) which
+    multiplies the key space by the frame's internal-order entropy.
+    The probe now verifies the FIXED quadruple stays high-entropy:
+    posting-key cardinality, max list length, and candidate-pair count
+    next to the pairing wall, so the claim is a number, not an
+    assertion."""
+    from pyspark.sql import functions as PF
+
+    from delta_lake_stock_pipeline_spark.operators import multimodal as MM
+
+    try:
+        for n in DOC_SIZES:
+            d = f"{BASE}/r10cdocs_{n}"
+            synth_documents(spark, n, f"{d}/documents.parquet")
+            posts = (
+                MM._video_frames_of(MM._video_corpus(spark, d))
+                .groupBy("frame_idx", "f_len", "f_energy", "f_wsum")
+                .count()
+            )
+            keys, max_list, cand = posts.agg(
+                PF.count("*"),
+                PF.max("count"),
+                PF.sum(PF.expr("count * (count - 1) div 2")),
+            ).collect()[0]
+            sec = time_query(MM.video_neardup, spark, d)
+            print(
+                f"{'m_video_neardup':>22} docs={n:>8,} "
+                f"posting_keys={keys:>12,} max_list={max_list:>4} "
+                f"cand_pairs={int(cand):>10,}  {sec:6.2f}s",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
 def _probe_session():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -875,6 +918,7 @@ _FLAG_PROBES = [
     ("--r9", r9_probe),
     ("--r10", r10_probe),
     ("--r10b", r10b_probe),
+    ("--r10c", r10c_probe),
 ]
 
 
