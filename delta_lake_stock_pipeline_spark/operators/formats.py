@@ -41,11 +41,16 @@ def clear_roundtrip_dirs() -> None:
     """Delete every round-trip temp directory this process wrote. Call when
     done with a session (tests/conftest does, next to the dedup cache
     clear) -- otherwise each session leaks two orders-table copies under
-    the system temp dir."""
+    the system temp dir. Root guard as in ``clear_lifecycle_dirs``:
+    never rmtree above the entry's own scratch dir."""
     import shutil
 
+    from ..session import scratch_root
+
+    root = scratch_root()
     for path in _written.values():
-        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+        parent = os.path.dirname(path)
+        shutil.rmtree(path if parent == root else parent, ignore_errors=True)
     _written.clear()
 
 

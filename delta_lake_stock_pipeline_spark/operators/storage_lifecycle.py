@@ -47,10 +47,22 @@ _tables: dict[tuple[str, str], str] = {}
 
 def clear_lifecycle_dirs() -> None:
     """Delete every lifecycle scratch table this process wrote (conftest
-    calls this next to the other operator-cache clears)."""
+    calls this next to the other operator-cache clears). Most cached
+    paths are <scratch-dir>/<table> so the rmtree target is the parent
+    mkdtemp dir -- but ``_bucketed_db`` caches the mkdtemp dir ITSELF,
+    whose parent is the shared ``.tmp`` scratch root. Deleting that
+    parent nuked the whole root (every live Spark local dir, the ANN
+    index caches, concurrent processes' scratch) at each cleanup -- the
+    round-10 bug that presented as the "/tmp cleaner" striking inside
+    the repo. Guard: never rmtree above the entry's own scratch dir."""
+    from ..session import scratch_root
+
+    root = scratch_root()
     for path in _tables.values():
-        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+        parent = os.path.dirname(path)
+        shutil.rmtree(path if parent == root else parent, ignore_errors=True)
     _tables.clear()
+    _bucketed_dbs.clear()
 
 
 def _mutated_table(spark: SparkSession, sf_dir: str) -> str:

@@ -216,7 +216,13 @@ _join_outer_out: dict[tuple[str, str], str] = {}
 
 def clear_mv_dirs() -> None:
     """Delete every executed-streaming scratch dir this process wrote
-    (conftest/bench call this next to the other operator-cache clears)."""
+    (conftest/bench call this next to the other operator-cache clears).
+    Root guard as in ``clear_lifecycle_dirs``: never rmtree above the
+    entry's own scratch dir (the parent of a direct scratch-root child
+    is the SHARED root)."""
+    from ..session import scratch_root
+
+    root = scratch_root()
     for cache in (
         _mv_tables,
         _cdc_tables,
@@ -231,9 +237,13 @@ def clear_mv_dirs() -> None:
         _join_outer_out,
     ):
         for entry in cache.values():
-            # _late_out stores (out_dir, cutoff_ts); the rest bare paths.
+            # _late_out/_join_outer_out store (out_dir, cutoff_ts);
+            # the rest bare paths.
             path = entry[0] if isinstance(entry, tuple) else entry
-            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+            parent = os.path.dirname(path)
+            shutil.rmtree(
+                path if parent == root else parent, ignore_errors=True
+            )
         cache.clear()
 
 
