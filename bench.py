@@ -209,12 +209,52 @@ def main() -> int:
         )
 
         _setup("audio_nd_clusters", lambda: _and_clusters(spark, sf_dir))
+    if names & {
+        "m_video_neardup",
+        "m_video_incremental",
+        "m_video_dup_clusters",
+        "m_video_keeper",
+    }:
+        from delta_lake_stock_pipeline_spark.operators.multimodal import (
+            _vframes_table,
+        )
+
+        _setup("video_frames", lambda: _vframes_table(spark, sf_dir))
     if names & {"m_video_dup_clusters", "m_video_keeper"}:
         from delta_lake_stock_pipeline_spark.operators.multimodal import (
             _vnd_clusters,
         )
 
         _setup("video_nd_clusters", lambda: _vnd_clusters(spark, sf_dir))
+    # PageRank / k-core / BFS share one trade-edge list per session
+    # (round-10 optimization): price the build once, here.
+    if names & {"g_pagerank", "g_kcore", "g_bfs_hops"}:
+        from delta_lake_stock_pipeline_spark.operators.graph import (
+            _trade_edges_cached,
+        )
+
+        _setup("trade_edges", lambda: _trade_edges_cached(spark, sf_dir))
+    # The executed-streaming replays share one (ts, event_id) tile split
+    # of the events fixture per session (round-10 optimization): build it
+    # here so the one-time cost doesn't land on whichever replay key runs
+    # first (same pricing rationale as the ANN/dedup artifacts above).
+    if names & {
+        "s_cdc_upsert",
+        "s_stream_dedup",
+        "s_stream_sessions",
+        "s_stream_join",
+        "s_stream_late",
+        "s_stateful_counts",
+        "s_stream_enrich",
+        "s_stream_topk",
+        "s_stream_restart",
+        "s_stream_join_outer",
+    }:
+        from delta_lake_stock_pipeline_spark.streaming.windows import (
+            _tile_files,
+        )
+
+        _setup("stream_tiles", lambda: _tile_files(spark, sf_dir))
 
     band_start = _band_probe(spark, queries, sf_dir)
 

@@ -71,6 +71,23 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> localCheckpointed trade edge list. PageRank,
+# k-core and BFS all start from the SAME fact-table join + distinct +
+# symmetric union (~1.2M rows at sf0.1, 3-6 s to build); before round
+# 10's optimization pass each of the three keys re-ran it (guide §1.2:
+# remove redundant passes first). Session-scoped and priced as a bench
+# setup line ("trade_edges"), the dedup_pairs/fingerprints pattern --
+# nothing persists across runs.
+_edges_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _trade_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _edges_cache:
+        _edges_cache[key] = _trade_edges(spark, sf_dir).localCheckpoint()
+    return _edges_cache[key]
+
+
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer-supplier trade graph: nodes
     are ``C<custkey>`` / ``S<suppkey>``, with a symmetric edge for every
@@ -95,7 +112,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row ``n_df`` scalar keeps an explicit broadcast.
     ``localCheckpoint`` truncates lineage so iteration N's plan
     does not re-derive iterations 1..N-1."""
-    edges = _trade_edges(spark, sf_dir)
+    edges = _trade_edges_cached(spark, sf_dir)
     return pagerank_core(edges).limit(_TOP_K)
 
 
@@ -114,13 +131,33 @@ def pagerank_core(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("long").alias("outd")
+    # Degree table checkpointed ONCE: it is loop-invariant, but as a lazy
+    # plan each iteration's materialization re-ran the |E|-row groupBy
+    # (5x over ~1.2M rows at sf0.1 -- round-10 optimization, guide §1.2).
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("outd"))
+        .localCheckpoint()
     )
     n_df = nodes.agg(F.count("*").cast("long").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("r")
+    # Per-node constants precomputed once outside the loop: the initial
+    # rank r0 = SCALE DIV n and the teleport term t0 = (15*(SCALE DIV n))
+    # DIV 100 are loop-invariant; inlining them per iteration re-ran the
+    # n_df aggregate + crossJoin 5x. The per-iteration expression
+    # t0 + (85*s) DIV 100 is the SAME integer arithmetic term-for-term,
+    # so every emitted rank is bit-identical (probe-verified).
+    base = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("r0"),
+            F.expr(
+                f"CAST(({_T_NUM} * ({PR_SCALE} DIV n)) DIV {_DEN} AS BIGINT)"
+            ).alias("t0"),
+        )
+        .localCheckpoint()
     )
+    ranks = base.select("node", F.col("r0").alias("r"))
     for _ in range(PR_ITERS):
         shares = ranks.join(deg, "node").select(
             "node", F.expr("CAST(r DIV outd AS BIGINT)").alias("share")
@@ -131,13 +168,11 @@ def pagerank_core(edges: DataFrame) -> DataFrame:
             .agg(F.sum("share").cast("long").alias("s"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(n_df))
-            .join(inflow, "node", "left")
+            base.join(inflow, "node", "left")
             .select(
                 "node",
                 F.expr(
-                    f"CAST(({_T_NUM} * ({PR_SCALE} DIV n)) DIV {_DEN}"
-                    f" + ({_D_NUM} * COALESCE(s, CAST(0 AS BIGINT)))"
+                    f"CAST(t0 + ({_D_NUM} * COALESCE(s, CAST(0 AS BIGINT)))"
                     f" DIV {_DEN} AS BIGINT)"
                 ).alias("r"),
             )
@@ -170,10 +205,11 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy, the edge list stays hash-partitioned on src. The
     min-label connected-components loop is the same shape with an
     unbounded round count."""
-    # Checkpoint HERE so the seed computation and the BFS rounds both
-    # hang off one materialized edge list -- deriving seeds from the raw
-    # plan would replay the fact-table join a second time (review catch).
-    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    # The session-cached edge list is already materialized, so the seed
+    # computation and the BFS rounds both hang off one checkpoint --
+    # deriving seeds from the raw plan would replay the fact-table join a
+    # second time (review catch).
+    edges = _trade_edges_cached(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     seeds = (
         deg.where(F.col("src").startswith("S"))
@@ -456,7 +492,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast vs shuffle per round). ``localCheckpoint`` truncates
     lineage per round, as in the PageRank and connected-components
     loops."""
-    edges = _trade_edges(spark, sf_dir)
+    edges = _trade_edges_cached(spark, sf_dir)
     return kcore_core(edges).limit(_KCORE_TOP)
 
 

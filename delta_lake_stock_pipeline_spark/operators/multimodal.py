@@ -1943,7 +1943,7 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100k docs), which is why the position-weighted sum is part of the
     signature (SCALING.md round-10 continuation, batch 3); residual
     constant-frame hubs would take the text leg's posting cap."""
-    fr = _video_frames_of(_video_corpus(spark, sf_dir))
+    fr = _vframes_table(spark, sf_dir)
     return (
         fr.alias("l")
         .join(
@@ -2034,6 +2034,23 @@ ORACLES["m_video_neardup"] = """
     HAVING COUNT(*) >= 12
     ORDER BY doc_a, doc_b
 """
+
+
+def _vframes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-frame signature table of the twin-augmented
+    video corpus -- the video twin of ``_ahash_table``/``_afp_table``
+    (round-10 optimization): consumed by ``m_video_neardup``,
+    ``m_video_incremental`` and the ``_vnd_clusters`` build, so the HOF
+    framing projection over the corpus runs ONCE per session instead of
+    once per key. At 100 TB this IS the persisted frame-signature index
+    the pairing joins against; bench.py prices the build as a setup
+    line."""
+    key = (spark.sparkContext.applicationId, sf_dir, "vframes")
+    if key not in _ND_CACHE:
+        _ND_CACHE[key] = _video_frames_of(
+            _video_corpus(spark, sf_dir)
+        ).localCheckpoint()
+    return _ND_CACHE[key]
 
 
 def _vnd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2164,7 +2181,7 @@ def video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``image_incremental``."""
     from pyspark.sql import Window as _W
 
-    fr = _video_frames_of(_video_corpus(spark, sf_dir))
+    fr = _vframes_table(spark, sf_dir)
     is_batch = F.col("doc_id") >= _VD_TWIN_BASE
     corpus, batch = fr.filter(~is_batch), fr.filter(is_batch)
     best = (

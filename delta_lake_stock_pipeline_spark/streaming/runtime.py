@@ -165,14 +165,10 @@ _MICRO_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, micros LONG"
 def _running_user_micros(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    import numpy as np
-
     (n, micros) = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        micros += int(
-            np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype("int64").sum()
-        )
+        micros += int(pdf["micros"].sum())
     state.update((n, micros))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "micros": [micros]})
 
@@ -184,9 +180,25 @@ def running_user_micros(stream: DataFrame) -> DataFrame:
     accumulator: integer addition is order-free, so the cross-batch
     cumulative state is bit-reproducible and DuckDB-oracle-able however
     the replay batches or shuffles the rows -- the driver-visible form of
-    the applyInPandasWithState surface (windows.stateful_counts)."""
+    the applyInPandasWithState surface (windows.stateful_counts).
+
+    The micro-unit conversion runs JVM-side as a codegen'd projection and
+    only (user_id, ts, micros) crosses into the Python state function --
+    guide §4: pass only the columns the function needs (event_type/props
+    strings previously shipped through Arrow per batch for nothing; the
+    FLOOR(value*1e6 + 0.5) double arithmetic is IEEE-identical in both
+    engines, so the accumulated state is bit-for-bit what the numpy form
+    produced). ``ts`` stays in the projection because it carries the
+    watermark."""
     return (
         stream.withWatermark("ts", WATERMARK_DELAY)
+        .select(
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("micros"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _running_user_micros,

@@ -245,18 +245,39 @@ def clear_mv_dirs() -> None:
                 path if parent == root else parent, ignore_errors=True
             )
         cache.clear()
+    # Session tile/span caches (round-10 optimization): the tile scratch
+    # dirs are direct children of the scratch root, so rmtree the entry
+    # itself (same root guard rationale as above).
+    for path in _tile_scratch.values():
+        if os.path.dirname(path) == root:
+            shutil.rmtree(path, ignore_errors=True)
+    for cache in (_tile_scratch, _tile_files_cache, _tiles_cache, _span_cache):
+        cache.clear()
 
 
 def _write_ordered_files(dfs, src: str) -> None:
-    """Write each DataFrame as one parquet file in ``src`` with EXPLICIT
+    """Write each batch as one parquet file in ``src`` with EXPLICIT
     ascending mtimes: the file stream source admits files in
     modification-time order, and an ordered replay is only meaningful if
     batch order follows log order -- two same-millisecond parquet writes
     would otherwise race. The fixed epoch keeps the replay deterministic
-    across hosts."""
+    across hosts.
+
+    Entries may be DataFrames (one coalesced write job each) or PATHS to
+    already-written single-file parquet batches (the session tile cache,
+    ``_tile_files``): a path is copied byte-for-byte -- zero Spark jobs --
+    which is what lets ten replay keys share one tile materialization
+    (guide §1.2: remove redundant passes before tuning anything)."""
+    import shutil as _shutil
+
+    os.makedirs(src, exist_ok=True)
     stamped: set[str] = set()
     for i, df in enumerate(dfs):
-        df.coalesce(1).write.mode("append").parquet(src)
+        if isinstance(df, str):
+            dst = os.path.join(src, f"part-{i:05d}-tile.parquet")
+            _shutil.copy(df, dst)
+        else:
+            df.coalesce(1).write.mode("append").parquet(src)
         t = 1_000_000_000 + i * 60
         for name in os.listdir(src):
             p = os.path.join(src, name)
@@ -287,6 +308,97 @@ def _time_tiles(df: DataFrame, order_cols, n: int = 3) -> list[DataFrame]:
 def _write_ordered_batches(df: DataFrame, src: str, order_cols, n: int = 3):
     """Time-ordered micro-batch files for a plain (duplicate-free) replay."""
     _write_ordered_files(_time_tiles(df, order_cols, n), src)
+
+
+# Session caches shared by every replay key (keyed (applicationId,
+# sf_dir[, n]), same lifetime/clear discipline as the output caches
+# below). Before round 10's optimization pass, EVERY replay key re-ran
+# the global ntile sort, re-wrote the same three tile files, and
+# re-collected min/max(ts) -- ~10 keys x (1 sort + 3 write jobs + a
+# collect) of identical work per bench sweep (guide §1.2/§2.4).
+_tiles_cache: dict[tuple[str, str, int], list[DataFrame]] = {}
+_tile_files_cache: dict[tuple[str, str, int], list[str]] = {}
+_tile_scratch: dict[tuple[str, str, int], str] = {}
+_span_cache: dict[tuple[str, str], tuple] = {}
+
+
+def _tiles_cached(spark: SparkSession, sf_dir: str, n: int = 3) -> list[DataFrame]:
+    """The canonical (ts, event_id) time tiles of the events fixture,
+    localCheckpointed once per (session, fixture)."""
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    if key not in _tiles_cache:
+        _tiles_cache[key] = _time_tiles(
+            load_table(spark, sf_dir, "events"), ["ts", "event_id"], n
+        )
+    return _tiles_cache[key]
+
+
+def _tile_files(spark: SparkSession, sf_dir: str, n: int = 3) -> list[str]:
+    """Single-file parquet materializations of the canonical tiles,
+    written once per (session, fixture) and COPIED byte-for-byte into
+    each replay's source dir by ``_write_ordered_files`` -- the replay
+    input is identical to a per-key write, minus ~n write jobs per key."""
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    if key not in _tile_files_cache:
+        scratch = scratch_mkdtemp(prefix="spark_tile_files_")
+        paths = []
+        for i, tile in enumerate(_tiles_cached(spark, sf_dir, n)):
+            sub = os.path.join(scratch, f"t{i}")
+            tile.coalesce(1).write.parquet(sub)
+            part = next(
+                f for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
+            )
+            paths.append(os.path.join(sub, part))
+        _tile_scratch[key] = scratch
+        _tile_files_cache[key] = paths
+    return _tile_files_cache[key]
+
+
+def _events_span(spark: SparkSession, sf_dir: str) -> tuple:
+    """(min ts, max ts) of the events fixture, collected once per
+    (session, fixture) -- sentinel placement metadata, not a data path."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _span_cache:
+        _span_cache[key] = tuple(
+            load_table(spark, sf_dir, "events")
+            .agg(F.min("ts"), F.max("ts"))
+            .collect()[0]
+        )
+    return _span_cache[key]
+
+
+_EVENT_COL_TYPES = (
+    ("event_id", "bigint"),
+    ("ts", "timestamp"),
+    ("user_id", "bigint"),
+    ("event_type", "string"),
+    ("value", "double"),
+    ("props", "string"),
+)
+
+
+def _local_events(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """JVM-local events relation: ``range(1)`` + one literal column per
+    field, one union branch per row. A pickled-RDD ``createDataFrame``
+    relation costs ~4.5 s PER WRITE JOB at local[32] in Python-worker
+    round-trips (measured, round-10 optimization probe: 1-row sentinel
+    parquet writes read 4.6-5.6 s vs 0.3 s for this form -- guide §4's
+    boundary tax in its purest form); literal rows never leave the JVM.
+    Values are unchanged: same epoch-us timestamps, same doubles, same
+    strings, cast to the exact EVENTS_SCHEMA column types."""
+    dfs = [
+        spark.range(1).select(
+            *[
+                F.lit(v).cast(t).alias(c)
+                for v, (c, t) in zip(row, _EVENT_COL_TYPES)
+            ]
+        )
+        for row in rows
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,8 +487,7 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             tbl = os.path.join(scratch, "tbl")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            _write_ordered_batches(events, src, ["ts", "event_id"])
+            _write_ordered_files(_tile_files(spark, sf_dir), src)
             with _replay_shuffle_partitions(spark):
                 runtime.stream_upsert_to_table(
                     runtime.events_stream(spark, src),
@@ -424,11 +535,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
+            b1, b2, b3 = _tiles_cached(spark, sf_dir)
+            f1, _f2, _f3 = _tile_files(spark, sf_dir)
             dups = b1.filter(F.col("event_id") % 5 == 0)
             _write_ordered_files(
-                [b1, b2.unionByName(dups), b3.unionByName(dups)], src
+                [f1, b2.unionByName(dups), b3.unionByName(dups)], src
             )
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
@@ -479,11 +590,10 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            tiles = _time_tiles(events, ["ts", "event_id"])
-            max_ts = events.agg(F.max("ts")).collect()[0][0]
+            _, max_ts = _events_span(spark, sf_dir)
             sentinels = [
-                spark.createDataFrame(
+                _local_events(
+                    spark,
                     [
                         (
                             10**9 + i,
@@ -494,11 +604,12 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "{}",
                         )
                     ],
-                    events.schema,
                 )
                 for i, days in enumerate([40, 80])
             ]
-            _write_ordered_files(tiles + sentinels, src)
+            _write_ordered_files(
+                list(_tile_files(spark, sf_dir)) + sentinels, src
+            )
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.session_counts(
@@ -545,8 +656,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            _write_ordered_batches(events, src, ["ts", "event_id"])
+            _write_ordered_files(_tile_files(spark, sf_dir), src)
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.purchase_attribution(
@@ -606,11 +716,9 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
-            min_ts, max_ts = events.agg(
-                F.min("ts"), F.max("ts")
-            ).collect()[0]
+            _b1, b2, b3 = _tiles_cached(spark, sf_dir)
+            f1, f2, _f3 = _tile_files(spark, sf_dir)
+            min_ts, max_ts = _events_span(spark, sf_dir)
             # Batch 3 evaluates rows against the watermark set at batch
             # 2's end (max ts seen - 2-day delay); the injected rows'
             # 1-day window must already have closed under it or the test
@@ -626,15 +734,16 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"late-row window end {win_end} not behind the "
                     f"batch-3 watermark {wm_at_b3}; fixture too short"
                 )
-            late = spark.createDataFrame(
+            late = _local_events(
+                spark,
                 [
                     (2 * 10**9 + i, min_ts, 999_000 + i, "purchase", 77.77, "{}")
                     for i in range(7)
                 ],
-                events.schema,
             )
             sentinels = [
-                spark.createDataFrame(
+                _local_events(
+                    spark,
                     [
                         (
                             10**9 + i,
@@ -645,12 +754,11 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "{}",
                         )
                     ],
-                    events.schema,
                 )
                 for i, days in enumerate([40, 80])
             ]
             _write_ordered_files(
-                [b1, b2, b3.unionByName(late)] + sentinels, src
+                [f1, f2, b3.unionByName(late)] + sentinels, src
             )
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
@@ -700,8 +808,7 @@ def stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            _write_ordered_batches(events, src, ["ts", "event_id"])
+            _write_ordered_files(_tile_files(spark, sf_dir), src)
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.running_user_micros(
@@ -767,8 +874,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            _write_ordered_batches(events, src, ["ts", "event_id"])
+            _write_ordered_files(_tile_files(spark, sf_dir), src)
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.top_spenders(runtime.events_stream(spark, src)),
@@ -818,9 +924,8 @@ def stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
-            _write_ordered_files([b1, b2], src)
+            f1, f2, f3 = _tile_files(spark, sf_dir)
+            _write_ordered_files([f1, f2], src)
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.running_user_micros(
@@ -833,13 +938,10 @@ def stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Land tile 3 only after query 1 has fully terminated, mtime
             # stamped later than the first two so discovery order stays
             # the log order (the _write_ordered_files epoch + 2 slots).
-            before = set(os.listdir(src))
-            b3.coalesce(1).write.mode("append").parquet(src)
+            dst = os.path.join(src, "part-00002-tile.parquet")
+            shutil.copy(f3, dst)
             t = 1_000_000_000 + 2 * 60
-            for name in os.listdir(src):
-                p = os.path.join(src, name)
-                if name not in before and os.path.isfile(p):
-                    os.utime(p, (t, t))
+            os.utime(dst, (t, t))
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.running_user_micros(
@@ -888,11 +990,10 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = os.path.join(scratch, "src")
             out = os.path.join(scratch, "out")
             ckpt = os.path.join(scratch, "ckpt")
-            events = load_table(spark, sf_dir, "events")
-            b1, b2, b3 = _time_tiles(events, ["ts", "event_id"])
-            max_ts = events.agg(F.max("ts")).collect()[0][0]
+            _, max_ts = _events_span(spark, sf_dir)
             sentinels = [
-                spark.createDataFrame(
+                _local_events(
+                    spark,
                     [
                         (
                             10**9 + 10 * i,
@@ -911,11 +1012,12 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "{}",
                         ),
                     ],
-                    events.schema,
                 )
                 for i, days in enumerate([40, 80])
             ]
-            _write_ordered_files([b1, b2, b3] + sentinels, src)
+            _write_ordered_files(
+                list(_tile_files(spark, sf_dir)) + sentinels, src
+            )
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.purchase_attribution_outer(
@@ -981,7 +1083,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             )
-            _write_ordered_batches(events, src, ["ts", "event_id"])
+            _write_ordered_files(_tile_files(spark, sf_dir), src)
             with _replay_shuffle_partitions(spark):
                 runtime.run_available_now(
                     runtime.enrich_with_static_dim(
