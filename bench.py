@@ -226,8 +226,15 @@ def main() -> int:
         )
 
         _setup("video_nd_clusters", lambda: _vnd_clusters(spark, sf_dir))
-    # PageRank / k-core / BFS share one trade-edge list per session
-    # (round-10 optimization): price the build once, here.
+    # The graph family shares one distinct trading-pair relation (and,
+    # for the node-labeled loops, one symmetric edge list) per session
+    # (round-10 optimization): price the builds once, here.
+    if names & {"g_pagerank", "g_kcore", "g_bfs_hops", "g_common_neighbors"}:
+        from delta_lake_stock_pipeline_spark.operators.graph import (
+            _cs_pairs_cached,
+        )
+
+        _setup("trade_adjacency", lambda: _cs_pairs_cached(spark, sf_dir))
     if names & {"g_pagerank", "g_kcore", "g_bfs_hops"}:
         from delta_lake_stock_pipeline_spark.operators.graph import (
             _trade_edges_cached,
@@ -311,6 +318,7 @@ def main() -> int:
     from delta_lake_stock_pipeline_spark.operators.dedup import clear_posts_cache
     from delta_lake_stock_pipeline_spark.operators.formats import clear_roundtrip_dirs
     from delta_lake_stock_pipeline_spark.operators.multimodal import clear_nd_cache
+    from delta_lake_stock_pipeline_spark.operators.similarity import clear_ann_dirs
     from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
         clear_lifecycle_dirs,
     )
@@ -321,6 +329,7 @@ def main() -> int:
     clear_posts_cache()
     clear_nd_cache()
     clear_mv_dirs()
+    clear_ann_dirs()
     spark.stop()
     return 1 if failures else 0
 

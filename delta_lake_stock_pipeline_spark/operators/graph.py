@@ -71,20 +71,54 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (applicationId, sf_dir) -> localCheckpointed trade edge list. PageRank,
-# k-core and BFS all start from the SAME fact-table join + distinct +
-# symmetric union (~1.2M rows at sf0.1, 3-6 s to build); before round
-# 10's optimization pass each of the three keys re-ran it (guide §1.2:
-# remove redundant passes first). Session-scoped and priced as a bench
-# setup line ("trade_edges"), the dedup_pairs/fingerprints pattern --
-# nothing persists across runs.
+# Session caches for the shared fact-scan artifacts. PageRank, k-core,
+# BFS and common-neighbors all start from the SAME orders-JOIN-lineitem
+# distinct trading-pair relation (~590k rows at sf0.1, 2-4 s to build);
+# before round 10's optimization pass each of the four keys re-ran it
+# (guide §1.2: remove redundant passes first). Session-scoped and priced
+# as bench setup lines ("trade_adjacency" / "trade_edges"), the
+# dedup_pairs/fingerprints pattern -- nothing persists across runs.
+_cs_cache: dict[tuple[str, str], DataFrame] = {}
 _edges_cache: dict[tuple[str, str], DataFrame] = {}
 
 
+def _cs_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct numeric (c, s) trading pairs -- the one fact-table pass
+    behind the whole graph family. ``_trade_edges_cached`` labels and
+    symmetrizes it; ``common_neighbors_suppliers`` consumes it raw."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _cs_cache:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", F.col("l_suppkey").cast("long").alias("s")
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_custkey").cast("long").alias("c")
+        )
+        _cs_cache[key] = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("c", "s")
+            .distinct()
+            .localCheckpoint()
+        )
+    return _cs_cache[key]
+
+
 def _trade_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_trade_edges`` built from the cached (c, s) pair relation: the
+    labeling projection + symmetric union is cheap; the fact-table join
+    + distinct it used to re-run is shared via ``_cs_pairs_cached``.
+    (The TPC-H keys are integers, so ``CAST(long AS STRING)`` equals the
+    original column-to-string cast -- same node labels.)"""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _edges_cache:
-        _edges_cache[key] = _trade_edges(spark, sf_dir).localCheckpoint()
+        cs = _cs_pairs_cached(spark, sf_dir)
+        pairs = cs.select(
+            F.concat(F.lit("C"), F.col("c").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("s").cast("string")).alias("dst"),
+        )
+        _edges_cache[key] = pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint()
     return _edges_cache[key]
 
 
@@ -599,17 +633,7 @@ def common_neighbors_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in the corpus. The (s1, s2) count aggregation gets
     map-side partials; the |V|-bounded degree joins are left to AQE
     (broadcast when small, shuffle when |V| outgrows it)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.col("l_suppkey").cast("long").alias("s")
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_custkey").cast("long").alias("c")
-    )
-    cs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("c", "s")
-        .distinct()
-    )
+    cs = _cs_pairs_cached(spark, sf_dir)
     return common_neighbors_core(cs).limit(_CN_TOP)
 
 

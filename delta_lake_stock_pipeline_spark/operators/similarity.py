@@ -44,7 +44,23 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
 
 
 def _lit_vec(vals: list[float]):
-    return F.array(*[F.lit(float(v)).cast("double") for v in vals])
+    """Literal double-array column built as ONE ``F.expr`` parse: the
+    previous ``F.array(*[F.lit(v).cast("double") ...])`` form cost two
+    py4j round trips PER ELEMENT -- ~3.3 s of pure driver time for the
+    16x64 centroid array in ``_assign_expr`` (measured, round-10
+    optimization; guide §7.3's "driver doing single-threaded work"
+    class). Bit-identity: ``repr(float)`` is round-trip exact and the
+    SQL double literal parses to the nearest double, i.e. the same bits
+    ``F.lit`` would have shipped."""
+    body = ", ".join(f"{float(v)!r}D" for v in vals)
+    return F.expr(f"array({body})")
+
+
+def _lit_longs(vals) -> F.Column:
+    """Literal bigint-array column as one ``F.expr`` parse (the
+    ``_lit_vec`` rationale; integer literals are trivially exact)."""
+    body = ", ".join(f"{int(v)}L" for v in vals)
+    return F.expr(f"array({body})")
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +443,20 @@ def _sweep_stale_tmps(base: str) -> None:
 
     max_age_s = 24 * 3600.0
     own_pid = str(os.getpid())
+    # Session-scoped final dirs (round-10): a crashed session cannot
+    # clear_ann_dirs() its own builds, so siblings of ``base`` past the
+    # age cap are reaped here before a new build -- never ``base`` itself
+    # and never anything fresher than the cap (which no live session
+    # reaches).
+    for sib in glob.glob(os.path.join(os.path.dirname(base), "*")):
+        if sib == base or sib.startswith(f"{base}.tmp-"):
+            continue
+        try:
+            age = time.time() - os.path.getmtime(sib)
+        except OSError:
+            continue
+        if age > max_age_s:
+            shutil.rmtree(sib, ignore_errors=True)
     for tmp in glob.glob(f"{base}.tmp-*"):
         pid = tmp.rsplit("-", 1)[-1]
         if pid == own_pid:
@@ -448,6 +478,30 @@ def _sweep_stale_tmps(base: str) -> None:
 # the session's ingest-time artifact; every ann_ivf query reuses it.
 _ivf_cache: dict[tuple[str, str], tuple[str, list[list[float]]]] = {}
 
+# Index base dirs built BY THIS PROCESS, for clear_ann_dirs(). Session-
+# scoping (round-10 optimization-round contract): every bench/oracle
+# invocation must compute its artifacts from the parquet inputs, so the
+# on-disk index dirs are keyed by applicationId (fresh per session) and
+# reaped at bench/suite end -- nothing persists across runs. A crashed
+# session's leftovers are reaped by the 24 h age cap in
+# ``_sweep_stale_tmps``.
+_ann_dirs: list[str] = []
+
+
+def clear_ann_dirs() -> None:
+    """Delete every ANN index dir this process built (bench/conftest call
+    this next to the other operator-cache clears). Root guard: only dirs
+    registered by our own builders are touched, each two levels below the
+    scratch root."""
+    import shutil
+
+    for path in _ann_dirs:
+        shutil.rmtree(path, ignore_errors=True)
+    _ann_dirs.clear()
+    _ivf_cache.clear()
+    _pq_index_cache.clear()
+    _ivfpq_index_cache.clear()
+
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
     """Build (once per session+sf_dir) the IVF index: train centroids with
@@ -460,11 +514,13 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]
     centroid metadata, like Delta log reads -- never data-scale). Init =
     first K vectors by vec_id, so the whole pipeline is deterministic.
 
-    The index is cached on DISK keyed by the source file's identity
-    (path+mtime+size) and the quantizer parameters: the ingest cost is
-    paid once per corpus, not once per process -- exactly how a real
-    ingest-time artifact behaves. Writes are atomic (build in a tmp dir,
-    rename into place) so concurrent builders can't observe a half-index.
+    The index is built on DISK once per SESSION (applicationId in the
+    dir tag) and consumed by every ann_ivf query of that session; at
+    ingest time a real deployment would persist it per corpus, but the
+    bench contract requires every run to compute its artifacts from the
+    parquet inputs, so cross-run reuse is deliberately off (round-10).
+    Writes are atomic (build in a tmp dir, rename into place) so
+    concurrent builders can't observe a half-index.
     """
     import json
 
@@ -474,7 +530,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     tag = hashlib.sha1(
-        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+        f"{spark.sparkContext.applicationId}:{src}"
         f":{_IVF_K}:{_IVF_TRAIN_ITERS}".encode()
     ).hexdigest()[:16]
     base = os.path.join(scratch_root(), "spark_graft_ivf", tag)
@@ -529,6 +585,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]
 
     with open(meta) as fh:
         centroids = json.load(fh)
+    _ann_dirs.append(base)
     _ivf_cache[key] = (idx, centroids)
     return _ivf_cache[key]
 
@@ -752,7 +809,7 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         else -int(math.floor(-v / qscale + 0.5))
         for v in qvec
     ]
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    qlit = _lit_longs(qq)
     emb = load_table(spark, sf_dir, "embeddings")
     quant = emb.select(
         "vec_id", "label", "embedding", _quantize_int8(F.col("embedding")).alias("q")
@@ -931,9 +988,9 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, "np.ndarray"]:
     parquet of ``(vec_id, label, pq_codes)`` -- 4 bytes of code per vector
     vs 256 for the float32 row, the 64x-compressed candidate table that ANN
     serving actually scans. Encoding runs distributed through the Arrow
-    GEMM kernel; like ``_ivf_index`` the artifact is cached on DISK keyed
-    by the source file's identity and the quantizer parameters (ingest cost
-    paid once per corpus, not once per query) with atomic tmp-dir+rename
+    GEMM kernel; like ``_ivf_index`` the artifact is built once per
+    SESSION (ingest cost paid once per session, not once per query; no
+    cross-run reuse per the bench contract) with atomic tmp-dir+rename
     builds."""
     import json
 
@@ -943,7 +1000,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, "np.ndarray"]:
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     tag = hashlib.sha1(
-        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+        f"{spark.sparkContext.applicationId}:{src}"
         f":{_PQ_M}:{_PQ_K}:{_PQ_TRAIN_ITERS}:{_PQ_SAMPLE}".encode()
     ).hexdigest()[:16]
     base = os.path.join(scratch_root(), "spark_graft_pq", tag)
@@ -972,6 +1029,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, "np.ndarray"]:
 
     with open(meta) as fh:
         books = np.asarray(json.load(fh), dtype=np.float64)
+    _ann_dirs.append(base)
     _pq_index_cache[key] = (idx, books)
     return _pq_index_cache[key]
 
@@ -1033,14 +1091,14 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     cluster id, i.e. inverted lists whose entries are 4-byte codes. A
     query prunes to nprobe partition directories AND reads 64x-compressed
     rows -- the two savings multiply. Reuses the trained IVF centroids and
-    PQ codebooks; disk-cached and atomically built like its parents."""
+    PQ codebooks; session-scoped and atomically built like its parents."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _ivfpq_index_cache:
         return _ivfpq_index_cache[key]
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     tag = hashlib.sha1(
-        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+        f"{spark.sparkContext.applicationId}:{src}"
         f":{_IVF_K}:{_IVF_TRAIN_ITERS}:{_PQ_M}:{_PQ_K}"
         f":{_PQ_TRAIN_ITERS}:{_PQ_SAMPLE}".encode()
     ).hexdigest()[:16]
@@ -1072,6 +1130,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
 
             shutil.rmtree(tmp, ignore_errors=True)
 
+    _ann_dirs.append(base)
     _ivfpq_index_cache[key] = idx
     return idx
 
@@ -1188,7 +1247,7 @@ def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates use, so engine and oracle quantize identically (a query
     # parameter crossing the driver boundary, the _query_vector stance).
     q0 = quant.where(F.col("vec_id") == 0).select("q").first()["q"]
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in q0])
+    qlit = _lit_longs(q0)
     zero = F.lit(0).cast("long")
     rel = F.aggregate(
         F.zip_with(F.col("q"), qlit, lambda x, y: x * y),

@@ -125,7 +125,12 @@ def qc_score_column() -> F.Column:
     sign(token) * weight[bucket(token)]``. Shared by ``t_quality_classifier``
     and the quality-weighted sampler (``curation.quality_mix``) so the two
     keys cannot diverge on the model."""
-    coefs = F.array(*[F.lit(int(w)) for w in _QC_WEIGHTS])
+    # One F.expr parse instead of a py4j round trip per weight (the
+    # similarity._lit_vec rationale); SQL integer literals type-coerce
+    # exactly as the F.lit ladder did.
+    coefs = F.expr(
+        "array(" + ", ".join(str(int(w)) for w in _QC_WEIGHTS) + ")"
+    )
     return (
         F.aggregate(
             F.filter(_tokens(), lambda t: t != F.lit("")),

@@ -22,12 +22,16 @@ def spark():
     from delta_lake_stock_pipeline_spark.operators.storage_lifecycle import (
         clear_lifecycle_dirs,
     )
+    from delta_lake_stock_pipeline_spark.operators.similarity import (
+        clear_ann_dirs,
+    )
     from delta_lake_stock_pipeline_spark.streaming.windows import clear_mv_dirs
 
     clear_posts_cache()
     clear_roundtrip_dirs()
     clear_lifecycle_dirs()
     clear_mv_dirs()
+    clear_ann_dirs()
     spark.stop()
 
 
