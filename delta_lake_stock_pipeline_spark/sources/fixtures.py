@@ -37,6 +37,19 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (applicationId, sf_dir, name) -> the loaded DataFrame HANDLE. This is
+# metadata reuse, not data caching: every ``spark.read.parquet`` call
+# re-reads the file footer and re-lists on the DRIVER (~150-300 ms/call
+# measured at local[32]), and before round 10's optimization pass every
+# one of ~264 bench keys paid it per table touched -- tens of seconds of
+# identical single-threaded driver work per sweep (guide §7.3's class).
+# The returned DataFrame is an immutable lazy scan: execution still reads
+# the parquet input every time, exactly as a catalog-registered table
+# would behave. Fixtures are immutable per sf_dir, so the handle can
+# never go stale within a session.
+_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (S7: read by path).
 
@@ -46,6 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     us-precision TimestampType here -- the same floor-truncation DuckDB
     applies when it reads the column as TIMESTAMP.
     """
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _df_cache.get(cache_key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Runtime-settable, so the read works on ANY session -- including
         # the driver's vanilla SparkSession -- not just ones built by
@@ -81,6 +98,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(ts_type, T.TimestampNTZType):
             # NTZ -> LTZ is wall-clock-preserving under the UTC session zone.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _df_cache[cache_key] = df
     return df
 
 
