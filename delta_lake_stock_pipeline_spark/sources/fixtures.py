@@ -37,7 +37,7 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (applicationId, sf_dir, name) -> the loaded DataFrame HANDLE. This is
+# SparkSession -> {(sf_dir, name): the loaded DataFrame HANDLE}. This is
 # metadata reuse, not data caching: every ``spark.read.parquet`` call
 # re-reads the file footer and re-lists on the DRIVER (~150-300 ms/call
 # measured at local[32]), and before round 10's optimization pass every
@@ -46,8 +46,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # The returned DataFrame is an immutable lazy scan: execution still reads
 # the parquet input every time, exactly as a catalog-registered table
 # would behave. Fixtures are immutable per sf_dir, so the handle can
-# never go stale within a session.
-_df_cache: dict[tuple[str, str, str], DataFrame] = {}
+# never go stale within a session. Keyed by the SESSION OBJECT (weakly),
+# not applicationId: child sessions from ``newSession()`` share the
+# application but own independent SQL confs, and a DataFrame must plan
+# under ITS session's confs (j_bloom_pruned's scoped child would
+# otherwise lose its bloom-injection confs to a parent-session handle).
+import weakref
+
+_df_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,8 +67,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     us-precision TimestampType here -- the same floor-truncation DuckDB
     applies when it reads the column as TIMESTAMP.
     """
-    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _df_cache.get(cache_key)
+    per_session = _df_cache.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached
     if name == "events":
@@ -98,7 +106,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(ts_type, T.TimestampNTZType):
             # NTZ -> LTZ is wall-clock-preserving under the UTC session zone.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _df_cache[cache_key] = df
+    per_session[(sf_dir, name)] = df
     return df
 
 
