@@ -72,70 +72,70 @@ DRIVER_WINDOW_SIZE = 50
 # The external driver verifies only the FIRST 50 keys of queries() in
 # registry order (verified round 3: CORRECTNESS_r03's keys == the first 50).
 # Rotate the window each round so every key eventually gets a driver-side
-# correctness row. Round-10 window (per VERDICT r9 task 1): with 220/220
-# oracled keys driver-green after round 9, the 33 round-10 additions go
-# first (never driver-checked; the policy test forces them), then pure
-# oldest-first freshness in ledger order -- 17 of the 22 r5-era keys the
-# r9 verdict lists (v_cosine_topk, v_label_centroids,
-# v_quantized_cosine, st_lifecycle_rollup, st_time_travel_rollup, last
-# five in ledger order, are displaced to the r11 head by the late
-# additions). All 50 are
-# DuckDB-oracled (rows-only keys are excluded by policy: their guarantees
-# are driver-witnessed through oracled anchor twins). Rotation history:
-# ROUND4_NOTES.md, ROUND6_NOTES.md ... ROUND9_NOTES.md, ROUND10_NOTES.md.
+# correctness row. Round-11 window (per VERDICT r10 task 5): all 253
+# oracled keys are cumulatively driver-green after round 10, so the
+# window is pure oldest-first freshness re-proofs in ledger order -- the
+# 5 r5-era greens the round-10 additions displaced (v_cosine_topk,
+# v_label_centroids, v_quantized_cosine, st_lifecycle_rollup,
+# st_time_travel_rollup) followed by the 45 oldest r6-era greens
+# (mechanically: tools/driver_ledger.py best-round ascending, registry
+# order within a round). All 50 are DuckDB-oracled (rows-only keys are
+# excluded by policy: their guarantees are driver-witnessed through
+# oracled anchor twins). Rotation history: ROUND4_NOTES.md,
+# ROUND6_NOTES.md ... ROUND10_NOTES.md, OPTIMIZATION_r11.md.
 _DRIVER_WINDOW_ROTATION = [
-    # --- round-10 additions: never driver-checked ---
-    "m_image_neardup",
-    "m_audio_neardup",
-    "t_bpe_tokens",
-    "c_seq_packing_bpe",
-    "m_image_dup_clusters",
-    "m_image_keeper",
-    "t_bpe_vocab",
-    "m_audio_dup_clusters",
-    "m_audio_keeper",
-    "src_xml_roundtrip",
-    "x_column_profile",
-    "c_contamination_bpe",
-    "m_image_incremental",
-    "m_audio_incremental",
-    "m_av_consensus",
-    "t_bigram_logprob",
-    "m_scene_changes",
-    "s_stream_sessions",
-    "w_twap",
-    "x_session_funnel",
-    "s_stream_join",
-    "s_stream_late",
-    "s_stateful_counts",
-    "s_stream_enrich",
-    "s_stream_topk",
-    "s_stream_restart",
-    "s_stream_join_outer",
-    "m_video_fingerprint",
-    "m_video_neardup",
-    "m_video_dup_clusters",
-    "m_video_keeper",
-    "m_video_incremental",
-    "x_outliers_zscore",
-    # --- freshness re-proofs: r5-era greens, ledger order ---
-    "w_lag_lead",
-    "w_moving_avg",
-    "w_cumulative",
-    "w_ntile",
-    "w_range_interval",
-    "d_exact_summary",
-    "d_exact_keys",
-    "d_ngram_jaccard",
-    "d_minhash_lsh_anchor",
-    "d_dup_clusters",
-    "d_dup_clusters_sql",
-    "d_fuzzy_levenshtein",
-    "d_keep_latest",
-    "c_contamination",
-    "c_seq_packing",
-    "c_domain_mix",
-    "c_blocklist_redaction",
+    # --- r5-era greens displaced by the round-10 additions ---
+    "v_cosine_topk",
+    "v_label_centroids",
+    "v_quantized_cosine",
+    "st_lifecycle_rollup",
+    "st_time_travel_rollup",
+    # --- oldest r6-era greens, ledger order ---
+    "a9_ohlc_resample",
+    "x_retention_cohorts",
+    "x_funnel",
+    "x_rolling_mau_anchor",
+    "x_histogram",
+    "x_hll_anchor",
+    "x_theta_anchor",
+    "x_kll_anchor",
+    "x_percentile_approx_anchor",
+    "src_json_roundtrip",
+    "j_asof",
+    "j_asof_forward",
+    "j_bloom_pruned",
+    "j_lateral_topn",
+    "x_salted_skew_join",
+    "x_global_row_ids",
+    "r_pivot",
+    "w_sessionize",
+    "w_gap_fill",
+    "w_backtest_naive",
+    "t_token_count",
+    "t_repetition",
+    "t_curation_pipeline",
+    "t_word_frequency",
+    "t_quality_score",
+    "t_lang_id",
+    "t_fingerprint",
+    "t_unigram_logprob",
+    "t_tfidf",
+    "t_winnow",
+    "t_gopher_filter",
+    "d_span_dedup",
+    "d_simhash_anchor",
+    "v_pairwise_neardup",
+    "v_semantic_dedup",
+    "v_ann_ivf_anchor",
+    "v_ann_lsh_anchor",
+    "m_binary_metadata",
+    "m_image_features",
+    "m_frame_sample",
+    "m_audio_features",
+    "u_pandas_udaf",
+    "u_pandas_udf",
+    "u_apply_in_pandas",
+    "u_map_in_pandas",
 ]
 
 

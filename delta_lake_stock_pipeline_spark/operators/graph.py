@@ -78,29 +78,40 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (guide §1.2: remove redundant passes first). Session-scoped and priced
 # as bench setup lines ("trade_adjacency" / "trade_edges"), the
 # dedup_pairs/fingerprints pattern -- nothing persists across runs.
-_cs_cache: dict[tuple[str, str], DataFrame] = {}
-_edges_cache: dict[tuple[str, str], DataFrame] = {}
+# Keyed by the SESSION OBJECT (weakly), not applicationId: newSession()
+# children share the application but own independent SQL confs, and a
+# DataFrame must plan under ITS session's confs (the fixtures._df_cache
+# rationale, applied here per r10 advice).
+import weakref
+
+_cs_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_edges_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _cs_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct numeric (c, s) trading pairs -- the one fact-table pass
     behind the whole graph family. ``_trade_edges_cached`` labels and
     symmetrizes it; ``common_neighbors_suppliers`` consumes it raw."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _cs_cache:
+    per_session = _cs_cache.setdefault(spark, {})
+    key = sf_dir
+    if key not in per_session:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", F.col("l_suppkey").cast("long").alias("s")
         )
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", F.col("o_custkey").cast("long").alias("c")
         )
-        _cs_cache[key] = (
+        per_session[key] = (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .select("c", "s")
             .distinct()
             .localCheckpoint()
         )
-    return _cs_cache[key]
+    return per_session[key]
 
 
 def _trade_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,17 +120,18 @@ def _trade_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     + distinct it used to re-run is shared via ``_cs_pairs_cached``.
     (The TPC-H keys are integers, so ``CAST(long AS STRING)`` equals the
     original column-to-string cast -- same node labels.)"""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _edges_cache:
+    per_session = _edges_cache.setdefault(spark, {})
+    key = sf_dir
+    if key not in per_session:
         cs = _cs_pairs_cached(spark, sf_dir)
         pairs = cs.select(
             F.concat(F.lit("C"), F.col("c").cast("string")).alias("src"),
             F.concat(F.lit("S"), F.col("s").cast("string")).alias("dst"),
         )
-        _edges_cache[key] = pairs.unionByName(
+        per_session[key] = pairs.unionByName(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).localCheckpoint()
-    return _edges_cache[key]
+    return per_session[key]
 
 
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,10 +67,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     us-precision TimestampType here -- the same floor-truncation DuckDB
     applies when it reads the column as TIMESTAMP.
     """
-    per_session = _df_cache.setdefault(spark, {})
-    cached = per_session.get((sf_dir, name))
-    if cached is not None:
-        return cached
+    # The events conf check/pin runs BEFORE the cache lookup (r10 advice):
+    # it is cheap driver-side work, and a caller that reset
+    # spark.sql.session.timeZone between two events loads must get the
+    # same loud re-pin the first load gave -- only the footer-read
+    # ``spark.read.parquet`` below is worth caching.
     if name == "events":
         # Runtime-settable, so the read works on ANY session -- including
         # the driver's vanilla SparkSession -- not just ones built by
@@ -95,6 +96,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 stacklevel=2,
             )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    per_session = _df_cache.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # Depending on Spark version/conf timing the nanos column surfaces as

@@ -316,7 +316,16 @@ def _write_ordered_batches(df: DataFrame, src: str, order_cols, n: int = 3):
 # the global ntile sort, re-wrote the same three tile files, and
 # re-collected min/max(ts) -- ~10 keys x (1 sort + 3 write jobs + a
 # collect) of identical work per bench sweep (guide §1.2/§2.4).
-_tiles_cache: dict[tuple[str, str, int], list[DataFrame]] = {}
+# _tiles_cache holds DataFrames, so it keys by the SESSION OBJECT
+# (weakly) like fixtures._df_cache: a newSession() child shares the
+# applicationId but must plan under its own SQL confs (r10 advice). The
+# file/scratch/span caches hold plain paths/values -- safe to share
+# across child sessions, so they stay applicationId-keyed.
+import weakref
+
+_tiles_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 _tile_files_cache: dict[tuple[str, str, int], list[str]] = {}
 _tile_scratch: dict[tuple[str, str, int], str] = {}
 _span_cache: dict[tuple[str, str], tuple] = {}
@@ -325,12 +334,13 @@ _span_cache: dict[tuple[str, str], tuple] = {}
 def _tiles_cached(spark: SparkSession, sf_dir: str, n: int = 3) -> list[DataFrame]:
     """The canonical (ts, event_id) time tiles of the events fixture,
     localCheckpointed once per (session, fixture)."""
-    key = (spark.sparkContext.applicationId, sf_dir, n)
-    if key not in _tiles_cache:
-        _tiles_cache[key] = _time_tiles(
+    per_session = _tiles_cache.setdefault(spark, {})
+    key = (sf_dir, n)
+    if key not in per_session:
+        per_session[key] = _time_tiles(
             load_table(spark, sf_dir, "events"), ["ts", "event_id"], n
         )
-    return _tiles_cache[key]
+    return per_session[key]
 
 
 def _tile_files(spark: SparkSession, sf_dir: str, n: int = 3) -> list[str]:
