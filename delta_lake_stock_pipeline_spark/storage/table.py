@@ -120,6 +120,7 @@ def write_partitioned(
     replaced: Sequence[str] | None = None,
     max_records_per_file: int | None = None,
     codec: str | None = None,
+    distribute_by_partition: bool = False,
 ) -> int:
     """Write a new table version partitioned by ``partition_cols`` (S4/S5,
     ``stock_harvester.py:170-181``) and log it. Returns the new version.
@@ -133,10 +134,24 @@ def write_partitioned(
     to a new file at the cap, bounding the other direction of the
     small-file problem -- files too LARGE to parallelize a read over.
     ``codec`` picks the parquet compression (e.g. ``zstd`` for cold data,
-    ``snappy``/default for hot)."""
+    ``snappy``/default for hot).
+
+    ``distribute_by_partition`` is Iceberg's ``write.distribution-mode =
+    hash`` (guide §6): shuffle rows onto the partition columns before the
+    ``partitionBy`` write so each partition value is written by ONE task
+    -- without it, every upstream task holding rows of a partition opens
+    its own file there, and a commit fans out to (tasks x partitions)
+    small files (measured on the streaming MERGE paths: 92 files per
+    150-row commit across 30 day-partitions; 30 after). Opt-in because
+    callers that pre-arrange their own layout (OPTIMIZE's
+    repartition + sortWithinPartitions z-ordering) must not be
+    re-shuffled. The shuffle width follows spark.sql.shuffle.partitions
+    + AQE coalescing, so it stays scale-adaptive."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    if distribute_by_partition and partition_cols:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     os.makedirs(path, exist_ok=True)
     cur = current_version(path)
     version = 0 if cur is None else cur + 1
@@ -685,6 +700,10 @@ def merge_into(
         operation="MERGE",
         base_snapshot=snapshot_of(path, cur_v),
         replaced=[_rel_dir(k) for k in affected],
+        # One file per rewritten partition instead of (tasks x partitions)
+        # -- the incremental MERGE trickle is the commit-amplified path
+        # (guide §6 small-files; see write_partitioned).
+        distribute_by_partition=True,
     )
 
 
@@ -722,6 +741,7 @@ def delete_where(
         operation="DELETE",
         base_snapshot=snapshot_of(path, cur_v),
         replaced=[_rel_dir(k) for k in affected],
+        distribute_by_partition=True,
     )
 
 

@@ -416,7 +416,11 @@ def stream_upsert_to_table(
         )
         if current_version(path) is None:
             write_partitioned(
-                batch, path, partition_cols, operation=f"STREAM WRITE b{batch_id}"
+                batch,
+                path,
+                partition_cols,
+                operation=f"STREAM WRITE b{batch_id}",
+                distribute_by_partition=True,
             )
         else:
             merge_into(
@@ -483,6 +487,7 @@ def materialize_daily_rollup(
                 path,
                 ["event_date"],
                 operation=f"MATERIALIZE b{batch_id}",
+                distribute_by_partition=True,
             )
         else:
             merge_into(

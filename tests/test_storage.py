@@ -766,3 +766,33 @@ def test_vacuum_rejects_retention_that_would_delete_current(bars, tmp_path_facto
     storage.write_partitioned(bars, path)
     with pytest.raises(ValueError, match="retain_last"):
         storage.vacuum(path, retain_last=0)
+
+
+def test_merge_commit_writes_one_file_per_partition(spark, bars, tmp_path_factory):
+    """The MERGE/DELETE rewrite hash-distributes onto the partition
+    columns before the partitionBy write (write_partitioned's
+    ``distribute_by_partition``, guide §6): a pruned commit lands exactly
+    ONE file per rewritten partition instead of (upstream tasks x
+    partitions) small files -- the round-11 fix for the streaming MERGE
+    paths' commit amplification (92 files per 150-row commit before)."""
+    path = str(tmp_path_factory.mktemp("stocks_merge_files") / "stocks")
+    storage.write_partitioned(bars, path)
+
+    # Updates spread over MANY upstream tasks: without the distribution
+    # each of the 16 tasks would open a file in every partition it hits.
+    updates = (
+        storage.read_table(spark, path)
+        .withColumn("volume", (F.col("volume") + 7).cast("long"))
+        .repartition(16)
+    )
+    storage.merge_into(spark, path, updates, ["ticker", "timestamp_ms"])
+    hist = {r["operation"]: json.loads(r["operationMetrics"])
+            for r in storage.history(spark, path).collect()}
+    m = hist["MERGE"]
+    assert m["numFiles"] == m["numRewrittenPartitions"], m
+
+    storage.delete_where(spark, path, "volume % 2 = 0")
+    hist = {r["operation"]: json.loads(r["operationMetrics"])
+            for r in storage.history(spark, path).collect()}
+    d = hist["DELETE"]
+    assert d["numFiles"] == d["numRewrittenPartitions"], d
