@@ -729,18 +729,38 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
     stand behind it besides).
     """
 
-    def signature(e: DataFrame) -> tuple:
+    from pyspark.sql import Observation
+
+    # The convergence signature rides the SAME job that materializes the
+    # round's edge set: ``observe`` + ``localCheckpoint`` (the
+    # Observation fires when the checkpoint job runs -- probe-verified),
+    # where a separate post-checkpoint ``agg().collect()`` previously
+    # cost one extra scheduler round-trip per round per artifact
+    # (round-11 optimization, guide §1.2: ~2 jobs/round -> 1; the
+    # image/audio/video cluster builds and both largestar keys share
+    # this loop). Metric values are IDENTICAL: same count/sum/sum/hash
+    # expressions over the same materialized edge set.
+    _sig_names = ("n", "sc", "sp", "sh")
+
+    def _sig_exprs():
         # Hash values span the full signed-64 range, so their SUM must be
         # accumulated in decimal(38,0) -- ANSI mode raises on long
         # overflow after as few as two rows otherwise (caught by the
         # union-find property test on first run).
-        row = e.agg(
-            F.count("*"),
-            F.sum("child"),
-            F.sum("parent"),
-            F.sum(F.xxhash64("child", "parent").cast("decimal(38,0)")),
-        ).collect()[0]
-        return tuple(row)
+        return [
+            F.count("*").alias("n"),
+            F.sum("child").alias("sc"),
+            F.sum("parent").alias("sp"),
+            F.sum(F.xxhash64("child", "parent").cast("decimal(38,0)")).alias(
+                "sh"
+            ),
+        ]
+
+    def checkpoint_with_sig(e: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = Observation()
+        ck = e.observe(obs, *_sig_exprs()).localCheckpoint()
+        got = obs.get
+        return ck, tuple(got[k] for k in _sig_names)
 
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -750,16 +770,14 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
     )
     # Canonical orientation (child > parent); self-pairs carry no
     # connectivity and would survive both steps as noise, so drop them.
-    edges = (
+    edges, sig = checkpoint_with_sig(
         pairs.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.greatest("doc_a", "doc_b").alias("child"),
             F.least("doc_a", "doc_b").alias("parent"),
         )
         .distinct()
-        .localCheckpoint()
     )
-    sig = signature(edges)
     # Runaway guard only: O(log^2 n) worst case in theory, but a pure
     # 1M-node PATH (the adversarial topology) needs ~log2(n) ~ 20 rounds,
     # so the bound sits well past that; near-dup fixtures converge in <=5.
@@ -783,7 +801,7 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
         # by construction (m <= u < v), so parents ARE the smaller
         # neighbors; link them and u itself to the group minimum.
         smins = large.groupBy("child").agg(F.min("parent").alias("m"))
-        small = (
+        small, new_sig = checkpoint_with_sig(
             large.join(smins, "child")
             .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
             .filter(F.col("child") != F.col("parent"))
@@ -791,9 +809,7 @@ def largestar_components(pairs: DataFrame) -> DataFrame:
                 smins.select(F.col("child"), F.col("m").alias("parent"))
             )
             .distinct()
-            .localCheckpoint()
         )
-        new_sig = signature(small)
         edges = small
         if new_sig == sig:
             break
