@@ -643,7 +643,12 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]
 
         tmp = f"{base}.tmp-{os.getpid()}"
         (
+            # Hash-distribute onto the cluster id before the partitionBy
+            # write (guide §6, the write_partitioned rationale): one file
+            # per inverted list instead of (scan tasks x K) fragments --
+            # the probed read then opens nprobe files, not nprobe x tasks.
             emb.withColumn("cluster", _assign_expr(centroids))
+            .repartition(F.col("cluster"))
             .write.partitionBy("cluster")
             .parquet(os.path.join(tmp, "index"))
         )
@@ -1195,6 +1200,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
                 codes(F.col("embedding")).alias("pq_codes"),
                 _assign_expr(centroids).alias("cluster"),
             )
+            .repartition(F.col("cluster"))  # one file per inverted list
             .write.partitionBy("cluster")
             .parquet(os.path.join(tmp, "codes"))
         )
