@@ -192,6 +192,18 @@ def pagerank_core(edges: DataFrame) -> DataFrame:
     # n_df aggregate + crossJoin 5x. The per-iteration expression
     # t0 + (85*s) DIV 100 is the SAME integer arithmetic term-for-term,
     # so every emitted rank is bit-identical (probe-verified).
+    # Per-node constants AND the loop-invariant out-degree ride ONE
+    # checkpointed table: the previous loop re-joined ranks to the
+    # static ``deg`` every iteration to compute shares -- one whole
+    # join (build + probe + exchange reuse) per iteration for a column
+    # that never changes (round-11, guide §2.4). ``outd`` is left-joined
+    # (NULL for inflow-only dangling nodes) and carried through each
+    # iteration's rank projection; the share set -- inner-join rows,
+    # i.e. nodes WITH an out-degree -- becomes a filter, and
+    # ``r DIV outd`` / the rank update are the SAME integer expressions
+    # term-for-term, so every emitted rank is bit-identical (the
+    # hypothesis property test drives exact equality vs the serial
+    # implementation).
     base = (
         nodes.crossJoin(F.broadcast(n_df))
         .select(
@@ -201,15 +213,17 @@ def pagerank_core(edges: DataFrame) -> DataFrame:
                 f"CAST(({_T_NUM} * ({PR_SCALE} DIV n)) DIV {_DEN} AS BIGINT)"
             ).alias("t0"),
         )
+        .join(deg, "node", "left")
         .localCheckpoint()
     )
-    ranks = base.select("node", F.col("r0").alias("r"))
+    ranks = base.select("node", F.col("r0").alias("r"), "outd")
     for _ in range(PR_ITERS):
-        shares = ranks.join(deg, "node").select(
-            "node", F.expr("CAST(r DIV outd AS BIGINT)").alias("share")
+        shares = ranks.where(F.col("outd").isNotNull()).select(
+            F.col("node").alias("src"),
+            F.expr("CAST(r DIV outd AS BIGINT)").alias("share"),
         )
         inflow = (
-            edges.join(shares.withColumnRenamed("node", "src"), "src")
+            edges.join(shares, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").cast("long").alias("s"))
         )
@@ -221,6 +235,7 @@ def pagerank_core(edges: DataFrame) -> DataFrame:
                     f"CAST(t0 + ({_D_NUM} * COALESCE(s, CAST(0 AS BIGINT)))"
                     f" DIV {_DEN} AS BIGINT)"
                 ).alias("r"),
+                "outd",
             )
             .localCheckpoint()
         )
